@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + shared helpers for the graft engine.
+  *
+  * All queries read the driver-generated parquet tables under a scale-factor
+  * directory (see TESTDATA.md). Loaders are thin `spark.read.parquet` calls:
+  * keeping the scan declarative lets Catalyst push filters/column pruning
+  * into the parquet reader — at 100 TB that pushdown is the difference
+  * between scanning a column slice and scanning everything.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses to map
+    * to its microsecond timestamp type; read nanos as long and truncate to
+    * micros (`ts div 1000` — integer division, no double round-trip).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Round a double column for cross-engine hash stability.
+    *
+    * Double aggregation is order-dependent in any distributed engine; the
+    * driver hash-compares our results against DuckDB, so every derived
+    * double column is rounded identically on both sides. dp=4 for
+    * small-magnitude values (ratios, entropies, averages), dp=2 for large
+    * sums where accumulated float error can approach 1e-5 absolute.
+    */
+  def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 4)
+  def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(c, 2)
+
+  /** A local SparkSession configured the way every graft entry point wants
+    * it: AQE on, modest shuffle parallelism (tuned per-cluster in prod),
+    * UTC so timestamp-derived features match the oracle.
+    */
+  def localSession(cpus: String): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

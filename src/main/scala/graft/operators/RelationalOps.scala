@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators: scan → filter → aggregate → join → window.
+  *
+  * These are the bench headliners and prove general query capability. Each
+  * is written so Catalyst produces the plan you'd want at 100 TB: filters
+  * adjacent to scans (pushed into parquet), map-side partial aggregation
+  * before the single hash shuffle, and explicit `broadcast()` on dimension
+  * sides of joins so the fact table never shuffles for a small join.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-style pricing summary. One scan of lineitem with the date
+    * predicate pushed to parquet, partial agg map-side, one shuffle on the
+    * low-cardinality (flag, status) key.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style shipping-priority query. customer is tiny relative to
+    * lineitem → broadcast both dimension joins; revenue agg shuffles once
+    * on l_orderkey. Top-10 with a deterministic (revenue DESC, orderkey
+    * ASC) tiebreak so the result set hash-matches the oracle.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(r2(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  }
+
+  /** Per-customer order ranking + running revenue via window functions.
+    * Windows partition by o_custkey — a single shuffle; at scale the
+    * partition key is high-cardinality so no skew hotspot.
+    */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("order_rank", row_number().over(w))
+      .withColumn("running_spend", r2(sum(col("o_totalprice")).over(w)))
+      .filter(col("order_rank") <= 3)
+      .orderBy(col("o_custkey"), col("order_rank"))
+  }
+
+  /** Gap-based sessionization of the event log: a >30-minute silence per
+    * user starts a new session (classic lag + cumulative-sum-of-boundaries
+    * pattern — one shuffle on user_id, everything else window-local).
+    * Emits per-user session stats.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sess = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(byUser))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("duration_s")).as("max_session_duration_s"),
+        r4(avg(col("n_events"))).as("avg_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Tumbling 1-hour window counts per event_type — the batch twin of the
+    * Structured Streaming path in [[graft.streaming.EventStream]].
+    */
+  def qWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}

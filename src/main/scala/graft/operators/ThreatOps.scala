@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral threat analytics — the Spark-first re-expression of the
+  * reference's Neo4j graph queries and feature extraction.
+  *
+  * The reference materializes a property graph (neo4j_setup.py:28-110:
+  * User-PERFORMS->Activity, User-USES->System, Activity-INVOLVES->Resource)
+  * because pandas can't aggregate it well. Every one of its Cypher queries
+  * (neo4j_analysis.py:6-122) is a per-user aggregation over the activity
+  * edge list — so here the "graph" stays what it really is: the events
+  * table, with `user_id` as User, `event_type` as Activity and
+  * `props.$.k` as Resource. Each query is map-side partially aggregated
+  * and shuffles exactly once on the high-cardinality user key; nothing is
+  * collected to the driver, so the same plan runs on 100 TB of logs.
+  */
+object ThreatOps {
+
+  /** Events with the resource extracted from the JSON props payload. */
+  private def activityLog(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+
+  private val hourOfDay: Column = hour(col("ts"))
+  // Monday=0 .. Sunday=6 (matches pandas dt.dayofweek used by the ref).
+  private val dayOfWeek: Column = expr("weekday(ts)")
+  private val isAfterHours: Column =
+    when(hourOfDay < 8 || hourOfDay > 18, 1L).otherwise(0L)
+  private val isWeekend: Column = when(dayOfWeek >= 5, 1L).otherwise(0L)
+
+  /** Temporal-feature derivation (ref: data_preprocessing.py:14-28):
+    * timestamp → hour_of_day / day_of_week / is_weekend / is_after_hours,
+    * dropping rows whose critical columns are null. Narrow projection —
+    * no shuffle at all; runs at scan speed.
+    */
+  def qPreprocess(spark: SparkSession, dir: String): DataFrame =
+    activityLog(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull && col("ts").isNotNull)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("resource"),
+        hourOfDay.cast("long").as("hour_of_day"),
+        dayOfWeek.cast("long").as("day_of_week"),
+        isWeekend.as("is_weekend"),
+        isAfterHours.as("is_after_hours"))
+      .orderBy(col("event_id"))
+
+  /** Users with the most after-hours activity (ref: neo4j_analysis.py:15-22).
+    * Filter is evaluated pre-shuffle; top-10 with a deterministic
+    * (count DESC, user ASC) tiebreak.
+    */
+  def qAfterHoursTop(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(hourOfDay < 8 || hourOfDay > 18)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("after_hours_count"))
+      .orderBy(col("after_hours_count").desc, col("user_id").asc)
+      .limit(10)
+
+  /** Users touching the most distinct resources (ref: neo4j_analysis.py:28-36). */
+  def qResourceAccess(spark: SparkSession, dir: String): DataFrame =
+    activityLog(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("resource")).as("unique_resources"),
+        count(lit(1)).as("total_accesses"))
+      .orderBy(col("unique_resources").desc, col("user_id").asc)
+      .limit(10)
+
+  /** Highest-activity users (ref: neo4j_analysis.py:42-48). */
+  def qHighActivity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("activity_count"))
+      .orderBy(col("activity_count").desc, col("user_id").asc)
+      .limit(10)
+
+  /** Per-user activity-type breakdown (ref: neo4j_analysis.py:54-61) —
+    * the full user × event_type count matrix instead of Cypher's nested
+    * collect(); downstream consumers pivot/collect as needed.
+    */
+  def qActivityPatterns(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id").asc, col("n").desc, col("event_type").asc)
+
+  /** Degree centrality (ref: neo4j_analysis.py:67-83). In the reference
+    * graph every log row creates one PERFORMS and one USES edge from the
+    * user (neo4j_setup.py:69-85), so total degree = 2 × activity count —
+    * no graph store needed to compute it.
+    */
+  def qDegreeCentrality(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((count(lit(1)) * 2).as("total_degree"))
+      .orderBy(col("total_degree").desc, col("user_id").asc)
+      .limit(10)
+
+  /** Shannon entropy of a per-user categorical distribution, computed from
+    * integer counts as H = log2(N) − Σ f·log2(f) / N. Two cascaded
+    * aggregations — (user, key) then (user) — both map-side combined.
+    * Rounded to 4 dp for cross-engine hash stability.
+    */
+  private def entropyOf(df: DataFrame, keyCol: Column, outName: String): DataFrame =
+    df.groupBy(col("user_id"), keyCol.as("k"))
+      .agg(count(lit(1)).cast("double").as("f"))
+      .groupBy(col("user_id"))
+      .agg(
+        r4(log2(sum(col("f"))) - sum(col("f") * log2(col("f"))) / sum(col("f"))).as(outName),
+        sum(col("f")).cast("long").as("n"))
+
+  /** Activity-type entropy per user (ref: neo4j_analysis.py:89-114). */
+  def qActivityEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOf(events(spark, dir), col("event_type"), "activity_entropy")
+      .withColumnRenamed("n", "activity_count")
+      .orderBy(col("activity_entropy").desc, col("user_id").asc)
+
+  /** Hour-of-day entropy per user (ref: neo4j_analysis.py:219-240). */
+  def qTemporalEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOf(events(spark, dir), hourOfDay.cast("long"), "temporal_entropy")
+      .withColumnRenamed("n", "activity_count")
+      .orderBy(col("temporal_entropy").desc, col("user_id").asc)
+
+  /** Resource-access entropy per user (ref: neo4j_analysis.py:249-289). */
+  def qResourceEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOf(activityLog(spark, dir), col("resource"), "resource_entropy")
+      .withColumnRenamed("n", "access_count")
+      .orderBy(col("resource_entropy").desc, col("user_id").asc)
+
+  /** Flagship: the full per-user ML feature matrix
+    * (ref: neo4j_analysis.py:124-247) in ONE wide aggregation.
+    *
+    * The reference runs seven separate Cypher subqueries per user; here
+    * conditional aggregation (`sum(when(...))`) fuses the counts into a
+    * single shuffle on user_id, and the two entropy features are computed
+    * by sub-aggregations that are already partitioned by user_id — AQE
+    * recognizes the co-partitioning so the joins add no extra exchange of
+    * the big side.
+    */
+  def qUserFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val log = activityLog(spark, dir)
+    val base = log.groupBy(col("user_id")).agg(
+      count(lit(1)).as("total_activities"),
+      sum(isAfterHours).as("after_hours_activities"),
+      sum(isWeekend).as("weekend_activities"),
+      countDistinct(col("resource")).as("unique_resources"),
+      countDistinct(col("event_type")).as("activity_types"))
+    val actEnt = entropyOf(events(spark, dir), col("event_type"), "activity_entropy")
+      .select("user_id", "activity_entropy")
+    val tmpEnt = entropyOf(events(spark, dir), hourOfDay.cast("long"), "temporal_entropy")
+      .select("user_id", "temporal_entropy")
+    base
+      .join(actEnt, "user_id")
+      .join(tmpEnt, "user_id")
+      .withColumn("after_hours_ratio",
+        r4(col("after_hours_activities") / greatest(col("total_activities"), lit(1))))
+      .withColumn("weekend_ratio",
+        r4(col("weekend_activities") / greatest(col("total_activities"), lit(1))))
+      .orderBy(col("user_id"))
+  }
+}

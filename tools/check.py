@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB over views of the
+same testdata parquet tables, and compares (schema, rowcount, values).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints -> int64, floats -> float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            spark_df = canon(pd.read_parquet(res_dir))
+            duck_df = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_bad += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_bad += 1; continue
+        bad_cols = []
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            if pd.api.types.is_float_dtype(a):
+                ok = np.allclose(a.fillna(-1e308), b.fillna(-1e308), rtol=0, atol=0)
+            else:
+                ok = a.equals(b)
+            if not ok:
+                bad_cols.append(c)
+        if bad_cols:
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                diff = spark_df[c] != duck_df[c]
+                idx = diff[diff].index[:3]
+                for i in idx:
+                    print(f"   row {i}: spark={spark_df[c][i]!r} duck={duck_df[c][i]!r}")
+            n_bad += 1
+        else:
+            n_ok += 1
+            print(f"ok   {name} ({len(spark_df)} rows, {len(spark_df.columns)} cols)")
+    # queries without oracle: rows-only check
+    for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = res_dir.rstrip("/").split("/")[-1]
+        if name not in oracle:
+            n = len(pd.read_parquet(res_dir)) if glob.glob(f"{res_dir}/*.parquet") else 0
+            print(f"{'ok  ' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
+            if n == 0: n_bad += 1
+            else: n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
