@@ -31,7 +31,39 @@ object SparkEntry {
     "q_window" -> (RelationalOps.qWindow _),
     "q_sessionize" -> (RelationalOps.qSessionize _),
     "q_windowed_counts" -> (RelationalOps.qWindowedCounts _),
+    // F. LLM-data-pipeline: dedup
+    "q_dedup_exact" -> (DedupOps.qDedupExact _),
+    "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
+    "q_dedup_minhash_pairs" -> (DedupOps.qDedupMinhashPairs _),
+    "q_dedup_simhash" -> (DedupOps.qDedupSimhash _),
+    "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
+    // F. similarity search
+    "q_embed_neardup" -> (SimilarityOps.qEmbedNeardup _),
+    "q_ann_brute" -> (SimilarityOps.qAnnBrute _),
+    "q_ann_lsh" -> (SimilarityOps.qAnnLsh _),
+    // F. text analysis
+    "q_lang_id" -> (TextOps.qLangId _),
+    "q_quality_score" -> (TextOps.qQualityScore _),
+    "q_token_count" -> (TextOps.qTokenCount _),
+    "q_fingerprint" -> (TextOps.qFingerprint _),
+    // F. multimodal plumbing
+    "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
   )
+
+  /** Shared oracle-SQL fragments (DuckDB dialect). */
+  private val tokSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val shingleSql =
+    s"""list_distinct(CASE WHEN len(t) >= 3
+        THEN list_transform(generate_series(1, len(t)-2),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        ELSE []::VARCHAR[] END)"""
+  private val docShinglesSql =
+    s"""SELECT doc_id, lang, n_chars, $shingleSql AS sh
+        FROM (SELECT doc_id, lang, n_chars, $tokSql AS t FROM documents)"""
+  private val embNormSql =
+    """SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nv
+       FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -169,5 +201,125 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+         count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_dedup_minhash" ->
+      s"""WITH s AS ($docShinglesSql),
+          mh AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+            ${(0 until 12).map(j =>
+              s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS mh_$j").mkString(", ")}
+          FROM s)
+          SELECT doc_id, n_shingles,
+            ${(0 until 12).map(j => s"mh_$j").mkString(", ")},
+            ${(0 until 4).map(b =>
+              s"md5(mh_${3*b} || mh_${3*b+1} || mh_${3*b+2}) AS band_$b").mkString(", ")}
+          FROM mh ORDER BY doc_id""",
+    "q_dedup_minhash_pairs" ->
+      s"""WITH s AS ($docShinglesSql),
+          mh AS (SELECT doc_id, sh,
+            ${(0 until 12).map(j =>
+              s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS mh_$j").mkString(", ")}
+          FROM s),
+          bk AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
+            s"'$b:' || md5(mh_${3*b} || mh_${3*b+1} || mh_${3*b+2})").mkString(", ")}]) AS bucket
+          FROM mh),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+            round(len(list_intersect(sa.sh, sb.sh))*1.0
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+          FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+          ORDER BY jaccard DESC, doc_a, doc_b""",
+    "q_ngram_jaccard" ->
+      s"""WITH s AS ($docShinglesSql)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            round(len(list_intersect(a.sh, b.sh))*1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+          FROM s a JOIN s b
+            ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "q_embed_neardup" ->
+      s"""WITH n AS ($embNormSql)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            CAST(a.label AS BIGINT) AS label,
+            round(list_sum(list_transform(generate_series(1, len(a.v)),
+              i -> a.v[i]*b.v[i])) / (a.nv*b.nv), 4) AS cos
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          ORDER BY cos DESC, vec_a, vec_b LIMIT 20""",
+    "q_ann_brute" ->
+      s"""WITH n AS ($embNormSql),
+          p AS (SELECT vec_id AS probe_id, v AS pv, nv AS pnv FROM n WHERE vec_id < 5),
+          sc AS (SELECT probe_id, vec_id,
+            round(list_sum(list_transform(generate_series(1, len(pv)),
+              i -> pv[i]*v[i])) / (pnv*nv), 4) AS cos
+            FROM n CROSS JOIN p WHERE vec_id != probe_id),
+          r AS (SELECT probe_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+              AS BIGINT) AS rank FROM sc)
+          SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
+          ORDER BY probe_id, rank""",
+    "q_lang_id" -> {
+      val markerIn = TextOps.markers.map { case (l, ws) =>
+        s"len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
+      }.mkString(", ")
+      val gr = s"greatest(${TextOps.markers.map(m => s"score_${m._1}").mkString(",")})"
+      val caseExpr = TextOps.markers.map { case (l, _) =>
+        s"WHEN score_$l = $gr AND score_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, lang, $markerIn
+          FROM (SELECT doc_id, lang, $tokSql AS t FROM documents))
+          SELECT doc_id, lang AS declared_lang,
+            CASE $caseExpr ELSE 'und' END AS pred_lang,
+            ${TextOps.markers.map(m => s"score_${m._1}").mkString(", ")}
+          FROM sc ORDER BY doc_id"""
+    },
+    "q_quality_score" ->
+      s"""WITH s AS (SELECT doc_id, text, $tokSql AS t FROM documents),
+          m AS (SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS len_chars,
+            CAST(len(t) AS BIGINT) AS n_tokens,
+            (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))*1.0
+              / greatest(length(text), 1) AS punct_ratio,
+            len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))*1.0
+              / greatest(len(t), 1) AS stop_ratio,
+            list_sum(list_transform(t, x -> length(x)))*1.0
+              / greatest(len(t), 1) AS mwl
+          FROM s)
+          SELECT doc_id, len_chars, n_tokens,
+            round(punct_ratio, 4) AS punct_ratio,
+            round(stop_ratio, 4) AS stopword_ratio,
+            round(mwl, 4) AS mean_word_len,
+            round(least(n_tokens/100.0, 1.0)*0.4 + (1.0 - punct_ratio)*0.3
+              + least(stop_ratio*5.0, 1.0)*0.3, 4) AS quality
+          FROM m ORDER BY doc_id""",
+    "q_token_count" ->
+      s"""SELECT doc_id,
+          CAST(len($tokSql) AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS BIGINT) AS bpe_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_calc
+          FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      s"""WITH s AS (SELECT doc_id, $shingleSql AS sh,
+            list_distinct(CASE WHEN length(text) >= 8
+              THEN list_transform(generate_series(1, length(text)-7),
+                   i -> substr(text, i, 8))
+              ELSE []::VARCHAR[] END) AS cg
+          FROM (SELECT doc_id, text, $tokSql AS t FROM documents))
+          SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+            list_min(list_transform(sh, x -> md5(x))) AS shingle_fp,
+            list_min(list_transform(cg, x -> md5(x))) AS chargram_fp
+          FROM s ORDER BY doc_id""",
+    "q_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents)
+         SELECT doc_id, byte_len,
+           byte_len % 64 + 1 AS fake_width,
+           byte_len // 7 % 64 + 1 AS fake_height,
+           byte_len // 100 + 1 AS n_frames,
+           greatest((byte_len // 100 + 1) // 4, 1) AS sampled_frames
+         FROM m ORDER BY doc_id""",
   )
 }

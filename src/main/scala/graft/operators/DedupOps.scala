@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline.
+  *
+  * Scale posture: exact dedup is one hash-shuffle on md5(text) (never on
+  * the raw text — 16-byte keys, not documents, move through the shuffle).
+  * Near-dup never goes O(n²): MinHash-LSH banding turns it into a
+  * self-join on small band-bucket keys; SimHash turns it into a join on
+  * 16-bit prefix buckets. Signature generation is a narrow projection.
+  */
+object DedupOps {
+
+  /** Exact duplicate detection: group by content hash, keep the smallest
+    * doc_id as survivor. Emits one row per distinct content with the
+    * duplicate count — the survivor list IS the deduplicated corpus.
+    */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("dup_count"))
+      .orderBy(col("content_hash"))
+
+  val MinhashPerms = 12
+  val BandsRows = 3 // 4 bands × 3 rows
+
+  /** MinHash signatures + LSH band keys per document. The permutation
+    * family is salted md5 (see [[graft.functions.TextFunctions.minhash]]),
+    * so the whole signature is deterministic and engine-agnostic. 12
+    * permutations in 4 bands of 3: documents agreeing on any full band
+    * land in the same LSH bucket in [[qDedupMinhashPairs]].
+    */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(col("text"), 3)
+    val mh = (0 until MinhashPerms).map(j => minhash(col("sh"), j).as(s"mh_$j"))
+    val withSig = documents(spark, dir)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id") +: size(col("sh")).cast("long").as("n_shingles") +: mh: _*)
+    // concat (null-propagating, matching SQL ||), NOT concat_ws: a doc
+    // with no shingles must yield NULL bands on both engines.
+    val bands = (0 until MinhashPerms / BandsRows).map { b =>
+      md5(concat((0 until BandsRows).map(r => col(s"mh_${b * BandsRows + r}")): _*))
+        .as(s"band_$b")
+    }
+    val outCols = Seq(col("doc_id"), col("n_shingles")) ++
+      (0 until MinhashPerms).map(j => col(s"mh_$j")) ++ bands
+    withSig.select(outCols: _*).orderBy(col("doc_id"))
+  }
+
+  /** LSH candidate pairs: self-join signatures on any shared band key,
+    * then verify with exact shingle-Jaccard. The join key is a 32-hex
+    * bucket id — never the document. Returned ordered by similarity.
+    */
+  def qDedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qDedupMinhash(spark, dir)
+    val docs = documents(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val nBands = MinhashPerms / BandsRows
+    val buckets = sig.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        concat(lit(s"$b:"), col(s"band_$b"))): _*)).as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), r4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash fingerprint: per token, md5 → 64 bits; sum ±1 per bit
+    * position weighted by token frequency; sign → fingerprint bit. Emitted
+    * as a hex string plus a 16-bit prefix bucket for hamming-neighborhood
+    * joins at scale.
+    */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // Per doc: explode tokens, hash each to a 64-bit value via the first
+    // 16 hex chars of md5, then majority-vote each bit across tokens.
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    // bit j of h: (h >> j) & 1 → vote +1/-1; 60 usable bits from 15 hex chars.
+    val bitCols = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val votes = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+    }
+    votes.select(col("doc_id"), fp.as("simhash"))
+      .withColumn("bucket16", shiftright(col("simhash"), 44))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 3-shingle Jaccard similarity over candidate pairs bucketed by
+    * (lang, n_chars): top-20 most-similar pairs. The bucket join bounds
+    * candidate generation; at corpus scale the bucket key would be a
+    * coarse fingerprint (see [[qFingerprint]]'s output) instead.
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), shingles(col("text"), 3).as("sh"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        r4(jaccard(col("a.sh"), col("b.sh"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+  }
+}

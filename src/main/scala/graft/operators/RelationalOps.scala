@@ -66,7 +66,7 @@ object RelationalOps {
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      .withColumn("order_rank", row_number().over(w))
+      .withColumn("order_rank", row_number().over(w).cast("long"))
       .withColumn("running_spend", r2(sum(col("o_totalprice")).over(w)))
       .filter(col("order_rank") <= 3)
       .orderBy(col("o_custkey"), col("order_rank"))

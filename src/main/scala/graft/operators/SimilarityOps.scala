@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`Array[Float]`, dim 64).
+  *
+  * Scale posture: the brute-force path broadcasts the (tiny) probe set and
+  * streams once over the corpus — no shuffle of the big side, linear in
+  * corpus size, which is exactly how a 100 TB top-k scan should look. The
+  * LSH path buckets by sign patterns of fixed hyperplanes so candidate
+  * generation is a bucket-key join instead of a cross product.
+  */
+object SimilarityOps {
+
+  val ProbeCount = 5
+  val TopK = 10
+
+  /** Brute-force cosine top-k: probes (vec_id < ProbeCount) broadcast
+    * against every vector; rank per probe with deterministic tiebreak.
+    * All math in double after exact float widening (oracle-reproducible).
+    */
+  def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    all.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        r4(cosine(col("probe_emb"), col("embedding"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, candidates bucketed by label
+    * (the cluster id a real pipeline would get from coarse quantization):
+    * top-20 most-similar pairs. Never O(n²) across buckets.
+    */
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").cast("long").as("label"),
+        r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
+  }
+
+  /** Fixed random hyperplanes for sign-LSH, generated once on the driver
+    * with a seeded RNG and baked into the plan as literals (the IVF-style
+    * scale path: bucket assignment is a narrow projection, search touches
+    * only the probe's bucket).
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH-bucketed approximate nearest neighbors: 4 sign bits → 16 buckets;
+    * probes search only within their bucket. Recall is partial by design —
+    * that's the approximation trade — so this stays rows-only (no SQL
+    * oracle): the bucketing RNG isn't reproducible in ANSI SQL.
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(4, 64)
+    val emb = toDouble(col("embedding"))
+    val sig = planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val planeCol = array(p.map(lit): _*)
+      acc.bitwiseOR(when(dot(emb, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L))
+    }
+    val all = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), sig.as("bucket"))
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    all.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("bucket"),
+        r4(cosine(col("probe_emb"), col("embedding"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+}

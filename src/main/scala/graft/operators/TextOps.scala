@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. Everything is
+  * a narrow per-row projection — no shuffle at all unless the query sorts —
+  * so throughput is bounded by scan speed at 100 TB.
+  */
+object TextOps {
+
+  /** Stopword/function-word marker sets per language. Tiny and literal —
+    * compiled into the plan as constants (and mirrored verbatim in the
+    * DuckDB oracle SQL).
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** N-gram-heuristic language identification: score each candidate
+    * language by its function-word hit count; argmax with a fixed
+    * tie-break order (declaration order above) so results are total.
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(documents(spark, dir)) { case (df, (l, ws)) =>
+      df.withColumn(s"score_$l", markerCount(col("text"), ws).cast("long"))
+    }
+    val best = markers.map(_._1).foldRight(lit("und")) { case (l, rest) =>
+      when(col(s"score_$l") === greatest(markers.map(m => col(s"score_${m._1}")): _*)
+        && col(s"score_$l") > 0, lit(l)).otherwise(rest)
+    }
+    val outCols = Seq(col("doc_id"), col("lang").as("declared_lang"), col("pred_lang")) ++
+      markers.map(m => col(s"score_${m._1}"))
+    scored
+      .withColumn("pred_lang", best)
+      .select(outCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document quality scoring: length, punctuation ratio, stopword ratio,
+    * mean word length, plus a bounded composite score.
+    */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTokens = size(t).cast("long")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("long")
+    val stop = markerCount(col("text"), markers.head._2)
+    val punctRatio = punct.cast("double") / greatest(length(col("text")), lit(1))
+    val stopRatio = stop.cast("double") / greatest(nTokens, lit(1L))
+    val meanWordLen = aggregate(t, lit(0.0), (acc, w) => acc + length(w)) /
+      greatest(nTokens, lit(1L))
+    documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      nTokens.as("n_tokens"),
+      r4(punctRatio).as("punct_ratio"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(meanWordLen).as("mean_word_len"),
+      r4(least(nTokens / lit(100.0), lit(1.0)) * 0.4
+        + (lit(1.0) - punctRatio) * 0.3
+        + least(stopRatio * 5.0, lit(1.0)) * 0.3).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks), the standard
+    * cheap token-budget estimator for LLM corpus accounting.
+    */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5
+    * over word 3-shingles and over rolling 8-char grams. Two documents
+    * sharing large content overlap collide on these with high probability
+    * — the per-doc half of a fingerprint-join dedup at corpus scale.
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(col("text"), 3)
+    val cg = charGrams(col("text"), 8)
+    documents(spark, dir).select(
+      col("doc_id"),
+      size(sh).cast("long").as("n_shingles"),
+      array_min(transform(sh, s => md5(s))).as("shingle_fp"),
+      array_min(transform(cg, s => md5(s))).as("chargram_fp"))
+      .orderBy(col("doc_id"))
+  }
+}
