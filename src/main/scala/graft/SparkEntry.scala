@@ -48,6 +48,14 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.qFingerprint _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
+    // D. anomaly detection
+    "q_zscore_anomaly" -> (MLOps.qZscoreAnomaly _),
+    "q_quantile_outlier" -> (MLOps.qQuantileOutlier _),
+    "q_eval_metrics" -> (MLOps.qEvalMetrics _),
+    "q_kmeans_anomaly" -> (MLOps.qKmeansAnomaly _),
+    "q_pca_project" -> (MLOps.qPcaProject _),
+    "q_ensemble_vote" -> (MLOps.qEnsembleVote _),
+    "q_supervised_rf" -> (MLOps.qSupervisedRf _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -64,6 +72,39 @@ object SparkEntry {
     """SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nv
        FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
              FROM embeddings)"""
+
+  /** q_user_features body, shared by the anomaly-detection oracles. */
+  private val userFeaturesSql =
+    """WITH lg AS (
+         SELECT user_id, event_type, json_extract_string(props,'$.k') AS resource,
+           CASE WHEN EXTRACT(hour FROM ts) < 8 OR EXTRACT(hour FROM ts) > 18 THEN 1 ELSE 0 END AS iah,
+           CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS iw
+         FROM events),
+       base AS (
+         SELECT user_id, count(*) AS total_activities,
+           CAST(sum(iah) AS BIGINT) AS after_hours_activities,
+           CAST(sum(iw) AS BIGINT) AS weekend_activities,
+           count(DISTINCT resource) AS unique_resources,
+           count(DISTINCT event_type) AS activity_types
+         FROM lg GROUP BY user_id),
+       ae AS (
+         SELECT user_id, round(log2(sum(f)) - sum(f*log2(f))/sum(f), 4) AS activity_entropy
+         FROM (SELECT user_id, event_type, count(*)::DOUBLE AS f FROM events GROUP BY 1,2)
+         GROUP BY user_id),
+       te AS (
+         SELECT user_id, round(log2(sum(f)) - sum(f*log2(f))/sum(f), 4) AS temporal_entropy
+         FROM (SELECT user_id, EXTRACT(hour FROM ts) AS h, count(*)::DOUBLE AS f FROM events GROUP BY 1,2)
+         GROUP BY user_id)
+       SELECT b.user_id, total_activities, after_hours_activities, weekend_activities,
+         unique_resources, activity_types, activity_entropy, temporal_entropy,
+         round(after_hours_activities*1.0/greatest(total_activities,1), 4) AS after_hours_ratio,
+         round(weekend_activities*1.0/greatest(total_activities,1), 4) AS weekend_ratio
+       FROM base b JOIN ae USING(user_id) JOIN te USING(user_id)"""
+
+  private val mlFeatures = Seq(
+    "total_activities", "after_hours_activities", "weekend_activities",
+    "unique_resources", "activity_types", "activity_entropy",
+    "temporal_entropy", "after_hours_ratio", "weekend_ratio")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -116,33 +157,61 @@ object SparkEntry {
          FROM (SELECT user_id, json_extract_string(props,'$.k') AS r, count(*)::DOUBLE AS f
                FROM events GROUP BY 1,2)
          GROUP BY user_id ORDER BY resource_entropy DESC, user_id""",
-    "q_user_features" ->
-      """WITH lg AS (
-           SELECT user_id, event_type, json_extract_string(props,'$.k') AS resource,
-             CASE WHEN EXTRACT(hour FROM ts) < 8 OR EXTRACT(hour FROM ts) > 18 THEN 1 ELSE 0 END AS iah,
-             CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS iw
-           FROM events),
-         base AS (
-           SELECT user_id, count(*) AS total_activities,
-             CAST(sum(iah) AS BIGINT) AS after_hours_activities,
-             CAST(sum(iw) AS BIGINT) AS weekend_activities,
-             count(DISTINCT resource) AS unique_resources,
-             count(DISTINCT event_type) AS activity_types
-           FROM lg GROUP BY user_id),
-         ae AS (
-           SELECT user_id, round(log2(sum(f)) - sum(f*log2(f))/sum(f), 4) AS activity_entropy
-           FROM (SELECT user_id, event_type, count(*)::DOUBLE AS f FROM events GROUP BY 1,2)
-           GROUP BY user_id),
-         te AS (
-           SELECT user_id, round(log2(sum(f)) - sum(f*log2(f))/sum(f), 4) AS temporal_entropy
-           FROM (SELECT user_id, EXTRACT(hour FROM ts) AS h, count(*)::DOUBLE AS f FROM events GROUP BY 1,2)
-           GROUP BY user_id)
-         SELECT b.user_id, total_activities, after_hours_activities, weekend_activities,
-           unique_resources, activity_types, activity_entropy, temporal_entropy,
-           round(after_hours_activities*1.0/greatest(total_activities,1), 4) AS after_hours_ratio,
-           round(weekend_activities*1.0/greatest(total_activities,1), 4) AS weekend_ratio
-         FROM base b JOIN ae USING(user_id) JOIN te USING(user_id)
-         ORDER BY b.user_id""",
+    "q_user_features" -> s"$userFeaturesSql ORDER BY b.user_id",
+    "q_zscore_anomaly" -> {
+      val stats = mlFeatures.map(f =>
+        s"avg($f) AS mu_$f, stddev_pop($f) AS sd_$f").mkString(", ")
+      val zs = mlFeatures.map(f =>
+        s"CASE WHEN sd_$f IS NULL OR sd_$f = 0 THEN 0.0 ELSE ($f - mu_$f)/sd_$f END AS z_$f")
+        .mkString(", ")
+      s"""WITH uf AS ($userFeaturesSql),
+          st AS (SELECT count(*) AS cnt, $stats FROM uf),
+          z AS (SELECT user_id, cnt, $zs FROM uf CROSS JOIN st),
+          sc AS (SELECT user_id, cnt,
+            round(greatest(${mlFeatures.map(f => s"abs(z_$f)").mkString(", ")}), 4) AS anomaly_score,
+            round(sqrt(${mlFeatures.map(f => s"z_$f*z_$f").mkString(" + ")}), 4) AS z_l2
+          FROM z)
+          SELECT user_id, anomaly_score, z_l2,
+            CASE WHEN row_number() OVER (ORDER BY anomaly_score DESC, user_id)
+                 <= ceil(cnt * 0.1) THEN 1 ELSE 0 END::BIGINT AS is_anomaly
+          FROM sc ORDER BY user_id"""
+    },
+    "q_quantile_outlier" -> {
+      val flags = mlFeatures.map(f =>
+        s"""CASE WHEN row_number() OVER (ORDER BY $f DESC, user_id)
+            <= ceil(count(*) OVER () * 0.1) THEN 1 ELSE 0 END AS flag_$f""")
+        .mkString(", ")
+      s"""WITH uf AS ($userFeaturesSql),
+          fl AS (SELECT user_id, $flags FROM uf)
+          SELECT user_id,
+            CAST(${mlFeatures.map(f => s"flag_$f").mkString(" + ")} AS BIGINT) AS n_outlier_features,
+            CASE WHEN ${mlFeatures.map(f => s"flag_$f").mkString(" + ")} >= 2
+              THEN 1 ELSE 0 END::BIGINT AS is_outlier
+          FROM fl ORDER BY user_id"""
+    },
+    "q_eval_metrics" ->
+      """WITH e AS (
+           SELECT vec_id,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS truth,
+             round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))), 4) AS score,
+             count(*) OVER () AS cnt
+           FROM embeddings),
+         p AS (
+           SELECT vec_id, truth,
+             CASE WHEN row_number() OVER (ORDER BY score DESC, vec_id)
+                  <= ceil(cnt * 0.1) THEN 1 ELSE 0 END AS pred
+           FROM e),
+         cm AS (
+           SELECT CAST(sum(pred*truth) AS BIGINT) AS tp,
+             CAST(sum(pred*(1-truth)) AS BIGINT) AS fp,
+             CAST(sum((1-pred)*truth) AS BIGINT) AS fn,
+             CAST(sum((1-pred)*(1-truth)) AS BIGINT) AS tn
+           FROM p)
+         SELECT tp, fp, fn, tn,
+           round(tp*1.0/greatest(tp+fp, 1), 4) AS precision,
+           round(tp*1.0/greatest(tp+fn, 1), 4) AS recall,
+           round(2.0*tp/greatest(2*tp+fp+fn, 1), 4) AS f1
+         FROM cm""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{PCA, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Anomaly detection — the Spark-first re-expression of the reference's
+  * scikit-learn/keras ensemble (Comparaison_ML.py).
+  *
+  * Split in two tiers, mirroring SURVEY.md §2.D:
+  *   - Deterministic scoring (z-score, per-feature quantile flags, confusion
+  *     metrics) is pure relational algebra → SQL-oracled against DuckDB.
+  *     These are the analogue of StandardScaler + contamination-threshold
+  *     flagging (Comparaison_ML.py:113-170): a cross join against a
+  *     broadcast 1-row stats frame, never a driver-side collect of data.
+  *   - Model-based detectors (KMeans k=2, PCA(2), RandomForest) use MLlib
+  *     with fixed seeds (Comparaison_ML.py:172-196, 323-325, 551-707) —
+  *     rows-only checks, since tree/centroid internals aren't expressible
+  *     in ANSI SQL.
+  *
+  * Scale posture: the feature matrix is |users| rows — events already
+  * aggregated down by ThreatOps.qUserFeatures' single shuffle — so global
+  * windows over it (for exact contamination-quantile ranks) act on the
+  * small derived table, not the 100 TB log. At extreme user counts the
+  * exact rank would swap to approx_percentile thresholds; the ordering
+  * contract (score DESC, user_id) keeps results deterministic either way.
+  */
+object MLOps {
+
+  /** The per-user feature vector (ref Comparaison_ML.py:113-130 uses the
+    * same 9 features built by neo4j_analysis.py:124-247).
+    */
+  val FeatureCols: Seq[String] = Seq(
+    "total_activities", "after_hours_activities", "weekend_activities",
+    "unique_resources", "activity_types", "activity_entropy",
+    "temporal_entropy", "after_hours_ratio", "weekend_ratio")
+
+  /** Expected anomaly fraction (ref Comparaison_ML.py contamination=0.1). */
+  val Contamination = 0.1
+
+  /** Standardize + max-|z| anomaly score + contamination-quantile flag —
+    * the deterministic analogue of StandardScaler→IsolationForest-style
+    * flagging (Comparaison_ML.py:113-170). Stats are ONE broadcast row;
+    * the rank window runs on the already-aggregated user matrix.
+    */
+  def qZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val uf = ThreatOps.qUserFeatures(spark, dir)
+    val statExprs = count(lit(1)).as("cnt") +: FeatureCols.flatMap(f => Seq(
+      avg(col(f)).as(s"mu_$f"), stddev_pop(col(f)).as(s"sd_$f")))
+    val stats = uf.agg(statExprs.head, statExprs.tail: _*)
+    val zCols = FeatureCols.map { f =>
+      when(col(s"sd_$f").isNull || col(s"sd_$f") === 0, lit(0.0))
+        .otherwise((col(f) - col(s"mu_$f")) / col(s"sd_$f")).as(s"z_$f")
+    }
+    val z = uf.crossJoin(broadcast(stats))
+      .select(col("user_id") +: col("cnt") +: zCols: _*)
+    val scored = z.select(
+      col("user_id"), col("cnt"),
+      r4(greatest(FeatureCols.map(f => abs(col(s"z_$f"))): _*)).as("anomaly_score"),
+      r4(sqrt(FeatureCols.map(f => col(s"z_$f") * col(s"z_$f")).reduce(_ + _))).as("z_l2"))
+    val w = Window.orderBy(col("anomaly_score").desc, col("user_id").asc)
+    scored
+      .withColumn("is_anomaly",
+        when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+      .select("user_id", "anomaly_score", "z_l2", "is_anomaly")
+      .orderBy("user_id")
+  }
+
+  /** Per-feature top-contamination flags: a user is an outlier when ≥2
+    * features sit in their feature's top decile (exact rank, deterministic
+    * tiebreak) — ref Comparaison_ML.py:132-170's per-feature thresholding.
+    */
+  def qQuantileOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val uf = ThreatOps.qUserFeatures(spark, dir)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    val flagged = FeatureCols.foldLeft(uf) { (df, f) =>
+      val w = Window.orderBy(col(f).desc, col("user_id").asc)
+      df.withColumn(s"flag_$f",
+        when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+    }
+    flagged
+      .withColumn("n_outlier_features",
+        FeatureCols.map(f => col(s"flag_$f")).reduce(_ + _))
+      .withColumn("is_outlier", when(col("n_outlier_features") >= 2, 1L).otherwise(0L))
+      .select("user_id", "n_outlier_features", "is_outlier")
+      .orderBy("user_id")
+  }
+
+  /** Precision/recall/F1 as pure aggregations (ref Comparaison_ML.py:
+    * 327-420 computes them via sklearn.metrics; here the confusion matrix
+    * IS a groupBy). Detector: top-decile L2-norm score over embeddings;
+    * ground truth: label 0 (≈10% of rows) is the anomalous class.
+    */
+  def qEvalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("truth"),
+        r4(l2norm(toDouble(col("embedding")))).as("score"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    val w = Window.orderBy(col("score").desc, col("vec_id").asc)
+    val pred = e.withColumn("pred",
+      when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+    pred.agg(
+      sum(col("pred") * col("truth")).as("tp"),
+      sum(col("pred") * (lit(1) - col("truth"))).as("fp"),
+      sum((lit(1) - col("pred")) * col("truth")).as("fn"),
+      sum((lit(1) - col("pred")) * (lit(1) - col("truth"))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        r4(col("tp") / greatest(col("tp") + col("fp"), lit(1))).as("precision"),
+        r4(col("tp") / greatest(col("tp") + col("fn"), lit(1))).as("recall"),
+        r4(lit(2) * col("tp") / greatest(lit(2) * col("tp") + col("fp") + col("fn"), lit(1))).as("f1"))
+  }
+
+  /** User feature matrix standardized to zero-mean/unit-variance vectors —
+    * shared input for the MLlib detectors (ref Comparaison_ML.py:125-130).
+    */
+  private def standardizedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val uf = ThreatOps.qUserFeatures(spark, dir)
+    val assembled = new VectorAssembler()
+      .setInputCols(FeatureCols.toArray).setOutputCol("fv")
+      .transform(uf)
+    new StandardScaler()
+      .setInputCol("fv").setOutputCol("sfv").setWithMean(true).setWithStd(true)
+      .fit(assembled).transform(assembled)
+      .select(col("user_id"), col("sfv"))
+  }
+
+  /** KMeans(k=2, seed=42) on standardized features; the smaller cluster is
+    * the anomalous one, scored by distance-to-centroid
+    * (ref Comparaison_ML.py:172-196). Only the k=2 cluster sizes reach the
+    * driver — never the data.
+    */
+  def qKmeansAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val sf = standardizedFeatures(spark, dir).cache()
+    val model = new KMeans().setK(2).setSeed(42)
+      .setFeaturesCol("sfv").setPredictionCol("cluster")
+      .fit(sf)
+    val pred = model.transform(sf)
+    val sizes = pred.groupBy("cluster").count().collect()
+    val anomalous = sizes.minBy(r => (r.getLong(1), r.getInt(0))).getInt(0)
+    val centers = model.clusterCenters
+    val dist = udf((v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))))
+    pred.select(col("user_id"), col("cluster").cast("long").as("cluster"),
+        r4(dist(col("sfv"), col("cluster"))).as("dist_to_centroid"),
+        when(col("cluster") === anomalous, 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy("user_id")
+  }
+
+  /** PCA → 2 components per user (ref Comparaison_ML.py:323-325), the
+    * 2-D projection the reference plots. Component sign is basis-dependent
+    * → rows-only check.
+    */
+  def qPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val sf = standardizedFeatures(spark, dir)
+    new PCA().setK(2).setInputCol("sfv").setOutputCol("pc")
+      .fit(sf).transform(sf)
+      .select(col("user_id"),
+        r4(element_at(vector_to_array(col("pc")), 1)).as("pc1"),
+        r4(element_at(vector_to_array(col("pc")), 2)).as("pc2"))
+      .orderBy("user_id")
+  }
+
+  /** Majority vote across the three detectors (ref Comparaison_ML.py:
+    * 291-321's ensemble). All three sides are keyed by user_id — AQE sees
+    * the co-partitioning, so the joins add no exchange of a big side.
+    */
+  def qEnsembleVote(spark: SparkSession, dir: String): DataFrame = {
+    val z = qZscoreAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_z"))
+    val q = qQuantileOutlier(spark, dir).select(col("user_id"), col("is_outlier").as("flag_q"))
+    val k = qKmeansAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_k"))
+    z.join(q, "user_id").join(k, "user_id")
+      .withColumn("votes", col("flag_z") + col("flag_q") + col("flag_k"))
+      .withColumn("is_anomaly", when(col("votes") >= 2, 1L).otherwise(0L))
+      .select("user_id", "flag_z", "flag_q", "flag_k", "votes", "is_anomaly")
+      .orderBy("user_id")
+  }
+
+  /** RandomForest(numTrees=50, seed=42) over the labeled embeddings
+    * (ref Comparaison_ML.py:551-707's supervised track). Deterministic
+    * hash split: vec_id % 5 == 0 is the 20% test fold.
+    */
+  def qSupervisedRf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(
+      col("vec_id"),
+      col("label").cast("double").as("label"),
+      array_to_vector(toDouble(col("embedding"))).as("fv"))
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+    val test = e.filter(col("vec_id") % 5 === 0)
+    val model = new RandomForestClassifier()
+      .setNumTrees(50).setSeed(42)
+      .setFeaturesCol("fv").setLabelCol("label")
+      .fit(train)
+    model.transform(test)
+      .select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("prediction").cast("long").as("prediction"),
+        r4(element_at(vector_to_array(col("probability")),
+          col("prediction").cast("int") + 1)).as("prob"))
+      .orderBy("vec_id")
+  }
+}
