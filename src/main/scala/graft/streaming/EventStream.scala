@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A raw activity-log event on the stream (mirror of the events table). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** A closed user session emitted by the stateful sessionizer. */
+case class Session(user_id: Long, session_start: Timestamp,
+                   session_end: Timestamp, n_events: Long, duration_s: Long)
+
+/** In-flight session state kept per user between micro-batches. */
+case class SessionState(start: Long, last: Long, n: Long)
+
+/** Structured Streaming twin of the batch pipeline (SURVEY.md §2.G).
+  *
+  * The reference detects threats by re-running Cypher queries over a
+  * materialized Neo4j graph (neo4j_analysis.py:6-122) — inherently batch.
+  * Here the same detections run continuously over an unbounded event
+  * stream: each transform takes ANY streaming DataFrame with the events
+  * schema (Kafka, files, socket, MemoryStream in tests — source-agnostic),
+  * so the logic is identical from `readStream` to `writeStream`.
+  *
+  * Scale posture: every operator is keyed by a high-cardinality column
+  * (user_id / event_type×window) → state distributes evenly across
+  * executors; watermarks bound state size so a 100 TB/day stream can't
+  * accumulate unbounded window or session state.
+  */
+object EventStream {
+
+  /** 1-hour tumbling counts + value sums per event_type — the streaming
+    * twin of [[graft.operators.RelationalOps.qWindowedCounts]]. The
+    * 2-hour watermark lets late events up to 2 h old still land in their
+    * window, after which the window's state is dropped (bounded memory).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** After-hours activity alerts: any event landing before 08:00 or after
+    * 18:59 local (UTC session) is flagged immediately — the streaming twin
+    * of the reference's after-hours detection (neo4j_analysis.py:6-35).
+    * Stateless map-only transform: no shuffle, no state, per-event latency.
+    */
+  def afterHoursAlerts(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_of_day", hour(col("ts")))
+      .filter(col("hour_of_day") < 8 || col("hour_of_day") > 18)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("hour_of_day"))
+
+  /** Per-user after-hours counts over a sliding 1-hour window — a bursty
+    * after-hours actor fires repeatedly as the window slides.
+    */
+  def afterHoursWindowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .filter(hour(col("ts")) < 8 || hour(col("ts")) > 18)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("after_hours_count"))
+      .select(col("w.start").as("window_start"), col("user_id"),
+        col("after_hours_count"))
+
+  /** Stateful gap sessionization: a >30-minute silence per user closes the
+    * session — the streaming twin of
+    * [[graft.operators.RelationalOps.qSessionize]]'s lag-gap pattern,
+    * re-expressed with `flatMapGroupsWithState` + event-time timeout so a
+    * session also closes when the user simply goes quiet (the batch lag()
+    * can look ahead; a stream cannot).
+    *
+    * State per user is three longs — O(|active users|) total, evicted on
+    * timeout, so state is bounded regardless of stream length.
+    */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionizeUser)
+  }
+
+  /** Per-user state transition. Events inside a micro-batch arrive unsorted
+    * → sort the (small, per-user-per-batch) group locally, fold through the
+    * gap rule, emit every closed session, keep the open one in state.
+    */
+  private[graft] def sessionizeUser(
+      userId: Long, batch: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (batch.isEmpty && state.hasTimedOut) {
+      // Watermark passed last event + gap with no new activity: close out.
+      val out = state.getOption.map(toSession(userId, _)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var cur = state.getOption
+    val closed = Seq.newBuilder[Session]
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= SessionGapMs =>
+          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+        case Some(s) =>
+          closed += toSession(userId, s)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.last + SessionGapMs)
+    }
+    closed.result().iterator
+  }
+
+  private def toSession(userId: Long, s: SessionState): Session =
+    Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+      s.n, (s.last - s.start) / 1000L)
+
+  /** End-to-end wiring sugar: file-source stream over a parquet events
+    * directory → windowed counts → an in-memory/console-style sink, used
+    * by docs and manual smoke runs. Tests drive the transforms above with
+    * MemoryStream instead (source-agnostic by construction).
+    */
+  def fileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // events.parquet stores TIMESTAMP(NANOS) read as long (see Tables.events)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    windowedCounts(withTs)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("qDedupExact conserves documents and keeps minimal doc_id") {
+    val d = DedupOps.qDedupExact(spark, sf).cache()
+    val total = Tables.documents(spark, sf).count()
+    assert(d.agg(sum("dup_count")).head.getLong(0) === total)
+    assert(d.filter(col("dup_count") < 1).count() === 0)
+    d.unpersist()
+  }
+
+  test("qDedupMinhash signatures are deterministic across runs") {
+    val a = DedupOps.qDedupMinhash(spark, sf).collect()
+    val b = DedupOps.qDedupMinhash(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("LSH candidate pairs carry valid jaccard and include all exact dups") {
+    val pairs = DedupOps.qDedupMinhashPairs(spark, sf).cache()
+    assert(pairs.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
+    // any two docs with IDENTICAL text share all bands -> must be candidates
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("h"))
+    val exactDups = docs.as("a").join(docs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val missed = exactDups.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0, "exact duplicates must be LSH candidates")
+    pairs.unpersist()
+  }
+
+  test("qDedupSimhash emits one fingerprint per doc with tokens") {
+    val fp = DedupOps.qDedupSimhash(spark, sf)
+    assert(fp.count() > 0)
+    assert(fp.select("doc_id").distinct().count() === fp.count())
+  }
+
+  test("qNgramJaccard pairs ordered by similarity, values in [0,1]") {
+    val rows = DedupOps.qNgramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val js = rows.map(_.getDouble(2))
+    assert(js.forall(j => j >= 0 && j <= 1))
+    assert(js.sameElements(js.sortBy(-_)))
+  }
+
+  test("qAnnBrute: k results per probe, cosine in [-1,1], self excluded") {
+    val df = SimilarityOps.qAnnBrute(spark, sf).cache()
+    assert(df.filter(col("cos") < -1.0001 || col("cos") > 1.0001).count() === 0)
+    assert(df.filter(col("vec_id") === col("probe_id")).count() === 0)
+    val perProbe = df.groupBy("probe_id").count()
+    assert(perProbe.filter(col("count") =!= SimilarityOps.TopK).count() === 0)
+    df.unpersist()
+  }
+
+  test("qAnnLsh results are a subset of brute-force candidates per probe") {
+    val brute = SimilarityOps.qAnnBrute(spark, sf)
+      .select(col("probe_id"), col("vec_id"), col("cos").as("cos_b"))
+    val lsh = SimilarityOps.qAnnLsh(spark, sf)
+      .select(col("probe_id"), col("vec_id"), col("cos"))
+    // same (probe, vec) pair must score identically in both paths
+    val joined = lsh.join(brute, Seq("probe_id", "vec_id"))
+      .filter(abs(col("cos") - col("cos_b")) > 1e-9)
+    assert(joined.count() === 0)
+  }
+
+  test("qEmbedNeardup pairs stay within label buckets") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val out = SimilarityOps.qEmbedNeardup(spark, sf)
+      .join(e.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("label", "la"), "vec_a")
+      .join(e.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("label", "lb"), "vec_b")
+      .filter(col("la") =!= col("lb"))
+    assert(out.count() === 0)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStream, Session, SessionState}
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+class EventStreamSpec extends SparkSpec {
+
+  // Base of +1 day keeps hour-of-day intact while staying clear of epoch 0:
+  // an event AT the initial watermark (0) is dropped as late by stateful ops.
+  private def ts(minutes: Long): Timestamp = new Timestamp((1440 + minutes) * 60000L)
+  private def ev(id: Long, minutes: Long, user: Long, typ: String = "login"): Event =
+    Event(id, ts(minutes), user, typ, 1.0)
+
+  test("sessionizeUser: gap > 30min closes a session, state carries the open one") {
+    val state = TestGroupState.create[SessionState](
+      Optional.empty[SessionState](), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(0L)), false)
+    val batch = Iterator(ev(1, 0, 7), ev(2, 10, 7), ev(3, 100, 7))
+    val closed = EventStream.sessionizeUser(7L, batch, state).toSeq
+    assert(closed === Seq(Session(7L, ts(0), ts(10), 2, 600)))
+    assert(state.get === SessionState(ts(100).getTime, ts(100).getTime, 1))
+  }
+
+  test("sessionizeUser: timeout flushes the open session and clears state") {
+    val open = SessionState(ts(0).getTime, ts(10).getTime, 2)
+    val state = TestGroupState.create[SessionState](
+      Optional.of(open), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(ts(10).getTime + EventStream.SessionGapMs)), true)
+    val out = EventStream.sessionizeUser(7L, Iterator.empty, state).toSeq
+    assert(out === Seq(Session(7L, ts(0), ts(10), 2, 600)))
+    assert(!state.exists)
+  }
+
+  test("sessionizeUser sorts unordered events within a batch") {
+    val state = TestGroupState.create[SessionState](
+      Optional.empty[SessionState](), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(0L)), false)
+    val batch = Iterator(ev(2, 10, 7), ev(1, 0, 7), ev(3, 20, 7))
+    val closed = EventStream.sessionizeUser(7L, batch, state).toSeq
+    assert(closed.isEmpty)
+    assert(state.get.n === 3 && state.get.start === ts(0).getTime)
+  }
+
+  test("windowedCounts aggregates a MemoryStream into 1h tumbling windows") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      mem.addData(ev(1, 10, 1, "login"), ev(2, 20, 1, "login"),
+        ev(3, 70, 2, "write"), ev(4, 80, 2, "login"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((1440L, "login", 2L), (1500L, "write", 1L), (1500L, "login", 1L)))
+    } finally q.stop()
+  }
+
+  test("afterHoursAlerts flags only <08:00 or >18:59 events") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.afterHoursAlerts(mem.toDF())
+      .writeStream.format("memory").queryName("ah").outputMode("append").start()
+    try {
+      // minute offsets within day 0: 03:00 (after-hours), 12:00 (not), 21:00 (yes)
+      mem.addData(ev(1, 3 * 60, 1), ev(2, 12 * 60, 1), ev(3, 21 * 60, 2))
+      q.processAllAvailable()
+      val ids = spark.table("ah").select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize end-to-end: watermark-driven session close on a MemoryStream") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0, 42), ev(2, 10, 42))
+      q.processAllAvailable()
+      // Advance the watermark far past last+gap: 2h delay => wm = 360-120 = 240min
+      mem.addData(ev(3, 360, 99))
+      q.processAllAvailable()
+      mem.addData(ev(4, 361, 99)) // extra batch so the timeout fires
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+      val u42 = sessions.filter(_.user_id == 42L)
+      assert(u42.toSeq === Seq(Session(42L, ts(0), ts(10), 2, 600)))
+    } finally q.stop()
+  }
+
+  test("batch qSessionize and streaming sessionize agree on session counts") {
+    val s = spark
+    import s.implicits._
+    // Deterministic mini-log: 3 users x interleaved sessions
+    val evs = Seq(
+      ev(1, 0, 1), ev(2, 5, 1), ev(3, 60, 1),            // user 1: 2 sessions
+      ev(4, 0, 2), ev(5, 29, 2), ev(6, 58, 2),           // user 2: 1 session (gaps <=30)
+      ev(7, 0, 3))                                        // user 3: 1 session
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(ev(8, 1000, 9)) // push watermark to close everything
+      q.processAllAvailable()
+      mem.addData(ev(9, 1001, 9))
+      q.processAllAvailable()
+      val got = spark.table("sess2").as[Session].collect()
+        .filter(_.user_id <= 3).groupBy(_.user_id).view.mapValues(_.length).toMap
+      assert(got === Map(1L -> 2, 2L -> 1, 3L -> 1))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{MLOps, MultimodalOps, TextOps}
+import org.apache.spark.sql.functions._
+
+class TextMlSpec extends SparkSpec {
+
+  test("qTokenCount: bpe tokens >= ws tokens, char count matches source") {
+    val tc = TextOps.qTokenCount(spark, sf)
+    assert(tc.filter(col("bpe_tokens") < col("ws_tokens")).count() === 0)
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    assert(tc.join(src, "doc_id").filter(col("n_chars_calc") =!= col("n")).count() === 0)
+  }
+
+  test("qQualityScore ratios and composite stay in [0,1]") {
+    val q = TextOps.qQualityScore(spark, sf)
+    val bad = q.filter(
+      col("punct_ratio") < 0 || col("punct_ratio") > 1 ||
+      col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+      col("quality") < 0 || col("quality") > 1 || col("mean_word_len") < 0)
+    assert(bad.count() === 0)
+  }
+
+  test("qLangId predictions come from the marker languages or 'und'") {
+    val langs = TextOps.markers.map(_._1).toSet + "und"
+    val preds = TextOps.qLangId(spark, sf).select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(langs))
+  }
+
+  test("qFingerprint deterministic and one row per doc") {
+    val a = TextOps.qFingerprint(spark, sf).collect()
+    val b = TextOps.qFingerprint(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.length === Tables.documents(spark, sf).count())
+  }
+
+  test("multimodal decode stub: mapPartitions path agrees with SQL path") {
+    val sql = MultimodalOps.qMultimodalMeta(spark, sf)
+      .select(col("doc_id"), col("byte_len"), col("fake_width"), col("fake_height"))
+    val typed = MultimodalOps.decodeAll(spark, sf).toDF()
+      .select(col("docId").as("doc_id"), col("byteLen").as("bl"),
+        col("width").as("w"), col("height").as("h"))
+    val mismatch = sql.join(typed, "doc_id").filter(
+      col("byte_len") =!= col("bl") ||
+      col("fake_width") =!= col("w") || col("fake_height") =!= col("h"))
+    assert(mismatch.count() === 0)
+  }
+
+  test("qZscoreAnomaly flags exactly ceil(contamination * n) users") {
+    val z = MLOps.qZscoreAnomaly(spark, sf).cache()
+    val n = z.count()
+    val flagged = z.filter(col("is_anomaly") === 1).count()
+    assert(flagged === math.ceil(n * MLOps.Contamination).toLong)
+    assert(z.filter(col("anomaly_score") < 0).count() === 0)
+    z.unpersist()
+  }
+
+  test("qEvalMetrics confusion matrix sums to population") {
+    val m = MLOps.qEvalMetrics(spark, sf).head()
+    val total = m.getLong(0) + m.getLong(1) + m.getLong(2) + m.getLong(3)
+    assert(total === Tables.embeddings(spark, sf).count())
+    assert(m.getDouble(4) >= 0 && m.getDouble(4) <= 1) // precision
+    assert(m.getDouble(5) >= 0 && m.getDouble(5) <= 1) // recall
+  }
+
+  test("qKmeansAnomaly: two clusters, anomalous side is the smaller") {
+    val k = MLOps.qKmeansAnomaly(spark, sf).cache()
+    val sizes = k.groupBy("is_anomaly").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(0L, 1L))
+    assert(sizes(1L) <= sizes(0L))
+    assert(k.filter(col("dist_to_centroid") < 0).count() === 0)
+    k.unpersist()
+  }
+
+  test("qEnsembleVote: votes equal sum of flags, majority rule holds") {
+    val v = MLOps.qEnsembleVote(spark, sf)
+    val bad = v.filter(
+      col("votes") =!= col("flag_z") + col("flag_q") + col("flag_k") ||
+      (col("is_anomaly") === 1) =!= (col("votes") >= 2))
+    assert(bad.count() === 0)
+  }
+
+  test("qSupervisedRf predicts within the label domain on the test fold") {
+    val rf = MLOps.qSupervisedRf(spark, sf).cache()
+    assert(rf.count() > 0)
+    assert(rf.filter(col("vec_id") % 5 =!= 0).count() === 0, "test fold only")
+    val labels = Tables.embeddings(spark, sf).select(col("label").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val preds = rf.select("prediction").distinct().collect().map(_.getLong(0)).toSet
+    assert(preds.subsetOf(labels))
+    assert(rf.filter(col("prob") < 0 || col("prob") > 1).count() === 0)
+    rf.unpersist()
+  }
+}

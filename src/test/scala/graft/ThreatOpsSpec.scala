@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.ThreatOps
+import org.apache.spark.sql.functions._
+
+/** Invariants the DuckDB oracle can't express: cross-query consistency
+  * (degree = 2×count, features agree with standalone queries), bounds.
+  */
+class ThreatOpsSpec extends SparkSpec {
+
+  test("qPreprocess derives consistent temporal flags") {
+    val df = ThreatOps.qPreprocess(spark, sf).cache()
+    assert(df.count() > 0)
+    val bad = df.filter(
+      (col("is_after_hours") === 1) =!= (col("hour_of_day") < 8 || col("hour_of_day") > 18) ||
+      (col("is_weekend") === 1) =!= (col("day_of_week") >= 5) ||
+      col("hour_of_day") < 0 || col("hour_of_day") > 23 ||
+      col("day_of_week") < 0 || col("day_of_week") > 6)
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
+  test("qDegreeCentrality is exactly 2x qHighActivity for shared users") {
+    val deg = ThreatOps.qDegreeCentrality(spark, sf)
+    val act = ThreatOps.qHighActivity(spark, sf)
+    val joined = deg.join(act, "user_id")
+      .filter(col("total_degree") =!= col("activity_count") * 2)
+    assert(joined.count() === 0)
+  }
+
+  test("entropy queries are non-negative and bounded by log2(n)") {
+    val e = ThreatOps.qActivityEntropy(spark, sf)
+    val bad = e.filter(col("activity_entropy") < 0 ||
+      col("activity_entropy") > log2(col("activity_count")) + 1e-6)
+    assert(bad.count() === 0)
+  }
+
+  test("qUserFeatures matches standalone behavioral queries") {
+    val uf = ThreatOps.qUserFeatures(spark, sf).cache()
+    assert(uf.count() > 0)
+    // ratios in [0,1]; entropy consistent with qActivityEntropy
+    assert(uf.filter(col("after_hours_ratio") < 0 || col("after_hours_ratio") > 1 ||
+      col("weekend_ratio") < 0 || col("weekend_ratio") > 1).count() === 0)
+    val standalone = ThreatOps.qActivityEntropy(spark, sf)
+      .select(col("user_id"), col("activity_entropy").as("ae2"))
+    val mismatch = uf.join(standalone, "user_id")
+      .filter(abs(col("activity_entropy") - col("ae2")) > 1e-9)
+    assert(mismatch.count() === 0)
+    uf.unpersist()
+  }
+
+  test("top-k queries respect limit and deterministic ordering") {
+    val rows = ThreatOps.qAfterHoursTop(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)), "must be count-descending")
+  }
+}
