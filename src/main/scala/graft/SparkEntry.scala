@@ -68,6 +68,16 @@ object SparkEntry {
   private val docShinglesSql =
     s"""SELECT doc_id, lang, n_chars, $shingleSql AS sh
         FROM (SELECT doc_id, lang, n_chars, $tokSql AS t FROM documents)"""
+  /** Shingles + 32-bit md5-prefix hashes (mirror of TextFunctions.hash32). */
+  private val hashedShinglesSql =
+    s"""SELECT doc_id, lang, n_chars, sh,
+          list_transform(sh, x -> ('0x' || substr(md5(x),1,8))::BIGINT) AS hs
+        FROM ($docShinglesSql)"""
+  import graft.functions.TextFunctions.{permA, permB, MinhashPrime => MP}
+  private def minhashSql(j: Int): String =
+    s"list_min(list_transform(hs, h -> (h*${permA(j)} + ${permB(j)}) % $MP)) AS mh_$j"
+  private def bandSql(b: Int): String =
+    (0 until 3).map(r => s"mh_${3 * b + r}::VARCHAR").mkString(" || '|' || ")
   private val embNormSql =
     """SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nv
        FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -275,37 +285,34 @@ object SparkEntry {
          count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q_dedup_minhash" ->
-      s"""WITH s AS ($docShinglesSql),
+      s"""WITH s AS ($hashedShinglesSql),
           mh AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
-            ${(0 until 12).map(j =>
-              s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS mh_$j").mkString(", ")}
+            ${(0 until 12).map(minhashSql).mkString(", ")}
           FROM s)
           SELECT doc_id, n_shingles,
             ${(0 until 12).map(j => s"mh_$j").mkString(", ")},
-            ${(0 until 4).map(b =>
-              s"md5(mh_${3*b} || mh_${3*b+1} || mh_${3*b+2}) AS band_$b").mkString(", ")}
+            ${(0 until 4).map(b => s"md5(${bandSql(b)}) AS band_$b").mkString(", ")}
           FROM mh ORDER BY doc_id""",
     "q_dedup_minhash_pairs" ->
-      s"""WITH s AS ($docShinglesSql),
-          mh AS (SELECT doc_id, sh,
-            ${(0 until 12).map(j =>
-              s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS mh_$j").mkString(", ")}
-          FROM s),
+      s"""WITH s AS (SELECT doc_id, list_distinct(hs) AS hj,
+            ${(0 until 12).map(minhashSql).mkString(", ")}
+          FROM ($hashedShinglesSql)),
           bk AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
-            s"'$b:' || md5(mh_${3*b} || mh_${3*b+1} || mh_${3*b+2})").mkString(", ")}]) AS bucket
-          FROM mh),
+            s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
+          FROM s),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b,
-            round(len(list_intersect(sa.sh, sb.sh))*1.0
-              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+            round(len(list_intersect(sa.hj, sb.hj))*1.0
+              / len(list_distinct(list_concat(sa.hj, sb.hj))), 4) AS jaccard
           FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
           ORDER BY jaccard DESC, doc_a, doc_b""",
     "q_ngram_jaccard" ->
-      s"""WITH s AS ($docShinglesSql)
+      s"""WITH s AS (SELECT doc_id, lang, n_chars, list_distinct(hs) AS hj
+            FROM ($hashedShinglesSql))
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            round(len(list_intersect(a.sh, b.sh))*1.0
-              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            round(len(list_intersect(a.hj, b.hj))*1.0
+              / len(list_distinct(list_concat(a.hj, b.hj))), 4) AS jaccard
           FROM s a JOIN s b
             ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
           ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",

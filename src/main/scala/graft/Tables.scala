@@ -34,6 +34,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Widen partitioning before heavy per-row compute (shingling, hashing,
+    * signature generation). A small table arrives from parquet as ONE
+    * split, which would serialize CPU-bound work onto a single core; at
+    * 100 TB the input has thousands of splits and this is a no-op (the
+    * repartition only fires when splits < session parallelism). The
+    * explicit numPartitions is deliberately NOT AQE-coalescible.
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Round a double column for cross-engine hash stability.
     *
     * Double aggregation is order-dependent in any distributed engine; the

@@ -38,13 +38,31 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** MinHash value for permutation `j`: the lexicographic minimum of
-    * md5(j || '|' || shingle). Salted md5 is the permutation family —
-    * deterministic, engine-agnostic (string min of hex digests), no RNG
-    * state to ship to executors.
+  /** 32-bit hash per shingle: first 8 hex chars of md5 parsed as an
+    * unsigned int (exactly `('0x'||substr(md5(x),1,8))::BIGINT` in the
+    * DuckDB oracle). Computed ONCE per shingle — every minhash permutation
+    * reuses it, so signature generation costs 1 md5 + k multiply-mods
+    * instead of k md5 passes.
     */
-  def minhash(shingleArr: Column, j: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$j|"), s))))
+  def hash32(shingleArr: Column): Column =
+    transform(shingleArr, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+
+  /** Prime > 2^32 for the affine permutation family. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Permutation coefficients: odd multiplier < 2^21 (so a·h < 2^53 — no
+    * long overflow on either engine) and offset < P, both derived from
+    * fixed Knuth multiplicative constants. Deterministic, literal on both
+    * the Spark and oracle side.
+    */
+  def permA(j: Int): Long = ((0x9E3779B1L * (j + 1)) % 1048573L) * 2 + 1
+  def permB(j: Int): Long = (0x85EBCA6BL * (j + 1)) % MinhashPrime
+
+  /** MinHash value for permutation `j` over pre-hashed shingles:
+    * min over shingles of (a_j·h + b_j) mod P.
+    */
+  def minhash(hashArr: Column, j: Int): Column =
+    array_min(transform(hashArr, h => (h * permA(j) + permB(j)) % MinhashPrime))
 
   /** Cast a float array to double BEFORE any arithmetic — float32→double
     * widening is exact, so Spark and the oracle do identical double math.

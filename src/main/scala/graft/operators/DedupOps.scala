@@ -29,23 +29,25 @@ object DedupOps {
   val MinhashPerms = 12
   val BandsRows = 3 // 4 bands × 3 rows
 
-  /** MinHash signatures + LSH band keys per document. The permutation
-    * family is salted md5 (see [[graft.functions.TextFunctions.minhash]]),
-    * so the whole signature is deterministic and engine-agnostic. 12
-    * permutations in 4 bands of 3: documents agreeing on any full band
-    * land in the same LSH bucket in [[qDedupMinhashPairs]].
+  /** MinHash signatures + LSH band keys per document. One md5 per shingle
+    * (see [[graft.functions.TextFunctions.hash32]]) feeds an affine
+    * permutation family `(a_j·h+b_j) mod P` — deterministic, literal on
+    * both engines. 12 permutations in 4 bands of 3: documents agreeing on
+    * any full band land in the same LSH bucket in [[qDedupMinhashPairs]].
     */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(col("text"), 3)
-    val mh = (0 until MinhashPerms).map(j => minhash(col("sh"), j).as(s"mh_$j"))
-    val withSig = documents(spark, dir)
-      .select(col("doc_id"), sh.as("sh"))
+    val mh = (0 until MinhashPerms).map(j => minhash(col("hs"), j).as(s"mh_$j"))
+    val withSig = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("sh"), hash32(col("sh")).as("hs"))
       .select(col("doc_id") +: size(col("sh")).cast("long").as("n_shingles") +: mh: _*)
     // concat (null-propagating, matching SQL ||), NOT concat_ws: a doc
     // with no shingles must yield NULL bands on both engines.
     val bands = (0 until MinhashPerms / BandsRows).map { b =>
-      md5(concat((0 until BandsRows).map(r => col(s"mh_${b * BandsRows + r}")): _*))
-        .as(s"band_$b")
+      val parts = (0 until BandsRows)
+        .map(r => col(s"mh_${b * BandsRows + r}").cast("string"))
+        .flatMap(c => Seq(c, lit("|"))).dropRight(1)
+      md5(concat(parts: _*)).as(s"band_$b")
     }
     val outCols = Seq(col("doc_id"), col("n_shingles")) ++
       (0 until MinhashPerms).map(j => col(s"mh_$j")) ++ bands
@@ -58,7 +60,12 @@ object DedupOps {
     */
   def qDedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = qDedupMinhash(spark, dir)
-    val docs = documents(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    // Jaccard verify runs on the 8-byte shingle hashes, not the shingle
+    // strings: the arrays shuffled to the pair join are ~5x narrower and
+    // the set-intersect compares longs (same result modulo md5 collisions,
+    // mirrored exactly in the oracle).
+    val docs = spread(spark, documents(spark, dir)).select(col("doc_id"),
+      array_distinct(hash32(shingles(col("text"), 3))).as("sh"))
     val nBands = MinhashPerms / BandsRows
     val buckets = sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -82,7 +89,7 @@ object DedupOps {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // Per doc: explode tokens, hash each to a 64-bit value via the first
     // 16 hex chars of md5, then majority-vote each bit across tokens.
-    val toks = documents(spark, dir)
+    val toks = spread(spark, documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
@@ -105,8 +112,9 @@ object DedupOps {
     * coarse fingerprint (see [[qFingerprint]]'s output) instead.
     */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"), shingles(col("text"), 3).as("sh"))
+    val d = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(hash32(shingles(col("text"), 3))).as("sh"))
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id"))

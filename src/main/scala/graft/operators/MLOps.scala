@@ -45,13 +45,26 @@ object MLOps {
   /** Expected anomaly fraction (ref Comparaison_ML.py contamination=0.1). */
   val Contamination = 0.1
 
+  /** The feature matrix every detector consumes. cache() keys on the
+    * logical plan, so the z-score/quantile/KMeans branches (and the
+    * ensemble that runs all three) resolve to ONE shared InMemoryRelation
+    * instead of re-running the event-log aggregation per detector — the
+    * matrix is |users| rows, exactly what you'd pin in memory on a
+    * cluster while the 100 TB log stays on disk.
+    */
+  private def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val uf = ThreatOps.qUserFeatures(spark, dir)
+    uf.cache()
+    uf
+  }
+
   /** Standardize + max-|z| anomaly score + contamination-quantile flag —
     * the deterministic analogue of StandardScaler→IsolationForest-style
     * flagging (Comparaison_ML.py:113-170). Stats are ONE broadcast row;
     * the rank window runs on the already-aggregated user matrix.
     */
   def qZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val uf = ThreatOps.qUserFeatures(spark, dir)
+    val uf = userFeatures(spark, dir)
     val statExprs = count(lit(1)).as("cnt") +: FeatureCols.flatMap(f => Seq(
       avg(col(f)).as(s"mu_$f"), stddev_pop(col(f)).as(s"sd_$f")))
     val stats = uf.agg(statExprs.head, statExprs.tail: _*)
@@ -78,7 +91,7 @@ object MLOps {
     * tiebreak) — ref Comparaison_ML.py:132-170's per-feature thresholding.
     */
   def qQuantileOutlier(spark: SparkSession, dir: String): DataFrame = {
-    val uf = ThreatOps.qUserFeatures(spark, dir)
+    val uf = userFeatures(spark, dir)
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
     val flagged = FeatureCols.foldLeft(uf) { (df, f) =>
       val w = Window.orderBy(col(f).desc, col("user_id").asc)
@@ -122,7 +135,7 @@ object MLOps {
     * shared input for the MLlib detectors (ref Comparaison_ML.py:125-130).
     */
   private def standardizedFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val uf = ThreatOps.qUserFeatures(spark, dir)
+    val uf = userFeatures(spark, dir)
     val assembled = new VectorAssembler()
       .setInputCols(FeatureCols.toArray).setOutputCol("fv")
       .transform(uf)
@@ -137,7 +150,17 @@ object MLOps {
     * (ref Comparaison_ML.py:172-196). Only the k=2 cluster sizes reach the
     * driver — never the data.
     */
-  def qKmeansAnomaly(spark: SparkSession, dir: String): DataFrame = {
+  private val kmeansMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized per (session, input): an MLlib fit isn't plan-cacheable the
+    * way a DataFrame is, so without this the ensemble would re-cluster
+    * from scratch — the in-process equivalent of a model registry.
+    */
+  def qKmeansAnomaly(spark: SparkSession, dir: String): DataFrame =
+    kmeansMemo.computeIfAbsent((spark, dir), _ => kmeansImpl(spark, dir))
+
+  private def kmeansImpl(spark: SparkSession, dir: String): DataFrame = {
     val sf = standardizedFeatures(spark, dir).cache()
     val model = new KMeans().setK(2).setSeed(42)
       .setFeaturesCol("sfv").setPredictionCol("cluster")

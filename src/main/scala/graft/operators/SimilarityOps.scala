@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import graft.functions.TextFunctions._
+import graft.functions.VectorExpressions.{cosineSim, dotProd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,7 +32,7 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id").asc)
     all.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        r4(cosine(col("probe_emb"), col("embedding"))).as("cos"))
+        r4(cosineSim(col("probe_emb"), col("embedding"))).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .orderBy(col("probe_id"), col("rank"))
@@ -47,7 +48,7 @@ object SimilarityOps {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").cast("long").as("label"),
-        r4(cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+        r4(cosineSim(col("a.embedding"), col("b.embedding"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(20)
   }
@@ -69,10 +70,9 @@ object SimilarityOps {
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val planes = hyperplanes(4, 64)
-    val emb = toDouble(col("embedding"))
     val sig = planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
       val planeCol = array(p.map(lit): _*)
-      acc.bitwiseOR(when(dot(emb, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      acc.bitwiseOR(when(dotProd(col("embedding"), planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L))
     }
     val all = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), sig.as("bucket"))
@@ -83,7 +83,7 @@ object SimilarityOps {
     all.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("bucket"),
-        r4(cosine(col("probe_emb"), col("embedding"))).as("cos"))
+        r4(cosineSim(col("probe_emb"), col("embedding"))).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .orderBy(col("probe_id"), col("rank"))

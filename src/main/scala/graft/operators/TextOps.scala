@@ -31,7 +31,7 @@ object TextOps {
     * tie-break order (declaration order above) so results are total.
     */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = markers.foldLeft(documents(spark, dir)) { case (df, (l, ws)) =>
+    val scored = markers.foldLeft(spread(spark, documents(spark, dir))) { case (df, (l, ws)) =>
       df.withColumn(s"score_$l", markerCount(col("text"), ws).cast("long"))
     }
     val best = markers.map(_._1).foldRight(lit("und")) { case (l, rest) =>
@@ -59,7 +59,7 @@ object TextOps {
     val stopRatio = stop.cast("double") / greatest(nTokens, lit(1L))
     val meanWordLen = aggregate(t, lit(0.0), (acc, w) => acc + length(w)) /
       greatest(nTokens, lit(1L))
-    documents(spark, dir).select(
+    spread(spark, documents(spark, dir)).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
       nTokens.as("n_tokens"),
@@ -77,7 +77,7 @@ object TextOps {
     * cheap token-budget estimator for LLM corpus accounting.
     */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
+    spread(spark, documents(spark, dir)).select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")),
@@ -93,7 +93,7 @@ object TextOps {
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(col("text"), 3)
     val cg = charGrams(col("text"), 8)
-    documents(spark, dir).select(
+    spread(spark, documents(spark, dir)).select(
       col("doc_id"),
       size(sh).cast("long").as("n_shingles"),
       array_min(transform(sh, s => md5(s))).as("shingle_fp"),
