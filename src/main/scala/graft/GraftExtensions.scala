@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.{CosineSim, DotProd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.FunctionShim
+
+/** SQL-surface registration of graft's native expressions, so
+  * `spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")` works
+  * the same as the Column API.
+  *
+  * Two entry points, one builder table:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions` (applied at
+  *     session build — the deployment path)
+  *   - runtime: `GraftFunctions.register(spark)` on a live session (the
+  *     notebook path; tests use this)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("dot_prod",
+      info("dot_prod", "dot_prod(a, b) - dot product of two numeric arrays"),
+      (es: Seq[Expression]) => DotProd(es(0), es(1))))
+
+  /** Register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, i, builder) =>
+      FunctionShim.register(spark, FunctionIdentifier(name), i, builder)
+    }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources and sinks for the activity-log pipeline.
+  *
+  * The reference ingests CERT-style CSV activity logs with pandas
+  * (data_preprocessing.py:5-31: read_csv → to_datetime(errors='coerce') →
+  * temporal features → dropna on critical columns). Here the same ingest
+  * is a declarative scan: schema applied at the reader (no inference pass
+  * over 100 TB), bad timestamps null out like errors='coerce', and the
+  * null-drop is a pushable filter.
+  */
+object LogSources {
+
+  /** CERT-style activity log schema (ref data_preprocessing.py:27 names
+    * the critical columns: user, pc, activity, resource).
+    */
+  val activitySchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
+    StructField("user", StringType),
+    StructField("pc", StringType),
+    StructField("activity", StringType),
+    StructField("resource", StringType)))
+
+  /** CSV activity-log reader. The explicit schema skips the inference
+    * scan; `try_to_timestamp` yields null on unparseable values (pandas
+    * errors='coerce' — plain to_timestamp THROWS under ANSI mode);
+    * header per the reference's files.
+    */
+  def readActivityCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(activitySchema)
+      .csv(path)
+      .withColumn("timestamp", try_to_timestamp(col("timestamp")))
+
+  /** JSON-lines reader for the events schema (one JSON object per line —
+    * the shape a log shipper emits). Explicit schema, no inference.
+    */
+  val eventsJsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsJsonSchema).json(path)
+
+  /** Temporal-feature derivation + critical-column null drop over ANY
+    * activity frame (the reusable form of data_preprocessing.py:14-28;
+    * ThreatOps.qPreprocess is this applied to the events table).
+    */
+  def preprocessActivity(df: DataFrame): DataFrame =
+    df.filter(col("user").isNotNull && col("pc").isNotNull &&
+        col("activity").isNotNull && col("resource").isNotNull &&
+        col("timestamp").isNotNull)
+      .withColumn("hour_of_day", hour(col("timestamp")).cast("long"))
+      .withColumn("day_of_week", expr("weekday(timestamp)").cast("long"))
+      .withColumn("is_weekend", when(col("day_of_week") >= 5, 1L).otherwise(0L))
+      .withColumn("is_after_hours",
+        when(col("hour_of_day") < 8 || col("hour_of_day") > 18, 1L).otherwise(0L))
+
+  /** Date-partitioned parquet sink: the ingest layout for an unbounded
+    * log. Daily partitions make the time-range predicates in every
+    * behavioral query partition-pruning scans instead of full scans.
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Bucketed managed-table sink: pre-shuffles on the join/agg key so
+    * every downstream per-user aggregation and self-join reads
+    * co-located data with NO exchange (bucket pruning + bucketed join).
+    * This is the 100 TB answer to "q_user_features shuffles the log".
+    */
+  def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

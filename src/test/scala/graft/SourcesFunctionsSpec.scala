@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.LogSources
+import org.apache.spark.sql.functions._
+
+class SourcesFunctionsSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("readActivityCsv parses the reference log shape, coercing bad timestamps") {
+    val dir = tmpDir("csv")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/log.csv"),
+      """timestamp,user,pc,activity,resource
+        |2024-03-04 09:15:00,alice,pc-1,login,srv-a
+        |not-a-date,bob,pc-2,file_copy,srv-b
+        |2024-03-09 22:30:00,carol,pc-3,email,srv-c
+        |2024-03-05 10:00:00,,pc-4,login,srv-d
+        |""".stripMargin)
+    val raw = LogSources.readActivityCsv(spark, s"$dir/log.csv")
+    assert(raw.count() === 4)
+    assert(raw.filter(col("timestamp").isNull).count() === 1) // coerced
+    val pre = LogSources.preprocessActivity(raw).cache()
+    assert(pre.count() === 2) // null ts + null user dropped
+    val carol = pre.filter(col("user") === "carol").head()
+    assert(carol.getAs[Long]("hour_of_day") === 22L)
+    assert(carol.getAs[Long]("is_weekend") === 1L)  // 2024-03-09 is Saturday
+    assert(carol.getAs[Long]("is_after_hours") === 1L)
+    pre.unpersist()
+  }
+
+  test("readEventsJsonl applies the events schema without inference") {
+    val dir = tmpDir("jsonl")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/e.jsonl"),
+      """{"event_id":1,"ts":"2024-03-04T09:15:00Z","user_id":7,"event_type":"login","value":1.5,"props":"{\"k\":\"srv-a\"}"}
+        |{"event_id":2,"ts":"2024-03-04T09:20:00Z","user_id":7,"event_type":"write","value":2.5,"props":"{\"k\":\"srv-b\"}"}
+        |""".stripMargin)
+    val df = LogSources.readEventsJsonl(spark, s"$dir/e.jsonl")
+    assert(df.schema === LogSources.eventsJsonSchema)
+    assert(df.agg(sum("value")).head.getDouble(0) === 4.0)
+  }
+
+  test("writeDatePartitioned lays out daily partitions that prune") {
+    val out = tmpDir("part") + "/events"
+    val ev = Tables.events(spark, sf).limit(500)
+    LogSources.writeDatePartitioned(ev, "ts", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 500)
+    val oneDay = back.select("event_date").distinct().head.getDate(0)
+    val pruned = back.filter(col("event_date") === lit(oneDay))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"expected partition pruning:\n$scan")
+  }
+
+  test("writeBucketed produces a shuffle-free bucketed aggregation") {
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    // a previously-crashed run can leave the managed location behind
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "events_bucketed")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    LogSources.writeBucketed(
+      Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type"),
+      "user_id", 8, "events_bucketed")
+    val agg = spark.table("events_bucketed").groupBy("user_id").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy must not shuffle:\n$plan")
+  }
+
+  test("cosine_sim / dot_prod are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT round(cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)), 4) AS c0,
+                round(cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)), 4) AS c1,
+                dot_prod(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d
+      """).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === 32.0)
+  }
+
+  test("SQL cosine_sim agrees with the Column API on real embeddings") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(50)
+    e.createOrReplaceTempView("emb_test")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id va, b.vec_id vb,
+                round(cosine_sim(a.embedding, b.embedding), 4) c
+         FROM emb_test a JOIN emb_test b ON a.vec_id < b.vec_id""")
+    val viaApi = {
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(b, col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          round(graft.functions.VectorExpressions.cosineSim(col("ea"), col("eb")), 4).as("c"))
+    }
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+}
