@@ -41,6 +41,7 @@ object SparkEntry {
     "q_embed_neardup" -> (SimilarityOps.qEmbedNeardup _),
     "q_ann_brute" -> (SimilarityOps.qAnnBrute _),
     "q_ann_lsh" -> (SimilarityOps.qAnnLsh _),
+    "q_ann_ivf" -> (SimilarityOps.qAnnIvf _),
     // F. text analysis
     "q_lang_id" -> (TextOps.qLangId _),
     "q_quality_score" -> (TextOps.qQualityScore _),

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorExpressions.{cosineSim, dotProd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,54 @@ object SimilarityOps {
   private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(42)
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** IVF-bucketed approximate nearest neighbors — the data-adaptive scale
+    * path. A KMeans coarse quantizer (k=16, seed=42, fitted on a sample)
+    * assigns every vector to its nearest centroid's inverted list; each
+    * probe searches only its `nprobe`=4 closest lists. At corpus scale the
+    * lists are the partitioning: a probe touches nprobe/k of the data.
+    * Centroids come from an MLlib fit → rows-only check.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16; val nprobe = 4
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(toDouble(col("embedding"))).as("fv"))
+    // Coarse quantizer fit on a bounded sample: the model is tiny (k
+    // centroids) regardless of corpus size.
+    val model = new KMeans().setK(k).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("list_id")
+      .fit(e.limit(2000))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // Inverted-list assignment + per-probe nprobe list selection are both
+    // narrow projections over literal centroids (codegen'd dotProd).
+    def dist2(vec: Column, c: Array[Double]): Column = {
+      val cc = array(c.map(lit): _*)
+      dotProd(vec, vec) - lit(2.0) * dotProd(vec, cc) + lit(c.map(x => x * x).sum)
+    }
+    def nearestLists(vec: Column, n: Int): Column = {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(vec, c).as("d"), lit(i).as("i"))
+      }: _*)
+      slice(transform(array_sort(scored), s => s.getField("i")), 1, n)
+    }
+    val lists = e.select(col("vec_id"), col("embedding"),
+      nearestLists(col("embedding"), 1).getItem(0).as("list_id"))
+    val probes = e.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        explode(nearestLists(col("embedding"), nprobe)).as("list_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("list_id"),
+        r4(cosineSim(col("probe_emb"), col("embedding"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("probe_id"), col("rank"))
   }
 
   /** LSH-bucketed approximate nearest neighbors: 4 sign bits → 16 buckets;

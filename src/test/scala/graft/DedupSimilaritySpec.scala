@@ -66,6 +66,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("qAnnIvf scores agree with brute force; at most k results per probe") {
+    val brute = SimilarityOps.qAnnBrute(spark, sf)
+      .select(col("probe_id"), col("vec_id"), col("cos").as("cos_b"))
+    val ivf = SimilarityOps.qAnnIvf(spark, sf).cache()
+    assert(ivf.count() > 0)
+    assert(ivf.groupBy("probe_id").count()
+      .filter(col("count") > SimilarityOps.TopK).count() === 0)
+    val joined = ivf.join(brute, Seq("probe_id", "vec_id"))
+      .filter(abs(col("cos") - col("cos_b")) > 1e-9)
+    assert(joined.count() === 0)
+    ivf.unpersist()
+  }
+
   test("qEmbedNeardup pairs stay within label buckets") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
     val out = SimilarityOps.qEmbedNeardup(spark, sf)
