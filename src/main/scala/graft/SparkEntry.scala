@@ -31,6 +31,12 @@ object SparkEntry {
     "q_window" -> (RelationalOps.qWindow _),
     "q_sessionize" -> (RelationalOps.qSessionize _),
     "q_windowed_counts" -> (RelationalOps.qWindowedCounts _),
+    "q_asof_join" -> (RelationalOps.qAsofJoin _),
+    "q_rollup" -> (RelationalOps.qRollup _),
+    "q_anti_join" -> (RelationalOps.qAntiJoin _),
+    "q_semi_join" -> (RelationalOps.qSemiJoin _),
+    "q_percentiles" -> (RelationalOps.qPercentiles _),
+    "q_pivot" -> (RelationalOps.qPivot _),
     // F. LLM-data-pipeline: dedup
     "q_dedup_exact" -> (DedupOps.qDedupExact _),
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
@@ -281,6 +287,45 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts,
+           epoch_us(e.ts)//1000000 - epoch_us(p.ts)//1000000 AS secs_since_purchase
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
+    "q_rollup" ->
+      """SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY ROLLUP(user_id, event_type)
+         ORDER BY user_id NULLS LAST, event_type NULLS LAST""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+           round(min(value), 4) AS min_v, round(avg(value), 4) AS avg_v,
+           round(max(value), 4) AS max_v,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pivot" ->
+      """SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
          count(*) AS dup_count

@@ -98,6 +98,105 @@ object RelationalOps {
       .orderBy(col("user_id"))
   }
 
+  /** As-of (backward) join: each event paired with the SAME user's most
+    * recent purchase at-or-before it — the operator Spark lacks natively.
+    *
+    * Implemented with the union trick rather than a range join: tag
+    * purchase rows side=0 and event rows side=1, union, then a running
+    * `last(ignoreNulls)` over (user_id, ts, side) carries the latest
+    * purchase timestamp forward onto every event row. ONE shuffle on
+    * user_id, zero fan-out — a range-condition join would explode
+    * candidate pairs and a per-row subquery would rescan; this is the
+    * shape that survives 100 TB. side=0 sorts before side=1 at equal ts,
+    * matching ASOF's inclusive (ts >= purchase_ts) semantics.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("ts").as("purchase_ts"))
+    val lefts = ev.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"), lit(null).cast("timestamp").as("purchase_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(lefts)
+      .withColumn("last_purchase_ts", last(col("purchase_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("last_purchase_ts")))
+          .as("secs_since_purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Hierarchical totals via ROLLUP(user_id, event_type): per-(user,type),
+    * per-user, and grand-total rows from ONE pass — partial aggregation
+    * still applies, so the log shuffles once, not three times.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .rollup(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("user_id").asc_nulls_last, col("event_type").asc_nulls_last)
+
+  /** Anti join: customers with no urgent order. A LEFT ANTI join shuffles
+    * only the join keys of the probe side — never materializes a NOT IN
+    * list on the driver. (Right side filtered pre-join: the predicate
+    * prunes at the orders scan.)
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: customers with at least one high-priority order —
+    * existence check without duplicating customer rows per order.
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy(col("c_custkey"))
+
+  /** Exact interpolated quartiles of event value per type (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`): 5 groups, map-side partial
+    * aggregation. At extreme group cardinality the swap is
+    * approx_percentile with a fixed accuracy — same call shape.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))).as("p")
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(min(col("value"))).as("min_v"),
+        r4(avg(col("value"))).as("avg_v"), r4(max(col("value"))).as("max_v"), pcts)
+      .select(col("event_type"), col("n"), col("min_v"), col("avg_v"), col("max_v"),
+        r4(element_at(col("p"), 1)).as("p25"),
+        r4(element_at(col("p"), 2)).as("p50"),
+        r4(element_at(col("p"), 3)).as("p75"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The event-type domain (stable in the synthetic log; a production
+    * pipeline derives it from a dimension table or config).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user activity matrix pivoted to one column per event type —
+    * the wide form of qActivityPatterns. With the pivot values given
+    * explicitly there is no discovery pass; conditional aggregation in
+    * one shuffle.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy(col("user_id"))
+
   /** Tumbling 1-hour window counts per event_type — the batch twin of the
     * Structured Streaming path in [[graft.streaming.EventStream]].
     */

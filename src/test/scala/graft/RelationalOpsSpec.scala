@@ -42,6 +42,55 @@ class RelationalOpsSpec extends SparkSpec {
     sess.unpersist()
   }
 
+  test("qAsofJoin: match is at-or-before, and purchase events match themselves") {
+    val df = RelationalOps.qAsofJoin(spark, sf).cache()
+    assert(df.count() === Tables.events(spark, sf).count())
+    assert(df.filter(col("secs_since_purchase") < 0).count() === 0)
+    // a purchase event's own ts is an admissible match (inclusive asof)
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("event_id"))
+    val selfMiss = df.join(purchases, "event_id")
+      .filter(col("last_purchase_ts") =!= col("ts"))
+    assert(selfMiss.count() === 0)
+    df.unpersist()
+  }
+
+  test("qRollup subtotal rows reconcile with the grand total") {
+    val r = RelationalOps.qRollup(spark, sf).cache()
+    val total = Tables.events(spark, sf).count()
+    val grand = r.filter(col("user_id").isNull && col("event_type").isNull)
+      .head.getAs[Long]("n")
+    val perUserSum = r.filter(col("user_id").isNotNull && col("event_type").isNull)
+      .agg(sum("n")).head.getLong(0)
+    val leafSum = r.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .agg(sum("n")).head.getLong(0)
+    assert(grand === total && perUserSum === total && leafSum === total)
+    r.unpersist()
+  }
+
+  test("anti and semi joins partition customers exactly") {
+    val anti = RelationalOps.qAntiJoin(spark, sf).select("c_custkey")
+    val semi = RelationalOps.qSemiJoin(spark, sf).select("c_custkey")
+    assert(anti.count() > 0)
+    assert(anti.intersect(semi).count() === 0)
+    assert(anti.count() + semi.count() === Tables.customer(spark, sf).count())
+  }
+
+  test("qPercentiles: quartiles ordered and bounded by min/max") {
+    val p = RelationalOps.qPercentiles(spark, sf)
+    val bad = p.filter(col("p25") > col("p50") || col("p50") > col("p75") ||
+      col("p25") < col("min_v") - 1e-9 || col("p75") > col("max_v") + 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("qPivot row sums equal per-user activity counts") {
+    val pv = RelationalOps.qPivot(spark, sf)
+      .withColumn("rowsum", RelationalOps.EventTypes.map(col).reduce(_ + _))
+    val act = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    assert(pv.join(act, "user_id").filter(col("rowsum") =!= col("n")).count() === 0)
+  }
+
   test("qWindowedCounts conserves total event count") {
     val total = RelationalOps.qWindowedCounts(spark, sf).agg(sum("n")).head.getLong(0)
     assert(total === Tables.events(spark, sf).count())
