@@ -63,6 +63,8 @@ object SparkEntry {
     "q_pca_project" -> (MLOps.qPcaProject _),
     "q_ensemble_vote" -> (MLOps.qEnsembleVote _),
     "q_supervised_rf" -> (MLOps.qSupervisedRf _),
+    "q_supervised_gbt" -> (MLOps.qSupervisedGbt _),
+    "q_recon_error" -> (MLOps.qReconError _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */

@@ -205,6 +205,58 @@ object MLOps {
       .orderBy("user_id")
   }
 
+  /** PCA reconstruction-error anomaly score — the deterministic analogue
+    * of the reference's keras autoencoder (Comparaison_ML.py:198-289):
+    * both score a point by how badly a low-rank bottleneck reconstructs
+    * it. With an orthonormal PCA basis the squared reconstruction error
+    * needs NO reconstruction: ||x||² − Σ projᵢ² — two codegen dot
+    * products per row, no shuffle beyond the feature matrix build.
+    */
+  def qReconError(spark: SparkSession, dir: String): DataFrame = {
+    val sf = standardizedFeatures(spark, dir)
+    val model = new PCA().setK(2).setInputCol("sfv").setOutputCol("pc").fit(sf)
+    val arr = vector_to_array(col("sfv"))
+    val projSq = (0 until 2).map { i =>
+      val comp = array(model.pc.colIter.toSeq(i).toArray.map(lit): _*)
+      val p = graft.functions.VectorExpressions.dotProd(arr, comp)
+      p * p
+    }.reduce(_ + _)
+    val err = graft.functions.VectorExpressions.dotProd(arr, arr) - projSq
+    val scored = sf.select(col("user_id"), r4(err).as("recon_error"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    val w = Window.orderBy(col("recon_error").desc, col("user_id").asc)
+    scored
+      .withColumn("is_anomaly",
+        when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+      .select("user_id", "recon_error", "is_anomaly")
+      .orderBy("user_id")
+  }
+
+  /** Gradient-boosted trees on the binary anomaly target (label 0 vs
+    * rest) — the MLlib stand-in for the reference's XGBoost track
+    * (Comparaison_ML.py:551-707; XGBoost itself isn't on the cluster
+    * classpath, and GBT is the same boosted-ensemble family).
+    */
+  def qSupervisedGbt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.GBTClassifier
+    val e = embeddings(spark, dir).select(
+      col("vec_id"),
+      when(col("label") === 0, 1.0).otherwise(0.0).as("label"),
+      array_to_vector(toDouble(col("embedding"))).as("fv"))
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+    val test = e.filter(col("vec_id") % 5 === 0)
+    val model = new GBTClassifier()
+      .setMaxIter(20).setMaxDepth(4).setSeed(42)
+      .setFeaturesCol("fv").setLabelCol("label")
+      .fit(train)
+    model.transform(test)
+      .select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("prediction").cast("long").as("prediction"),
+        r4(element_at(vector_to_array(col("probability")), 2)).as("prob_anomaly"))
+      .orderBy(col("vec_id"))
+  }
+
   /** RandomForest(numTrees=50, seed=42) over the labeled embeddings
     * (ref Comparaison_ML.py:551-707's supervised track). Deterministic
     * hash split: vec_id % 5 == 0 is the 20% test fold.

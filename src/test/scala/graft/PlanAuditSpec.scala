@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan audit over EVERY declared query: the "would this survive
+  * 100x" regression guard. Runs each plan at sf0.001 and rejects
+  * plan shapes that explode at scale.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // Non-equi broadcast joins that are *by design*: q_ann_brute broadcasts
+  // the tiny probe set against the corpus (self-exclusion is a !=
+  // predicate); q_zscore/q_ensemble cross-join ONE broadcast row of
+  // global stats onto the feature matrix. Both build sides are O(1)-to-
+  // O(probes) regardless of corpus size.
+  private val nestedLoopAllowed =
+    Set("q_ann_brute", "q_zscore_anomaly", "q_ensemble_vote")
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plans a cartesian product of non-scalar inputs") {
+    val offenders = SparkEntry.queries.keys.filter { name =>
+      val p = finalPlan(name)
+      // a CartesianProduct is only tolerable against a 1-row side
+      // (q_zscore's broadcast stats frame never triggers one)
+      p.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("broadcast nested-loop joins appear only where the build side is a bounded probe set") {
+    val offenders = SparkEntry.queries.keys.filter { name =>
+      !nestedLoopAllowed(name) && finalPlan(name).contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
+  test("behavioral aggregations keep map-side partial aggregation") {
+    for (name <- Seq("q_high_activity", "q_activity_entropy", "q_user_features")) {
+      val p = finalPlan(name)
+      assert(p.contains("partial_count") || p.contains("partial_"),
+        s"$name lost partial aggregation:\n$p")
+    }
+  }
+
+  test("scans read only the columns the query needs") {
+    // q_high_activity touches only user_id: the parquet ReadSchema must
+    // not include the wide props payload.
+    val p = finalPlan("q_high_activity")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("props")),
+      s"q_high_activity reads more than it needs:\n$readSchemas")
+  }
+}
