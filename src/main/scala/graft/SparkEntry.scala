@@ -65,6 +65,7 @@ object SparkEntry {
     "q_supervised_rf" -> (MLOps.qSupervisedRf _),
     "q_supervised_gbt" -> (MLOps.qSupervisedGbt _),
     "q_recon_error" -> (MLOps.qReconError _),
+    "q_density_outlier" -> (MLOps.qDensityOutlier _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */

@@ -205,6 +205,43 @@ object MLOps {
       .orderBy("user_id")
   }
 
+  /** Density-based outliers — the distributed re-expression of the
+    * reference's DBSCAN detector (Comparaison_ML.py:172-196 region).
+    * DBSCAN itself is sequential/region-growing; the part that matters
+    * for anomaly flagging is "points with < minPts neighbors within eps
+    * are noise". That neighbor count is computed at scale with a grid
+    * self-join: quantize the PCA-2 projection into eps-sized cells, join
+    * each point to its 3x3 neighboring cells only (never all-pairs),
+    * filter by exact distance, count. Eps=0.5, minPts=4 on standardized
+    * projections.
+    */
+  def qDensityOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.5
+    val minPts = 4
+    val pts = qPcaProject(spark, dir)
+      .select(col("user_id"), col("pc1"), col("pc2"),
+        floor(col("pc1") / eps).as("cx"), floor(col("pc2") / eps).as("cy"))
+    // each point is joined against the 9 cells around its own: emit the
+    // point under its own cell key, and probe with all 9 neighbor keys
+    val probes = pts.select(col("user_id").as("uid_p"), col("pc1").as("x_p"),
+        col("pc2").as("y_p"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*)).as("cell"))
+      .select(col("uid_p"), col("x_p"), col("y_p"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    val neighbors = probes.join(pts, Seq("cx", "cy"))
+      .filter(col("user_id") =!= col("uid_p"))
+      .filter(pow(col("pc1") - col("x_p"), 2) + pow(col("pc2") - col("y_p"), 2)
+        <= eps * eps)
+      .groupBy(col("uid_p").as("user_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    pts.select(col("user_id"), col("pc1"), col("pc2"))
+      .join(neighbors, Seq("user_id"), "left")
+      .na.fill(0, Seq("n_neighbors"))
+      .withColumn("is_noise", when(col("n_neighbors") < minPts, 1L).otherwise(0L))
+      .orderBy(col("user_id"))
+  }
+
   /** PCA reconstruction-error anomaly score — the deterministic analogue
     * of the reference's keras autoencoder (Comparaison_ML.py:198-289):
     * both score a point by how badly a low-rank bottleneck reconstructs

@@ -70,6 +70,27 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("user_id"),
         col("after_hours_count"))
 
+  /** Stream-static anomaly scoring: each incoming event joined (broadcast,
+    * stateless) against a batch-computed per-user baseline — flag users
+    * whose live after-hours event arrives while their historical
+    * after-hours ratio is already above `ratioThreshold`. The static side
+    * is re-read per micro-batch if it's a table, so a nightly baseline
+    * refresh propagates without restarting the stream. This is the
+    * pattern that fuses the batch feature matrix (ThreatOps.qUserFeatures)
+    * with live detection.
+    */
+  def anomalyAlerts(events: DataFrame, userBaseline: DataFrame,
+      ratioThreshold: Double = 0.3): DataFrame = {
+    val base = userBaseline.select(col("user_id"),
+      col("after_hours_ratio"), col("total_activities"))
+    events
+      .filter(hour(col("ts")) < 8 || hour(col("ts")) > 18)
+      .join(base, Seq("user_id"), "inner")
+      .filter(col("after_hours_ratio") >= ratioThreshold)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("after_hours_ratio"), col("total_activities"))
+  }
+
   /** Stateful gap sessionization: a >30-minute silence per user closes the
     * session — the streaming twin of
     * [[graft.operators.RelationalOps.qSessionize]]'s lag-gap pattern,

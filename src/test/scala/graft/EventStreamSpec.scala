@@ -98,6 +98,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyAlerts: stream-static join flags only high-ratio users after hours") {
+    val s = spark
+    import s.implicits._
+    val baseline = Seq((1L, 0.5, 100L), (2L, 0.1, 200L))
+      .toDF("user_id", "after_hours_ratio", "total_activities")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.anomalyAlerts(mem.toDF(), baseline)
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    try {
+      // 03:00: user 1 (ratio .5 -> alert), user 2 (ratio .1 -> no), user 3 (no baseline)
+      mem.addData(ev(1, 3 * 60, 1), ev(2, 3 * 60, 2), ev(3, 3 * 60, 3),
+        ev(4, 12 * 60, 1)) // midday event from user 1 -> no alert
+      q.processAllAvailable()
+      val ids = spark.table("alerts").select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L))
+    } finally q.stop()
+  }
+
   test("batch qSessionize and streaming sessionize agree on session counts") {
     val s = spark
     import s.implicits._

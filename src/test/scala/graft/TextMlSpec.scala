@@ -83,6 +83,36 @@ class TextMlSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("qDensityOutlier neighbor counts match a brute-force recount") {
+    val d = MLOps.qDensityOutlier(spark, sf).cache()
+    val pts = d.select(col("user_id").as("u"), col("pc1").as("x"), col("pc2").as("y"))
+    val brute = pts.as("a").join(pts.as("b"), col("a.u") =!= col("b.u"))
+      .filter(pow(col("a.x") - col("b.x"), 2) + pow(col("a.y") - col("b.y"), 2) <= 0.25)
+      .groupBy(col("a.u").as("user_id")).agg(count(lit(1)).as("bn"))
+    val joined = d.join(brute, Seq("user_id"), "left").na.fill(0, Seq("bn"))
+      .filter(col("n_neighbors") =!= col("bn"))
+    assert(joined.count() === 0, "grid join must find exactly the eps-ball neighbors")
+    d.unpersist()
+  }
+
+  test("qReconError is non-negative and flags the contamination fraction") {
+    val r = MLOps.qReconError(spark, sf).cache()
+    assert(r.filter(col("recon_error") < -1e-6).count() === 0)
+    val n = r.count()
+    assert(r.filter(col("is_anomaly") === 1).count()
+      === math.ceil(n * MLOps.Contamination).toLong)
+    r.unpersist()
+  }
+
+  test("qSupervisedGbt emits binary predictions with valid probabilities") {
+    val g = MLOps.qSupervisedGbt(spark, sf).cache()
+    assert(g.count() > 0)
+    assert(g.select("prediction").distinct().collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(0L, 1L)))
+    assert(g.filter(col("prob_anomaly") < 0 || col("prob_anomaly") > 1).count() === 0)
+    g.unpersist()
+  }
+
   test("qSupervisedRf predicts within the label domain on the test fold") {
     val rf = MLOps.qSupervisedRf(spark, sf).cache()
     assert(rf.count() > 0)
