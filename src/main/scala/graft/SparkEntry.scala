@@ -64,6 +64,7 @@ object SparkEntry {
     "q_ensemble_vote" -> (MLOps.qEnsembleVote _),
     "q_supervised_rf" -> (MLOps.qSupervisedRf _),
     "q_supervised_gbt" -> (MLOps.qSupervisedGbt _),
+    "q_supervised_svc" -> (MLOps.qSupervisedSvc _),
     "q_recon_error" -> (MLOps.qReconError _),
     "q_density_outlier" -> (MLOps.qDensityOutlier _),
   )

@@ -190,18 +190,26 @@ object MLOps {
       .orderBy("user_id")
   }
 
-  /** Majority vote across the three detectors (ref Comparaison_ML.py:
-    * 291-321's ensemble). All three sides are keyed by user_id — AQE sees
-    * the co-partitioning, so the joins add no exchange of a big side.
+  /** Majority vote across five detectors, mirroring the reference's
+    * ensemble (Comparaison_ML.py:291-321 votes IsolationForest, OCSVM,
+    * KMeans, DBSCAN, autoencoder): here z-score/quantile stand in for the
+    * two threshold detectors, plus KMeans, density (DBSCAN-noise), and
+    * reconstruction error (autoencoder). All five are keyed by user_id —
+    * AQE sees the co-partitioning, so the joins add no exchange of a big
+    * side.
     */
   def qEnsembleVote(spark: SparkSession, dir: String): DataFrame = {
     val z = qZscoreAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_z"))
     val q = qQuantileOutlier(spark, dir).select(col("user_id"), col("is_outlier").as("flag_q"))
     val k = qKmeansAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_k"))
-    z.join(q, "user_id").join(k, "user_id")
-      .withColumn("votes", col("flag_z") + col("flag_q") + col("flag_k"))
-      .withColumn("is_anomaly", when(col("votes") >= 2, 1L).otherwise(0L))
-      .select("user_id", "flag_z", "flag_q", "flag_k", "votes", "is_anomaly")
+    val d = qDensityOutlier(spark, dir).select(col("user_id"), col("is_noise").as("flag_d"))
+    val r = qReconError(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_r"))
+    val flags = Seq("flag_z", "flag_q", "flag_k", "flag_d", "flag_r")
+    z.join(q, "user_id").join(k, "user_id").join(d, "user_id").join(r, "user_id")
+      .withColumn("votes", flags.map(col).reduce(_ + _))
+      .withColumn("is_anomaly", when(col("votes") >= 3, 1L).otherwise(0L))
+      .select((Seq(col("user_id")) ++ flags.map(col) ++
+        Seq(col("votes"), col("is_anomaly"))): _*)
       .orderBy("user_id")
   }
 
@@ -291,6 +299,37 @@ object MLOps {
         col("label").cast("long").as("label"),
         col("prediction").cast("long").as("prediction"),
         r4(element_at(vector_to_array(col("probability")), 2)).as("prob_anomaly"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Linear SVM with cross-validated grid search — the reference's SVC +
+    * GridSearchCV track (Comparaison_ML.py:551-707) re-expressed as
+    * MLlib LinearSVC + CrossValidator (3-fold, regParam grid). The CV
+    * folds and fits all run as cluster jobs; only the winning params
+    * live on the driver.
+    */
+  def qSupervisedSvc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LinearSVC
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val e = embeddings(spark, dir).select(
+      col("vec_id"),
+      when(col("label") === 0, 1.0).otherwise(0.0).as("label"),
+      array_to_vector(toDouble(col("embedding"))).as("fv"))
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+    val test = e.filter(col("vec_id") % 5 === 0)
+    val svc = new LinearSVC().setMaxIter(20)
+      .setFeaturesCol("fv").setLabelCol("label")
+    val grid = new ParamGridBuilder()
+      .addGrid(svc.regParam, Array(0.01, 0.1)).build()
+    val cv = new CrossValidator().setEstimator(svc)
+      .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label"))
+      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
+    cv.fit(train).transform(test)
+      .select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("prediction").cast("long").as("prediction"),
+        r4(element_at(vector_to_array(col("rawPrediction")), 2)).as("margin"))
       .orderBy(col("vec_id"))
   }
 

@@ -75,12 +75,22 @@ class TextMlSpec extends SparkSpec {
     k.unpersist()
   }
 
-  test("qEnsembleVote: votes equal sum of flags, majority rule holds") {
+  test("qEnsembleVote: votes equal sum of five flags, majority rule holds") {
     val v = MLOps.qEnsembleVote(spark, sf)
+    val total = col("flag_z") + col("flag_q") + col("flag_k") +
+      col("flag_d") + col("flag_r")
     val bad = v.filter(
-      col("votes") =!= col("flag_z") + col("flag_q") + col("flag_k") ||
-      (col("is_anomaly") === 1) =!= (col("votes") >= 2))
+      col("votes") =!= total || (col("is_anomaly") === 1) =!= (col("votes") >= 3))
     assert(bad.count() === 0)
+  }
+
+  test("qSupervisedSvc: binary predictions from the grid-searched model") {
+    val s = MLOps.qSupervisedSvc(spark, sf).cache()
+    assert(s.count() > 0)
+    assert(s.filter(col("vec_id") % 5 =!= 0).count() === 0)
+    assert(s.select("prediction").distinct().collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(0L, 1L)))
+    s.unpersist()
   }
 
   test("qDensityOutlier neighbor counts match a brute-force recount") {
