@@ -28,6 +28,8 @@ object SparkEntry {
     // E. relational core
     "q1_agg" -> (RelationalOps.q1Agg _),
     "q3_join" -> (RelationalOps.q3Join _),
+    "q5_join" -> (RelationalOps.q5Join _),
+    "q14_promo" -> (RelationalOps.q14Promo _),
     "q_window" -> (RelationalOps.qWindow _),
     "q_sessionize" -> (RelationalOps.qSessionize _),
     "q_windowed_counts" -> (RelationalOps.qWindowedCounts _),
@@ -55,6 +57,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.qFingerprint _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
+    "q_media_features" -> (MultimodalOps.qMediaFeatures _),
     // D. anomaly detection
     "q_zscore_anomaly" -> (MLOps.qZscoreAnomaly _),
     "q_quantile_outlier" -> (MLOps.qQuantileOutlier _),
@@ -255,6 +258,28 @@ object SparkEntry {
          WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_join" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+         FROM customer c
+         JOIN orders o ON c_custkey = o_custkey
+         JOIN lineitem l ON l_orderkey = o_orderkey
+         JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation n ON s_nationkey = n_nationkey
+         JOIN region r ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q14_promo" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+           round(sum(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice*(1-l_discount) ELSE 0 END), 2) AS promo_rev,
+           round(sum(l_extendedprice*(1-l_discount)), 2) AS total_rev,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+             / sum(l_extendedprice*(1-l_discount)), 4) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
     "q_window" ->
       """SELECT * FROM (
            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -53,6 +53,58 @@ object MultimodalOps {
       .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
   }
 
+  /** Per-payload features a vision/audio pipeline would batch-extract:
+    * a 16-bin byte-value histogram and mean byte — REAL computation over
+    * the binary payload (unlike the decode stub, no codec is needed),
+    * in the same partition-local mapPartitions batch shape a production
+    * extractor (Arrow → native kernel) plugs into.
+    */
+  case class MediaFeatures(docId: Long, byteLen: Long,
+      hist: Array[Long], meanByte: Double)
+
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    val s = spark
+    import s.implicits._
+    mediaTable(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < payload.length) {
+          val b = payload(i) & 0xff
+          hist(b >> 4) += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(id, payload.length.toLong, hist,
+          if (payload.length == 0) 0.0 else sum.toDouble / payload.length)
+      })
+  }
+
+  /** RESIZE STUB — metadata-only: a real implementation rescales pixel
+    * buffers; the partition-local transform shape is identical.
+    */
+  def resizeStub(meta: MediaMeta, targetW: Int, targetH: Int): MediaMeta =
+    meta.copy(width = targetW, height = targetH)
+
+  /** Frame sampling: every `stride`-th frame index, always including
+    * frame 0 — the deterministic index plan a video decoder would fetch.
+    */
+  def sampleFrameIndices(nFrames: Int, stride: Int): Seq[Int] =
+    0 until nFrames by stride
+
+  /** Rows-only gate entry for the typed mapPartitions feature path:
+    * histogram mass must equal byte length (checked in spec; the gate
+    * checks determinism via rows>0 + schema).
+    */
+  def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    extractFeatures(spark, dir).toDF()
+      .select(col("docId").as("doc_id"), col("byteLen").as("byte_len"),
+        col("hist"), col("meanByte").as("mean_byte"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SQL-expressible slice of the metadata (oracle-checkable): byte
     * length + the deterministic fake decode fields + frame-sample count
     * (every 4th frame, at least 1).

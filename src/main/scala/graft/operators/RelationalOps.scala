@@ -57,6 +57,57 @@ object RelationalOps {
 
   }
 
+  /** TPC-H Q5-style local-supplier volume: six-way join. The geography
+    * chain region→nation is filtered FIRST and broadcast (a handful of
+    * rows); supplier joins broadcast against it; the two big tables
+    * (lineitem, orders) meet in a single shuffle join on l_orderkey with
+    * the order-date predicate pushed to the orders scan. Customer joins
+    * on (custkey, nationkey) — the nation filter has already shrunk the
+    * supplier side, so AQE picks broadcast when it fits.
+    */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val geo = nation(spark, dir)
+      .join(broadcast(region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier(spark, dir)
+      .join(broadcast(geo), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q14-style promo revenue share per ship month: lineitem ⋈ part
+    * on partkey (shuffle join — part is NOT broadcastable at real scale),
+    * conditional aggregation for the promo share.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(col("l_partkey"),
+      date_trunc("month", col("l_shipdate")).as("ship_month"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(
+        r2(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0))).as("promo_rev"),
+        r2(sum(col("rev"))).as("total_rev"),
+        r4(lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0))
+          / sum(col("rev"))).as("promo_pct"))
+      .orderBy(col("ship_month"))
+  }
+
   /** Per-customer order ranking + running revenue via window functions.
     * Windows partition by o_custkey — a single shuffle; at scale the
     * partition key is high-cardinality so no skew hotspot.

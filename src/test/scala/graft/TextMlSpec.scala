@@ -48,6 +48,33 @@ class TextMlSpec extends SparkSpec {
     assert(mismatch.count() === 0)
   }
 
+  test("media feature extraction: histogram mass equals byte length") {
+    val f = MultimodalOps.extractFeatures(spark, sf).toDF().cache()
+    assert(f.count() > 0)
+    val bad = f.filter(
+      aggregate(col("hist"), lit(0L), (a, x) => a + x) =!= col("byteLen") ||
+      col("meanByte") < 0 || col("meanByte") > 255)
+    assert(bad.count() === 0)
+    f.unpersist()
+    assert(MultimodalOps.sampleFrameIndices(10, 4) === Seq(0, 4, 8))
+    assert(MultimodalOps.resizeStub(
+      MultimodalOps.MediaMeta(1, 10, 5, 5, 1, "img"), 64, 48).width === 64)
+  }
+
+  test("salted aggregation matches direct groupBy exactly") {
+    import graft.operators.SkewOps
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy(col("user_id").as("key")).agg(count(lit(1)).as("count"))
+    val salted = SkewOps.saltedCount(ev, col("user_id"))
+    assert(salted.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(salted).count() === 0)
+    val directSum = ev.groupBy(col("user_id").as("key"))
+      .agg(round(sum(col("value")), 2).as("s"))
+    val saltedSum = SkewOps.saltedSum(ev, col("user_id"), col("value"))
+      .select(col("key"), round(col("sum"), 2).as("s"))
+    assert(saltedSum.exceptAll(directSum).count() === 0)
+  }
+
   test("qZscoreAnomaly flags exactly ceil(contamination * n) users") {
     val z = MLOps.qZscoreAnomaly(spark, sf).cache()
     val n = z.count()
