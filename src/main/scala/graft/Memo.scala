@@ -1,0 +1,20 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** In-process registry for query results whose plans embed a fitted MLlib
+  * model. A DataFrame's logical plan caches/reuses fine through
+  * `.cache()`, but the model FIT that builds the plan is driver-side work
+  * Spark can't deduplicate — calling qKmeansAnomaly twice would cluster
+  * twice. Every fit here is seeded and deterministic, so memoizing by
+  * (operator, session, input) is semantics-preserving: it's the moral
+  * equivalent of a model registry keyed by training snapshot.
+  */
+object Memo {
+  private val store = new ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+
+  def apply(op: String, spark: SparkSession, dir: String)(f: => DataFrame): DataFrame =
+    store.computeIfAbsent((op, spark, dir), _ => f)
+}

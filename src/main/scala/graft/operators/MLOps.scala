@@ -150,15 +150,12 @@ object MLOps {
     * (ref Comparaison_ML.py:172-196). Only the k=2 cluster sizes reach the
     * driver — never the data.
     */
-  private val kmeansMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Memoized per (session, input): an MLlib fit isn't plan-cacheable the
+  /** Memoized via [[graft.Memo]]: an MLlib fit isn't plan-cacheable the
     * way a DataFrame is, so without this the ensemble would re-cluster
-    * from scratch — the in-process equivalent of a model registry.
+    * from scratch.
     */
   def qKmeansAnomaly(spark: SparkSession, dir: String): DataFrame =
-    kmeansMemo.computeIfAbsent((spark, dir), _ => kmeansImpl(spark, dir))
+    graft.Memo("kmeans", spark, dir)(kmeansImpl(spark, dir))
 
   private def kmeansImpl(spark: SparkSession, dir: String): DataFrame = {
     val sf = standardizedFeatures(spark, dir).cache()
@@ -180,7 +177,8 @@ object MLOps {
     * 2-D projection the reference plots. Component sign is basis-dependent
     * → rows-only check.
     */
-  def qPcaProject(spark: SparkSession, dir: String): DataFrame = {
+  def qPcaProject(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("pca", spark, dir) {
     val sf = standardizedFeatures(spark, dir)
     new PCA().setK(2).setInputCol("sfv").setOutputCol("pc")
       .fit(sf).transform(sf)
@@ -223,7 +221,8 @@ object MLOps {
     * filter by exact distance, count. Eps=0.5, minPts=4 on standardized
     * projections.
     */
-  def qDensityOutlier(spark: SparkSession, dir: String): DataFrame = {
+  def qDensityOutlier(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("density", spark, dir) {
     val eps = 0.5
     val minPts = 4
     val pts = qPcaProject(spark, dir)
@@ -257,7 +256,8 @@ object MLOps {
     * needs NO reconstruction: ||x||² − Σ projᵢ² — two codegen dot
     * products per row, no shuffle beyond the feature matrix build.
     */
-  def qReconError(spark: SparkSession, dir: String): DataFrame = {
+  def qReconError(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("recon", spark, dir) {
     val sf = standardizedFeatures(spark, dir)
     val model = new PCA().setK(2).setInputCol("sfv").setOutputCol("pc").fit(sf)
     val arr = vector_to_array(col("sfv"))
@@ -282,7 +282,8 @@ object MLOps {
     * (Comparaison_ML.py:551-707; XGBoost itself isn't on the cluster
     * classpath, and GBT is the same boosted-ensemble family).
     */
-  def qSupervisedGbt(spark: SparkSession, dir: String): DataFrame = {
+  def qSupervisedGbt(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("gbt", spark, dir) {
     import org.apache.spark.ml.classification.GBTClassifier
     val e = embeddings(spark, dir).select(
       col("vec_id"),
@@ -308,7 +309,8 @@ object MLOps {
     * folds and fits all run as cluster jobs; only the winning params
     * live on the driver.
     */
-  def qSupervisedSvc(spark: SparkSession, dir: String): DataFrame = {
+  def qSupervisedSvc(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("svc", spark, dir) {
     import org.apache.spark.ml.classification.LinearSVC
     import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
@@ -337,7 +339,8 @@ object MLOps {
     * (ref Comparaison_ML.py:551-707's supervised track). Deterministic
     * hash split: vec_id % 5 == 0 is the 20% test fold.
     */
-  def qSupervisedRf(spark: SparkSession, dir: String): DataFrame = {
+  def qSupervisedRf(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("rf", spark, dir) {
     val e = embeddings(spark, dir).select(
       col("vec_id"),
       col("label").cast("double").as("label"),

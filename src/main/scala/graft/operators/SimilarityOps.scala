@@ -70,7 +70,8 @@ object SimilarityOps {
     * lists are the partitioning: a probe touches nprobe/k of the data.
     * Centroids come from an MLlib fit → rows-only check.
     */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("ann_ivf", spark, dir) {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val k = 16; val nprobe = 4
