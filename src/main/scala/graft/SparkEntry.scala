@@ -436,14 +436,18 @@ object SparkEntry {
             len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))*1.0
               / greatest(len(t), 1) AS stop_ratio,
             list_sum(list_transform(t, x -> length(x)))*1.0
-              / greatest(len(t), 1) AS mwl
+              / greatest(len(t), 1) AS mwl,
+            CAST(round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))*10000.0
+              / greatest(length(text), 1)) AS BIGINT) AS punct_bp,
+            CAST(round(len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))*10000.0
+              / greatest(len(t), 1)) AS BIGINT) AS stop_bp
           FROM s)
           SELECT doc_id, len_chars, n_tokens,
             round(punct_ratio, 4) AS punct_ratio,
             round(stop_ratio, 4) AS stopword_ratio,
             round(mwl, 4) AS mean_word_len,
-            round(least(n_tokens/100.0, 1.0)*0.4 + (1.0 - punct_ratio)*0.3
-              + least(stop_ratio*5.0, 1.0)*0.3, 4) AS quality
+            least(n_tokens, 100)*400
+              + (10000 - punct_bp)*3 + least(stop_bp*5, 10000)*3 AS quality_bp
           FROM m ORDER BY doc_id""",
     "q_token_count" ->
       s"""SELECT doc_id,

@@ -48,6 +48,14 @@ object TextOps {
 
   /** Document quality scoring: length, punctuation ratio, stopword ratio,
     * mean word length, plus a bounded composite score.
+    *
+    * The composite is computed in INTEGER basis points (0..100000), not
+    * floats: a weighted sum of exact decimals lands on .00005 rounding
+    * boundaries constantly, and Spark (strict Java IEEE) vs DuckDB
+    * (C++, FMA contraction allowed) can differ by one ulp there — a real
+    * sf0.1 doc hit exactly 0.84025. Each *ratio* is one IEEE division
+    * (correctly rounded, bit-identical on both engines) rounded to an
+    * integer bp; from there the composite is pure integer math.
     */
   def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -59,6 +67,11 @@ object TextOps {
     val stopRatio = stop.cast("double") / greatest(nTokens, lit(1L))
     val meanWordLen = aggregate(t, lit(0.0), (acc, w) => acc + length(w)) /
       greatest(nTokens, lit(1L))
+    val punctBp = round(punct * lit(10000.0) / greatest(length(col("text")), lit(1)))
+      .cast("long")
+    val stopBp = round(stop * lit(10000.0) / greatest(nTokens, lit(1L))).cast("long")
+    val qualityBp = least(nTokens, lit(100L)) * 400L +
+      (lit(10000L) - punctBp) * 3L + least(stopBp * 5L, lit(10000L)) * 3L
     spread(spark, documents(spark, dir)).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
@@ -66,9 +79,7 @@ object TextOps {
       r4(punctRatio).as("punct_ratio"),
       r4(stopRatio).as("stopword_ratio"),
       r4(meanWordLen).as("mean_word_len"),
-      r4(least(nTokens / lit(100.0), lit(1.0)) * 0.4
-        + (lit(1.0) - punctRatio) * 0.3
-        + least(stopRatio * 5.0, lit(1.0)) * 0.3).as("quality"))
+      qualityBp.as("quality_bp"))
       .orderBy(col("doc_id"))
   }
 

@@ -13,12 +13,13 @@ class TextMlSpec extends SparkSpec {
     assert(tc.join(src, "doc_id").filter(col("n_chars_calc") =!= col("n")).count() === 0)
   }
 
-  test("qQualityScore ratios and composite stay in [0,1]") {
+  test("qQualityScore ratios in [0,1], composite in [0,100000] basis points") {
     val q = TextOps.qQualityScore(spark, sf)
     val bad = q.filter(
       col("punct_ratio") < 0 || col("punct_ratio") > 1 ||
       col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
-      col("quality") < 0 || col("quality") > 1 || col("mean_word_len") < 0)
+      col("quality_bp") < 0 || col("quality_bp") > 100000 ||
+      col("mean_word_len") < 0)
     assert(bad.count() === 0)
   }
 
