@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import graft.functions.ShingleHash32
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,9 +39,8 @@ object DedupOps {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val mh = (0 until MinhashPerms).map(j => minhash(col("hs"), j).as(s"mh_$j"))
     val withSig = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .select(col("doc_id"), col("sh"), hash32(col("sh")).as("hs"))
-      .select(col("doc_id") +: size(col("sh")).cast("long").as("n_shingles") +: mh: _*)
+      .select(col("doc_id"), ShingleHash32(col("text"), 3).as("hs"))
+      .select(col("doc_id") +: size(col("hs")).cast("long").as("n_shingles") +: mh: _*)
     // concat (null-propagating, matching SQL ||), NOT concat_ws: a doc
     // with no shingles must yield NULL bands on both engines.
     val bands = (0 until MinhashPerms / BandsRows).map { b =>
@@ -65,7 +65,7 @@ object DedupOps {
     // the set-intersect compares longs (same result modulo md5 collisions,
     // mirrored exactly in the oracle).
     val docs = spread(spark, documents(spark, dir)).select(col("doc_id"),
-      array_distinct(hash32(shingles(col("text"), 3))).as("sh"))
+      array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
     val nBands = MinhashPerms / BandsRows
     val buckets = sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -114,7 +114,7 @@ object DedupOps {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(hash32(shingles(col("text"), 3))).as("sh"))
+        array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id"))
