@@ -23,6 +23,7 @@ object SparkEntry {
     "q_activity_entropy" -> (ThreatOps.qActivityEntropy _),
     "q_temporal_entropy" -> (ThreatOps.qTemporalEntropy _),
     "q_resource_entropy" -> (ThreatOps.qResourceEntropy _),
+    "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
     // E. relational core
@@ -32,6 +33,7 @@ object SparkEntry {
     "q14_promo" -> (RelationalOps.q14Promo _),
     "q_window" -> (RelationalOps.qWindow _),
     "q_sessionize" -> (RelationalOps.qSessionize _),
+    "q_session_window" -> (RelationalOps.qSessionWindow _),
     "q_windowed_counts" -> (RelationalOps.qWindowedCounts _),
     "q_asof_join" -> (RelationalOps.qAsofJoin _),
     "q_rollup" -> (RelationalOps.qRollup _),
@@ -55,6 +57,7 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qQualityScore _),
     "q_token_count" -> (TextOps.qTokenCount _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
+    "q_tfidf" -> (TextOps.qTfidf _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -182,6 +185,53 @@ object SparkEntry {
                FROM events GROUP BY 1,2)
          GROUP BY user_id ORDER BY resource_entropy DESC, user_id""",
     "q_user_features" -> s"$userFeaturesSql ORDER BY b.user_id",
+    "q_coaccess_pairs" ->
+      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL)
+         SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared_resources
+         FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY shared_resources DESC, user_a, user_b LIMIT 100""",
+    "q_session_window" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         b AS (
+           -- session_window compares the EXACT event-time gap (micros),
+           -- not second-floored timestamps: boundary must match exactly
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM s),
+         c AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+           FROM b),
+         g AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(max(ts))//1000000 - epoch_us(min(ts))//1000000 AS duration_s
+           FROM c GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions,
+           max(n_events) AS max_session_events,
+           CAST(max(duration_s) AS BIGINT) AS max_session_duration_s,
+           round(avg(n_events), 4) AS avg_session_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(t) AS term
+            FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          sc AS (SELECT doc_id, term,
+            round(tf * (ln((n + 1.0)/(df + 1.0)) + 1.0), 4) AS tfidf
+            FROM tf JOIN df USING(term) CROSS JOIN n),
+          r AS (SELECT doc_id, term, tfidf,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS BIGINT) AS rk FROM sc)
+          SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 5
+          ORDER BY doc_id, rk""",
     "q_zscore_anomaly" -> {
       val stats = mlFeatures.map(f =>
         s"avg($f) AS mu_$f, stddev_pop($f) AS sd_$f").mkString(", ")

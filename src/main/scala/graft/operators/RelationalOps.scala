@@ -248,6 +248,25 @@ object RelationalOps {
       .na.fill(0, EventTypes)
       .orderBy(col("user_id"))
 
+  /** Gap sessionization via the built-in `session_window` aggregate — the
+    * declarative twin of [[qSessionize]]'s lag-gap formulation (and of the
+    * streaming flatMapGroupsWithState path). Note the boundary: Spark's
+    * session_window merges an event only while gap < 30 min STRICTLY, so
+    * the oracle uses `diff >= 1800 → new session` (the lag-gap query uses
+    * > 1800 — both are valid conventions; each is oracled to its own).
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("duration_s")).as("max_session_duration_s"),
+        r4(avg(col("n_events"))).as("avg_session_events"))
+      .orderBy(col("user_id"))
+
   /** Tumbling 1-hour window counts per event_type — the batch twin of the
     * Structured Streaming path in [[graft.streaming.EventStream]].
     */

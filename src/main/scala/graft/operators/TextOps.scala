@@ -96,6 +96,30 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top-5 terms per document (smoothed idf, sklearn-style:
+    * ln((N+1)/(df+1)) + 1). Three aggregations — (doc,term) tf, term df
+    * derived FROM tf (no second pass over tokens), corpus size as one
+    * broadcast row — then a per-doc top-k window. df is term-keyed and
+    * stopword-skewed at corpus scale: that shuffle is the SkewOps
+    * use case.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        r4(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+          .as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5
     * over word 3-shingles and over rolling 8-char grams. Two documents
     * sharing large content overlap collide on these with high probability

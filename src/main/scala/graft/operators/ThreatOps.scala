@@ -129,6 +129,30 @@ object ThreatOps {
       .withColumnRenamed("n", "access_count")
       .orderBy(col("resource_entropy").desc, col("user_id").asc)
 
+  /** Co-access graph projection: pairs of users touching >= 2 common
+    * resources — the two-hop Cypher pattern
+    * (u1)-[:ACCESSES]->(r)<-[:ACCESSES]-(u2) the reference's graph model
+    * implies (neo4j_setup.py:87-110 builds ACCESSES/INVOLVES edges). The
+    * self-join runs on the DISTINCT (user, resource) edge list keyed by
+    * resource, so fan-out is Σ deg(r)² over resources, not |users|²; at
+    * corpus scale a frequency cap on ultra-hot resources (drop or sample
+    * r with deg(r) > cap before the join) bounds the quadratic term —
+    * standard bipartite-projection practice. Top-100, deterministic.
+    */
+  def qCoaccessPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ur = activityLog(spark, dir)
+      .filter(col("resource").isNotNull)
+      .select(col("user_id"), col("resource")).distinct()
+    ur.as("a").join(ur.as("b"),
+        col("a.resource") === col("b.resource") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("shared_resources"))
+      .filter(col("shared_resources") >= 2)
+      .orderBy(col("shared_resources").desc, col("user_a"), col("user_b"))
+      .limit(100)
+  }
+
   /** Flagship: the full per-user ML feature matrix
     * (ref: neo4j_analysis.py:124-247) in ONE wide aggregation.
     *
