@@ -24,6 +24,7 @@ object SparkEntry {
     "q_temporal_entropy" -> (ThreatOps.qTemporalEntropy _),
     "q_resource_entropy" -> (ThreatOps.qResourceEntropy _),
     "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
+    "q_funnel" -> (ThreatOps.qFunnel _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
     // E. relational core
@@ -192,6 +193,20 @@ object SparkEntry {
          FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY shared_resources DESC, user_a, user_b LIMIT 100""",
+    "q_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS first_signup
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         pu AS (SELECT e.user_id, min(e.ts) AS first_purchase_after
+           FROM events e JOIN su USING(user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= su.first_signup
+           GROUP BY 1)
+         SELECT su.user_id, first_signup, first_purchase_after,
+           CASE WHEN first_purchase_after IS NOT NULL
+                 AND epoch_us(first_purchase_after) - epoch_us(first_signup)
+                     <= 3600000000
+             THEN 1 ELSE 0 END::BIGINT AS converted_1h
+         FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+         ORDER BY su.user_id""",
     "q_session_window" ->
       """WITH s AS (
            SELECT user_id, event_id, ts,

@@ -129,6 +129,31 @@ object ThreatOps {
       .withColumnRenamed("n", "access_count")
       .orderBy(col("resource_entropy").desc, col("user_id").asc)
 
+  /** Sequence-pattern (funnel) detection: per user, first signup and the
+    * first purchase at-or-after it; converted_1h flags the signup→purchase
+    * sequence completing within an hour (exact-microsecond window). Two
+    * user-keyed aggregations and two user-keyed joins — co-partitioned,
+    * so the pattern match costs one shuffle of each (tiny) event slice,
+    * the CEP-over-log shape that scales.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(su, "user_id")
+      .filter(col("ts") >= col("first_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase_after"))
+    su.join(pu, Seq("user_id"), "left")
+      .withColumn("converted_1h",
+        when(col("first_purchase_after").isNotNull &&
+          unix_micros(col("first_purchase_after")) - unix_micros(col("first_signup"))
+            <= 3600L * 1000000L, 1L).otherwise(0L))
+      .select("user_id", "first_signup", "first_purchase_after", "converted_1h")
+      .orderBy("user_id")
+  }
+
   /** Co-access graph projection: pairs of users touching >= 2 common
     * resources — the two-hop Cypher pattern
     * (u1)-[:ACCESSES]->(r)<-[:ACCESSES]-(u2) the reference's graph model

@@ -70,6 +70,20 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("user_id"),
         col("after_hours_count"))
 
+  /** Burst pattern detection: >= `minCount` error events from one user
+    * inside a sliding 5-minute window — the multi-pattern-over-streams
+    * shape (count-threshold CEP) as a watermarked windowed aggregation.
+    * State is (window × bursty user) only; the filter runs pre-shuffle.
+    */
+  def errorBursts(events: DataFrame, minCount: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .filter(col("event_type") === "error")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= minCount)
+      .select(col("w.start").as("window_start"), col("user_id"), col("n_errors"))
+
   /** Stream-static anomaly scoring: each incoming event joined (broadcast,
     * stateless) against a batch-computed per-user baseline — flag users
     * whose live after-hours event arrives while their historical

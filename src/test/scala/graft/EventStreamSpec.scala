@@ -98,6 +98,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("errorBursts fires only when >= 3 errors land in a 5-minute window") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.errorBursts(mem.toDF())
+      .writeStream.format("memory").queryName("bursts").outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1, 10, 7, "error"), Event(2, ts(11), 7, "error", 1.0),
+        Event(3, ts(12), 7, "error", 1.0),          // user 7: 3 errors in 3 min
+        Event(4, ts(10), 8, "error", 1.0),
+        Event(5, ts(30), 8, "error", 1.0),          // user 8: spread out, never 3
+        Event(6, ts(11), 9, "click", 1.0))          // non-error ignored
+      q.processAllAvailable()
+      // Catalyst pushes the error filter BELOW the watermark node, so only
+      // error events advance the watermark — flush with late lone errors
+      // (2 in a window, below the >= 3 threshold).
+      mem.addData(ev(7, 400, 1, "error"))
+      q.processAllAvailable()
+      mem.addData(ev(8, 700, 1, "error")) // extra batch: emission follows the advance
+      q.processAllAvailable()
+      val users = spark.table("bursts").select("user_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(users === Set(7L))
+    } finally q.stop()
+  }
+
   test("anomalyAlerts: stream-static join flags only high-ratio users after hours") {
     val s = spark
     import s.implicits._
