@@ -165,6 +165,30 @@ object EventStream {
     Session(userId, new Timestamp(s.start), new Timestamp(s.last),
       s.n, (s.last - s.start) / 1000L)
 
+  /** Production sink for the windowed-counts stream: foreachBatch +
+    * dynamic partition overwrite into date-partitioned parquet. Each
+    * micro-batch rewrites ONLY the partitions it touches, so replays
+    * (same epoch re-delivered after a failure) are idempotent — the
+    * exactly-once materialized-view pattern without a transactional
+    * table format.
+    */
+  def sinkWindowedCounts(counts: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          batch.withColumn("window_date", to_date(col("window_start")))
+            .write.mode("overwrite")
+            .partitionBy("window_date")
+            .parquet(path)
+        }
+      }
+      .start()
+
   /** End-to-end wiring sugar: file-source stream over a parquet events
     * directory → windowed counts → an in-memory/console-style sink, used
     * by docs and manual smoke runs. Tests drive the transforms above with

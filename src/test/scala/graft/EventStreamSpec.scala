@@ -143,6 +143,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sinkWindowedCounts materializes closed windows into partitioned parquet") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sinkWindowedCounts(
+      EventStream.windowedCounts(mem.toDF()), s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData(ev(1, 10, 1), ev(2, 20, 1))
+      q.processAllAvailable()
+      mem.addData(ev(3, 400, 2)) // watermark past window [1440,1500)
+      q.processAllAvailable()
+      mem.addData(ev(4, 401, 2))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      val rows = out.select("window_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      assert(rows.toSet === Set((1440L, "login", 2L)))
+      assert(out.columns.contains("window_date"))
+    } finally q.stop()
+  }
+
   test("batch qSessionize and streaming sessionize agree on session counts") {
     val s = spark
     import s.implicits._
