@@ -59,6 +59,7 @@ object SparkEntry {
     "q_token_count" -> (TextOps.qTokenCount _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_tfidf" -> (TextOps.qTfidf _),
+    "q_bm25" -> (TextOps.qBm25 _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -532,6 +533,23 @@ object SparkEntry {
             list_min(list_transform(sh, x -> md5(x))) AS shingle_fp,
             list_min(list_transform(cg, x -> md5(x))) AS chargram_fp
           FROM s ORDER BY doc_id""",
+    "q_bm25" ->
+      s"""WITH t AS (SELECT doc_id, unnest(t) AS term
+            FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          sc AS (SELECT tf.doc_id, term,
+            round(ln(1.0 + (n - df + 0.5)/(df + 0.5))
+              * (tf * (1.2 + 1.0))
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25
+            FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st),
+          r AS (SELECT doc_id, term, bm25,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY bm25 DESC, term) AS BIGINT) AS rk FROM sc)
+          SELECT doc_id, term, bm25, rk FROM r WHERE rk <= 5
+          ORDER BY doc_id, rk""",
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents)

@@ -120,6 +120,34 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** BM25 top-5 terms per document (Lucene-style: k1=1.2, b=0.75,
+    * idf = ln(1 + (N−df+0.5)/(df+0.5))). Same three-aggregate shape as
+    * [[qTfidf]] plus per-doc length and the broadcast corpus stats row
+    * (N, avgdl). The formula is written in the identical operation order
+    * on both engines; log/divide chains are irrational so 4 dp rounding
+    * is boundary-safe.
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val toks = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("term").asc)
+    tf.join(df, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        r4(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * (lit(k1) + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("bm25"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5
     * over word 3-shingles and over rolling 8-char grams. Two documents
     * sharing large content overlap collide on these with high probability
