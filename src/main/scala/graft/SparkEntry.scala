@@ -42,6 +42,7 @@ object SparkEntry {
     "q_semi_join" -> (RelationalOps.qSemiJoin _),
     "q_percentiles" -> (RelationalOps.qPercentiles _),
     "q_pivot" -> (RelationalOps.qPivot _),
+    "q_profile" -> (RelationalOps.qProfile _),
     // F. LLM-data-pipeline: dedup
     "q_dedup_exact" -> (DedupOps.qDedupExact _),
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
@@ -413,6 +414,20 @@ object SparkEntry {
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.75), 4) AS p75
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+           count(DISTINCT user_id) AS user_id_distinct,
+           min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+           count(DISTINCT event_type) AS event_type_distinct,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+           count(DISTINCT value) AS value_distinct,
+           round(min(value), 4) AS value_min, round(max(value), 4) AS value_max,
+           min(ts) AS ts_min, max(ts) AS ts_max,
+           CAST(sum(CASE WHEN json_extract_string(props,'$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS resource_nulls,
+           count(DISTINCT json_extract_string(props,'$.k')) AS resource_distinct
+         FROM events""",
     "q_pivot" ->
       """SELECT user_id,
            CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

@@ -230,6 +230,31 @@ object RelationalOps {
       .orderBy(col("event_type"))
   }
 
+  /** One-pass data profile of the event log: row count, per-column null
+    * and distinct counts, numeric/timestamp ranges — the schema-sanity
+    * scan an ingest pipeline runs before anything else. ONE aggregation
+    * (Spark expands multi-countDistinct internally); no second pass over
+    * the data. Wide typed output avoids cross-engine string rendering.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_id_nulls"),
+      countDistinct(col("user_id")).as("user_id_distinct"),
+      min(col("user_id")).as("user_id_min"),
+      max(col("user_id")).as("user_id_max"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("event_type_nulls"),
+      countDistinct(col("event_type")).as("event_type_distinct"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+      countDistinct(col("value")).as("value_distinct"),
+      r4(min(col("value"))).as("value_min"),
+      r4(max(col("value"))).as("value_max"),
+      min(col("ts")).as("ts_min"),
+      max(col("ts")).as("ts_max"),
+      sum(when(get_json_object(col("props"), "$.k").isNull, 1L).otherwise(0L))
+        .as("resource_nulls"),
+      countDistinct(get_json_object(col("props"), "$.k")).as("resource_distinct"))
+
   /** The event-type domain (stable in the synthetic log; a production
     * pipeline derives it from a dimension table or config).
     */
