@@ -96,6 +96,19 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy(col("doc_id"))
 
+  /** (doc, term) -> tf, shared by the TF-IDF and BM25 scorers. cache()
+    * keys on the logical plan, so whichever runs first materializes the
+    * token aggregation once for both (same pattern as the ML feature
+    * matrix).
+    */
+  private def termFreq(spark: SparkSession, dir: String): DataFrame = {
+    val tf = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.cache()
+    tf
+  }
+
   /** TF-IDF top-5 terms per document (smoothed idf, sklearn-style:
     * ln((N+1)/(df+1)) + 1). Three aggregations — (doc,term) tf, term df
     * derived FROM tf (no second pass over tokens), corpus size as one
@@ -104,9 +117,7 @@ object TextOps {
     * use case.
     */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val toks = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termFreq(spark, dir)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents(spark, dir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -129,9 +140,7 @@ object TextOps {
     */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val k1 = 1.2; val b = 0.75
-    val toks = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termFreq(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
