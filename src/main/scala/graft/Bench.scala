@@ -14,19 +14,29 @@ object Bench {
     // first timed query doesn't absorb one-time JIT + classloading cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // min of 2 runs per query: the second run excludes one-time codegen
-    // compilation; min is the standard steady-state estimator.
+    // compilation; min is the standard steady-state estimator. Failures
+    // are NOT silently timed as if they succeeded — a broken query must
+    // not make the benchmark look faster.
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.min
+      val good = times.filterNot(_.isNaN)
+      if (good.isEmpty) failed += name
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Memo {
   private val store = new ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
 
-  def apply(op: String, spark: SparkSession, dir: String)(f: => DataFrame): DataFrame =
-    store.computeIfAbsent((op, spark, dir), _ => f)
+  /** NOT computeIfAbsent: memoized bodies call other memoized queries
+    * (density → pca), and a mapping function that re-enters the same
+    * ConcurrentHashMap violates its contract (IllegalStateException
+    * "Recursive update" when keys share a bin). Compute outside the
+    * lock; a rare duplicate fit under concurrency is benign (same
+    * seeded result) and putIfAbsent keeps the first.
+    */
+  def apply(op: String, spark: SparkSession, dir: String)(f: => DataFrame): DataFrame = {
+    val key = (op, spark, dir)
+    val hit = store.get(key)
+    if (hit != null) hit
+    else {
+      val v = f
+      val prev = store.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+  }
 }

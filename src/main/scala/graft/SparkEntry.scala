@@ -131,10 +131,10 @@ object SparkEntry {
          round(weekend_activities*1.0/greatest(total_activities,1), 4) AS weekend_ratio
        FROM base b JOIN ae USING(user_id) JOIN te USING(user_id)"""
 
-  private val mlFeatures = Seq(
-    "total_activities", "after_hours_activities", "weekend_activities",
-    "unique_resources", "activity_types", "activity_entropy",
-    "temporal_entropy", "after_hours_ratio", "weekend_ratio")
+  /** Single source of truth with the engine side: the oracle must score
+    * exactly the features MLOps scores.
+    */
+  private val mlFeatures = MLOps.FeatureCols
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -572,7 +572,7 @@ object SparkEntry {
            byte_len % 64 + 1 AS fake_width,
            byte_len // 7 % 64 + 1 AS fake_height,
            byte_len // 100 + 1 AS n_frames,
-           greatest((byte_len // 100 + 1) // 4, 1) AS sampled_frames
+           (byte_len // 100 + 1 + 3) // 4 AS sampled_frames
          FROM m ORDER BY doc_id""",
   )
 }

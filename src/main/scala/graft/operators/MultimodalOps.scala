@@ -118,6 +118,7 @@ object MultimodalOps {
         expr("byte_len % 64 + 1").as("fake_width"),
         expr("byte_len div 7 % 64 + 1").as("fake_height"),
         expr("byte_len div 100 + 1").as("n_frames"),
-        expr("greatest((byte_len div 100 + 1) div 4, 1L)").as("sampled_frames"))
+        // ceil(n/stride): matches sampleFrameIndices(n, 4).length exactly
+        expr("(byte_len div 100 + 1 + 3) div 4").as("sampled_frames"))
       .orderBy(col("doc_id"))
 }

@@ -34,10 +34,13 @@ object RelationalOps {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** TPC-H Q3-style shipping-priority query. customer is tiny relative to
-    * lineitem → broadcast both dimension joins; revenue agg shuffles once
-    * on l_orderkey. Top-10 with a deterministic (revenue DESC, orderkey
-    * ASC) tiebreak so the result set hash-matches the oracle.
+  /** TPC-H Q3-style shipping-priority query. Only the FILTERED CUSTOMER
+    * side is explicitly broadcast (one segment ≈ a fifth of a dimension
+    * table); orders is fact-sized — its date predicate keeps most rows —
+    * so lineitem⋈orders is a shuffle join on l_orderkey and AQE is free
+    * to downgrade it to broadcast only when runtime stats fit. Top-10
+    * with a deterministic (revenue DESC, orderkey ASC) tiebreak so the
+    * result set hash-matches the oracle.
     */
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -45,11 +48,11 @@ object RelationalOps {
     val ord = orders(spark, dir)
       .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     val li = lineitem(spark, dir)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(r2(sum(col("rev"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)

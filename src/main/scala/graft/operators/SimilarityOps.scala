@@ -78,11 +78,13 @@ object SimilarityOps {
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(toDouble(col("embedding"))).as("fv"))
-    // Coarse quantizer fit on a bounded sample: the model is tiny (k
-    // centroids) regardless of corpus size.
+    // Coarse quantizer fit on a bounded DETERMINISTIC sample (id-range,
+    // not limit(): an unordered limit takes whichever rows arrive first
+    // and would break cross-run reproducibility of the fit). The model
+    // is tiny (k centroids) regardless of corpus size.
     val model = new KMeans().setK(k).setSeed(42)
       .setFeaturesCol("fv").setPredictionCol("list_id")
-      .fit(e.limit(2000))
+      .fit(e.filter(col("vec_id") < 2000))
     val centroids = model.clusterCenters.map(_.toArray)
     // Inverted-list assignment + per-probe nprobe list selection are both
     // narrow projections over literal centroids (codegen'd dotProd).

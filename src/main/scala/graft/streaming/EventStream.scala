@@ -166,11 +166,14 @@ object EventStream {
       s.n, (s.last - s.start) / 1000L)
 
   /** Production sink for the windowed-counts stream: foreachBatch +
-    * dynamic partition overwrite into date-partitioned parquet. Each
-    * micro-batch rewrites ONLY the partitions it touches, so replays
-    * (same epoch re-delivered after a failure) are idempotent — the
-    * exactly-once materialized-view pattern without a transactional
-    * table format.
+    * dynamic partition overwrite into parquet partitioned by
+    * (window_date, window_ts). The partition key is the WINDOW itself:
+    * append mode finalizes each window in exactly one micro-batch, so no
+    * two batches ever write the same partition (no cross-batch
+    * clobbering), while a replayed batch rewrites exactly its own
+    * partitions — idempotent without a transactional table format.
+    * (Partitioning by date alone would let batch N+1's windows of the
+    * same day overwrite batch N's.)
     */
   def sinkWindowedCounts(counts: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -181,9 +184,11 @@ object EventStream {
         if (!batch.isEmpty) {
           batch.sparkSession.conf
             .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          batch.withColumn("window_date", to_date(col("window_start")))
+          batch
+            .withColumn("window_date", to_date(col("window_start")))
+            .withColumn("window_ts", unix_timestamp(col("window_start")))
             .write.mode("overwrite")
-            .partitionBy("window_date")
+            .partitionBy("window_date", "window_ts")
             .parquet(path)
         }
       }

@@ -31,10 +31,10 @@ class EntryContractSpec extends SparkSpec {
       s"expected pushdown in plan:\n$plan")
   }
 
-  test("q3Join broadcasts both dimension sides") {
+  test("q3Join broadcasts the filtered customer dimension") {
     val plan = RelationalOps.q3Join(spark, sf).queryExecution.executedPlan.toString
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(broadcasts >= 2, s"expected 2 broadcast joins in plan:\n$plan")
+    assert(broadcasts >= 1, s"expected the customer broadcast join in plan:\n$plan")
   }
 
   test("q1Agg aggregates inside whole-stage codegen") {

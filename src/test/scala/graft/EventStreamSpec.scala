@@ -151,16 +151,21 @@ class EventStreamSpec extends SparkSpec {
     val q = EventStream.sinkWindowedCounts(
       EventStream.windowedCounts(mem.toDF()), s"$dir/out", s"$dir/ckpt")
     try {
-      mem.addData(ev(1, 10, 1), ev(2, 20, 1))
+      mem.addData(ev(1, 10, 1), ev(2, 20, 1))       // window [1440,1500)
       q.processAllAvailable()
-      mem.addData(ev(3, 400, 2)) // watermark past window [1440,1500)
+      mem.addData(ev(3, 70, 2), ev(4, 185, 2))      // wm -> 1505: closes 1440
       q.processAllAvailable()
-      mem.addData(ev(4, 401, 2))
+      mem.addData(ev(5, 430, 9))                    // wm -> 1750: closes 1500+1620
+      q.processAllAvailable()
+      mem.addData(ev(6, 431, 9))                    // emission batch
       q.processAllAvailable()
       val out = spark.read.parquet(s"$dir/out")
       val rows = out.select("window_start", "event_type", "n").collect()
         .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
-      assert(rows.toSet === Set((1440L, "login", 2L)))
+      // windows of the SAME date finalized in DIFFERENT batches must all
+      // survive (regression: date-only partition overwrite clobbered them)
+      assert(rows.toSet === Set(
+        (1440L, "login", 2L), (1500L, "login", 1L), (1620L, "login", 1L)))
       assert(out.columns.contains("window_date"))
     } finally q.stop()
   }
