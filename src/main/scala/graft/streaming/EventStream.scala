@@ -70,6 +70,18 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("user_id"),
         col("after_hours_count"))
 
+  /** Streaming exact deduplication: drops events re-delivered with the
+    * same event_id (at-least-once sources like Kafka replay on failure)
+    * while keeping state bounded — `dropDuplicatesWithinWatermark` evicts
+    * a key's dedup state once the watermark passes its event time, unlike
+    * `dropDuplicates` whose state grows forever. The streaming twin of
+    * the batch exact-dedup operator (DedupOps.qDedupExact).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Burst pattern detection: >= `minCount` error events from one user
     * inside a sliding 5-minute window — the multi-pattern-over-streams
     * shape (count-threshold CEP) as a watermarked windowed aggregation.

@@ -98,6 +98,22 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents drops replayed event_ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10, 1), ev(2, 20, 1))
+      q.processAllAvailable()
+      mem.addData(ev(1, 10, 1), ev(3, 30, 2)) // event 1 replayed
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("errorBursts fires only when >= 3 errors land in a 5-minute window") {
     val s = spark
     import s.implicits._
