@@ -25,6 +25,8 @@ object SparkEntry {
     "q_resource_entropy" -> (ThreatOps.qResourceEntropy _),
     "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
     "q_funnel" -> (ThreatOps.qFunnel _),
+    "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
+    "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
     // E. relational core
@@ -61,6 +63,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_tfidf" -> (TextOps.qTfidf _),
     "q_bm25" -> (TextOps.qBm25 _),
+    "q_stratified_sample" -> (TextOps.qStratifiedSample _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -71,6 +74,7 @@ object SparkEntry {
     "q_kmeans_anomaly" -> (MLOps.qKmeansAnomaly _),
     "q_pca_project" -> (MLOps.qPcaProject _),
     "q_ensemble_vote" -> (MLOps.qEnsembleVote _),
+    "q_anomaly_report" -> (MLOps.qAnomalyReport _),
     "q_supervised_rf" -> (MLOps.qSupervisedRf _),
     "q_supervised_gbt" -> (MLOps.qSupervisedGbt _),
     "q_supervised_svc" -> (MLOps.qSupervisedSvc _),
@@ -195,6 +199,12 @@ object SparkEntry {
          FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY shared_resources DESC, user_a, user_b LIMIT 100""",
+    "q_hourly_heatmap" -> {
+      val cols = (0 until 24).map(h =>
+        f"CAST(sum(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS h_$h%02d")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
+    },
     "q_funnel" ->
       """WITH su AS (SELECT user_id, min(ts) AS first_signup
            FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -211,6 +211,27 @@ object MLOps {
       .orderBy("user_id")
   }
 
+  /** The reference's final output artifact (resultats_non_supervise.csv:
+    * per-user features + every detector's flag + scores + ensemble
+    * verdict) as ONE query: the cached feature matrix joined with all
+    * five detectors and the PCA projection, everything keyed by user_id
+    * (co-partitioned joins, no extra big-side exchange).
+    */
+  def qAnomalyReport(spark: SparkSession, dir: String): DataFrame = {
+    val uf = userFeatures(spark, dir)
+    val z = qZscoreAnomaly(spark, dir)
+      .select(col("user_id"), col("anomaly_score"), col("z_l2"))
+    val ens = qEnsembleVote(spark, dir)
+    val pca = qPcaProject(spark, dir)
+    uf.join(z, "user_id").join(ens, "user_id").join(pca, "user_id")
+      .select(col("user_id"), col("total_activities"), col("after_hours_ratio"),
+        col("weekend_ratio"), col("activity_entropy"), col("temporal_entropy"),
+        col("anomaly_score"), col("z_l2"), col("pc1"), col("pc2"),
+        col("flag_z"), col("flag_q"), col("flag_k"), col("flag_d"), col("flag_r"),
+        col("votes"), col("is_anomaly"))
+      .orderBy(col("user_id"))
+  }
+
   /** Density-based outliers — the distributed re-expression of the
     * reference's DBSCAN detector (Comparaison_ML.py:172-196 region).
     * DBSCAN itself is sequential/region-growing; the part that matters

@@ -157,6 +157,21 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Stratified document sample: a fixed fraction per language, seeded —
+    * the curation primitive for balancing a training corpus (downsample
+    * over-represented languages). `sampleBy` pushes the per-stratum
+    * Bernoulli draw into the scan (no shuffle); seeded → reproducible on
+    * one engine, rows-only across engines.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val langs = markers.map(_._1)
+    val fractions = langs.map(_ -> 0.2).toMap
+    documents(spark, dir)
+      .stat.sampleBy("lang", fractions, 42L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5
     * over word 3-shingles and over rolling 8-char grams. Two documents
     * sharing large content overlap collide on these with high probability

@@ -129,6 +129,35 @@ object ThreatOps {
       .withColumnRenamed("n", "access_count")
       .orderBy(col("resource_entropy").desc, col("user_id").asc)
 
+  /** User × hour-of-day activity matrix (24 fixed columns) — the data
+    * behind the reference's temporal-distribution heatmap
+    * (neo4j_visualization.py:107-166 plots exactly this). Conditional
+    * aggregation, one shuffle.
+    */
+  def qHourlyHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val hourCols = (0 until 24).map(h =>
+      sum(when(hourOfDay === h, 1L).otherwise(0L)).as(f"h_$h%02d"))
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(hourCols.head, hourCols.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Approximate per-user distinct-resource counts via HyperLogLog++ —
+    * the 100 TB swap-in for [[qResourceAccess]]'s exact countDistinct
+    * (exact distinct needs per-key de-dup state proportional to
+    * cardinality; HLL state is a fixed sketch, and sketches merge, so
+    * partial aggregation stays map-side). rows-only: HLL internals are
+    * engine-specific. Spec bounds the error against the exact count.
+    */
+  def qResourceAccessApprox(spark: SparkSession, dir: String): DataFrame =
+    activityLog(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(approx_count_distinct(col("resource"), 0.02).as("approx_resources"),
+        count(lit(1)).as("total_accesses"))
+      .orderBy(col("approx_resources").desc, col("user_id").asc)
+      .limit(10)
+
   /** Sequence-pattern (funnel) detection: per user, first signup and the
     * first purchase at-or-after it; converted_1h flags the signup→purchase
     * sequence completing within an hour (exact-microsecond window). Two

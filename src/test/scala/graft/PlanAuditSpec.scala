@@ -12,7 +12,8 @@ class PlanAuditSpec extends SparkSpec {
   // global stats onto the feature matrix. Both build sides are O(1)-to-
   // O(probes) regardless of corpus size.
   private val nestedLoopAllowed =
-    Set("q_ann_brute", "q_zscore_anomaly", "q_ensemble_vote", "q_tfidf", "q_bm25")
+    Set("q_ann_brute", "q_zscore_anomaly", "q_ensemble_vote", "q_anomaly_report",
+      "q_tfidf", "q_bm25")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -49,6 +49,43 @@ class ThreatOpsSpec extends SparkSpec {
     uf.unpersist()
   }
 
+  test("qHourlyHeatmap row sums equal per-user activity counts") {
+    val hm = ThreatOps.qHourlyHeatmap(spark, sf)
+      .withColumn("rowsum", (0 until 24).map(h => col(f"h_$h%02d")).reduce(_ + _))
+    val act = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(hm.join(act, "user_id").filter(col("rowsum") =!= col("n")).count() === 0)
+  }
+
+  test("approx distinct resources stays within HLL error of exact") {
+    val approx = ThreatOps.qResourceAccessApprox(spark, sf)
+      .select(col("user_id"), col("approx_resources"))
+    val exact = ThreatOps.qResourceAccess(spark, sf)
+      .select(col("user_id"), col("unique_resources"))
+    val joined = approx.join(exact, "user_id")
+      .filter(abs(col("approx_resources") - col("unique_resources"))
+        > col("unique_resources") * 0.15 + 2)
+    assert(joined.count() === 0)
+  }
+
+  test("qAnomalyReport joins every detector for every user") {
+    val r = graft.operators.MLOps.qAnomalyReport(spark, sf).cache()
+    assert(r.count() === graft.operators.ThreatOps.qUserFeatures(spark, sf).count())
+    assert(r.filter(col("votes") =!= col("flag_z") + col("flag_q") + col("flag_k")
+      + col("flag_d") + col("flag_r")).count() === 0)
+    r.unpersist()
+  }
+
+  test("qStratifiedSample draws roughly the target fraction per language") {
+    val sample = graft.operators.TextOps.qStratifiedSample(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("sampled"))
+    val full = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("total"))
+    val off = sample.join(full, "lang")
+      .filter(col("sampled") < col("total") * 0.05 ||
+        col("sampled") > col("total") * 0.45)
+    assert(off.count() === 0, "each stratum should be near 20% sampled")
+  }
+
   test("top-k queries respect limit and deterministic ordering") {
     val rows = ThreatOps.qAfterHoursTop(spark, sf).collect()
     assert(rows.length <= 10 && rows.nonEmpty)
