@@ -30,11 +30,14 @@ object Bench {
       }
       val good = times.filterNot(_.isNaN)
       if (good.isEmpty) failed += name
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      name -> good.minOption
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Failed queries are OMITTED from the timings map (they're in
+    // "failed"): a numeric sentinel like -1.0 would poison any consumer
+    // summing or plotting the per-query values.
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.flatten.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -32,4 +32,37 @@ object Memo {
       if (prev != null) prev else v
     }
   }
+
+  /** Memoize AND pin: the shared-plan variant for small derived tables
+    * (feature matrices, term frequencies) that several operators consume.
+    * Returning the SAME DataFrame object on every call means exactly one
+    * `.cache()` registration per (op, session, dir) — repeated invocations
+    * don't stack fresh InMemoryRelations — and [[invalidate]] can
+    * unpersist it deterministically.
+    */
+  def cached(op: String, spark: SparkSession, dir: String)(f: => DataFrame): DataFrame =
+    apply(op, spark, dir) { val v = f; v.cache(); v }
+
+  /** Drop (and unpersist) every memoized entry whose input directory is
+    * `dir` — call after rewriting the data under `dir` in a long-lived
+    * session, so stale fitted models / cached plans can't be served.
+    */
+  def invalidate(dir: String): Unit = {
+    val it = store.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._3 == dir) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** Full reset: unpersist and forget everything (e.g. between test
+    * suites or at session teardown). */
+  def clear(): Unit = {
+    store.values().forEach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    store.clear()
+  }
 }

@@ -81,10 +81,11 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash fingerprint: per token, md5 → 64 bits; sum ±1 per bit
-    * position weighted by token frequency; sign → fingerprint bit. Emitted
-    * as a hex string plus a 16-bit prefix bucket for hamming-neighborhood
-    * joins at scale.
+  /** 60-bit SimHash fingerprint (15 hex chars of md5 → bits 0..59; 16 hex
+    * chars would overflow a signed long): per token, hash to 60 bits; sum
+    * ±1 per bit position weighted by token frequency; sign → fingerprint
+    * bit. `bucket16` is the TOP 16 bits (bits 44..59, `simhash >> 44`) for
+    * hamming-neighborhood joins at scale.
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // Per doc: explode tokens, hash each to a 64-bit value via the first

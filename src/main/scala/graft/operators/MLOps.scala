@@ -45,18 +45,17 @@ object MLOps {
   /** Expected anomaly fraction (ref Comparaison_ML.py contamination=0.1). */
   val Contamination = 0.1
 
-  /** The feature matrix every detector consumes. cache() keys on the
-    * logical plan, so the z-score/quantile/KMeans branches (and the
-    * ensemble that runs all three) resolve to ONE shared InMemoryRelation
-    * instead of re-running the event-log aggregation per detector — the
-    * matrix is |users| rows, exactly what you'd pin in memory on a
-    * cluster while the 100 TB log stays on disk.
+  /** The feature matrix every detector consumes. Memo.cached returns the
+    * SAME pinned DataFrame per (session, dir), so the z-score/quantile/
+    * KMeans branches (and the ensemble that runs all three) resolve to ONE
+    * shared InMemoryRelation — the matrix is |users| rows, exactly what
+    * you'd pin in memory on a cluster while the 100 TB log stays on disk —
+    * and Memo.invalidate(dir) unpersists it when the data changes.
     */
-  private def userFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val uf = ThreatOps.qUserFeatures(spark, dir)
-    uf.cache()
-    uf
-  }
+  private def userFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("userFeatures", spark, dir) {
+      ThreatOps.qUserFeatures(spark, dir)
+    }
 
   /** Standardize + max-|z| anomaly score + contamination-quantile flag —
     * the deterministic analogue of StandardScaler→IsolationForest-style
@@ -133,17 +132,21 @@ object MLOps {
 
   /** User feature matrix standardized to zero-mean/unit-variance vectors —
     * shared input for the MLlib detectors (ref Comparaison_ML.py:125-130).
+    * Memo.cached: the scaler FIT is driver-side work, and KMeans/PCA/recon
+    * all iterate over this |users|-row frame — one pinned copy per
+    * (session, dir), unpersisted by Memo.invalidate.
     */
-  private def standardizedFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val uf = userFeatures(spark, dir)
-    val assembled = new VectorAssembler()
-      .setInputCols(FeatureCols.toArray).setOutputCol("fv")
-      .transform(uf)
-    new StandardScaler()
-      .setInputCol("fv").setOutputCol("sfv").setWithMean(true).setWithStd(true)
-      .fit(assembled).transform(assembled)
-      .select(col("user_id"), col("sfv"))
-  }
+  private def standardizedFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("standardizedFeatures", spark, dir) {
+      val uf = userFeatures(spark, dir)
+      val assembled = new VectorAssembler()
+        .setInputCols(FeatureCols.toArray).setOutputCol("fv")
+        .transform(uf)
+      new StandardScaler()
+        .setInputCol("fv").setOutputCol("sfv").setWithMean(true).setWithStd(true)
+        .fit(assembled).transform(assembled)
+        .select(col("user_id"), col("sfv"))
+    }
 
   /** KMeans(k=2, seed=42) on standardized features; the smaller cluster is
     * the anomalous one, scored by distance-to-centroid
@@ -158,7 +161,7 @@ object MLOps {
     graft.Memo("kmeans", spark, dir)(kmeansImpl(spark, dir))
 
   private def kmeansImpl(spark: SparkSession, dir: String): DataFrame = {
-    val sf = standardizedFeatures(spark, dir).cache()
+    val sf = standardizedFeatures(spark, dir)
     val model = new KMeans().setK(2).setSeed(42)
       .setFeaturesCol("sfv").setPredictionCol("cluster")
       .fit(sf)

@@ -95,13 +95,17 @@ object MultimodalOps {
 
   /** Rows-only gate entry for the typed mapPartitions feature path:
     * histogram mass must equal byte length (checked in spec; the gate
-    * checks determinism via rows>0 + schema).
+    * checks determinism via rows>0 + schema). The histogram is emitted
+    * as a comma-joined STRING, not array<long>: downstream compare
+    * tooling (pandas sort/hash) can't order array cells, and a scalar
+    * column keeps the output portable across engines.
     */
   def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{array_join, col}
     extractFeatures(spark, dir).toDF()
       .select(col("docId").as("doc_id"), col("byteLen").as("byte_len"),
-        col("hist"), col("meanByte").as("mean_byte"))
+        array_join(col("hist").cast("array<string>"), ",").as("hist"),
+        col("meanByte").as("mean_byte"))
       .orderBy(col("doc_id"))
   }
 

@@ -96,18 +96,18 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy(col("doc_id"))
 
-  /** (doc, term) -> tf, shared by the TF-IDF and BM25 scorers. cache()
-    * keys on the logical plan, so whichever runs first materializes the
-    * token aggregation once for both (same pattern as the ML feature
-    * matrix).
+  /** (doc, term) -> tf, shared by the TF-IDF and BM25 scorers. Memo.cached
+    * hands back the SAME pinned DataFrame per (session, dir): whichever
+    * scorer runs first materializes the token aggregation once for both,
+    * repeat calls don't stack InMemoryRelations, and Memo.invalidate(dir)
+    * releases the storage (same pattern as the ML feature matrix).
     */
-  private def termFreq(spark: SparkSession, dir: String): DataFrame = {
-    val tf = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.cache()
-    tf
-  }
+  private def termFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("termFreq", spark, dir) {
+      spread(spark, documents(spark, dir))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
 
   /** TF-IDF top-5 terms per document (smoothed idf, sklearn-style:
     * ln((N+1)/(df+1)) + 1). Three aggregations — (doc,term) tf, term df

@@ -186,23 +186,68 @@ object ThreatOps {
   /** Co-access graph projection: pairs of users touching >= 2 common
     * resources — the two-hop Cypher pattern
     * (u1)-[:ACCESSES]->(r)<-[:ACCESSES]-(u2) the reference's graph model
-    * implies (neo4j_setup.py:87-110 builds ACCESSES/INVOLVES edges). The
-    * self-join runs on the DISTINCT (user, resource) edge list keyed by
-    * resource, so fan-out is Σ deg(r)² over resources, not |users|²; at
-    * corpus scale a frequency cap on ultra-hot resources (drop or sample
-    * r with deg(r) > cap before the join) bounds the quadratic term —
-    * standard bipartite-projection practice. Top-100, deterministic.
+    * implies (neo4j_setup.py:87-110 builds ACCESSES/INVOLVES edges).
+    * Pair fan-out is Σ C(deg(r),2) over resources, not |users|² — and the
+    * pairs are never materialized as a join result: per-resource user
+    * sets are folded into a bounded partition-local count map (map-side
+    * combining), so only distinct pairs reach the shuffle. At corpus
+    * scale a frequency cap on ultra-hot resources (drop or sample r with
+    * deg(r) > cap before pairing) bounds the quadratic term — standard
+    * bipartite-projection practice. Top-100, deterministic.
     */
   def qCoaccessPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ur = activityLog(spark, dir)
+    val s = spark
+    import s.implicits._
+    // ONE shuffle: collect_set dedupes (user, resource) while grouping by
+    // resource, so the distinct() pre-pass (and its extra exchange) is
+    // fused into the same aggregation.
+    val perResource = activityLog(spark, dir)
       .filter(col("resource").isNotNull)
-      .select(col("user_id"), col("resource")).distinct()
-    ur.as("a").join(ur.as("b"),
-        col("a.resource") === col("b.resource") &&
-          col("a.user_id") < col("b.user_id"))
-      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
-      .agg(count(lit(1)).as("shared_resources"))
+      .groupBy(col("resource"))
+      .agg(collect_set(col("user_id")).as("users"))
+      .filter(size(col("users")) >= 2)
+      .select(col("users"))
+    // Pair generation + map-side combining in one tight partition-local
+    // loop. A self-join materializes Σ deg(r)² rows (53M at sf0.1) just to
+    // hash-aggregate them back down to |user pairs| (≤ C(|users|,2), 24×
+    // smaller here); instead each partition folds its pairs straight into
+    // a primitive packed-long → count map and emits only its DISTINCT
+    // pairs. Fewer, fatter partitions maximize that local dedup (each
+    // partition's emission is capped by |distinct pairs|, not Σ deg²)
+    // while keeping the counting loop parallel; the map is BOUNDED — at
+    // FlushAt entries it drains to the iterator and Spark sums the
+    // partials — so memory stays fixed no matter how hot a resource is.
+    val FlushAt = 1 << 22
+    val pairParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
+    val partial = perResource.repartition(pairParts)
+      .as[Array[Long]].mapPartitions { groups =>
+        val m = new LongCountMap(1 << 16)
+        val flushed = groups.flatMap { users =>
+          java.util.Arrays.sort(users)
+          // Packed (a<<32 | b) pair key needs ids in [0, 2^31); beyond
+          // that (planet-scale id spaces) key on a (a,b) struct instead.
+          require(users(0) >= 0 && users(users.length - 1) < (1L << 31),
+            "user_id out of packable range [0, 2^31)")
+          var i = 0
+          val n = users.length
+          var spill: Iterator[(Long, Long)] = Iterator.empty
+          while (i < n - 1) {
+            val a = users(i) << 32
+            var j = i + 1
+            while (j < n) { m.increment(a | users(j)); j += 1 }
+            i += 1
+          }
+          if (m.size >= FlushAt) spill = m.drain()
+          spill
+        }
+        flushed ++ m.drain()
+      }
+    partial.toDF("pk", "c")
+      .groupBy(col("pk")).agg(sum(col("c")).as("shared_resources"))
       .filter(col("shared_resources") >= 2)
+      .select(shiftright(col("pk"), 32).as("user_a"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("user_b"),
+        col("shared_resources"))
       .orderBy(col("shared_resources").desc, col("user_a"), col("user_b"))
       .limit(100)
   }
@@ -237,5 +282,71 @@ object ThreatOps {
       .withColumn("weekend_ratio",
         r4(col("weekend_activities") / greatest(col("total_activities"), lit(1))))
       .orderBy(col("user_id"))
+  }
+}
+
+/** Primitive open-addressed long→long counter for partition-local pair
+  * combining ([[ThreatOps.qCoaccessPairs]]). Boxed `HashMap[JLong,_]` pays
+  * an allocation + two pointer hops per increment; this is two flat array
+  * probes. Keys must be ≥ 1 (0 is the empty-slot sentinel — packed pair
+  * keys always are, since the high user id is < the low and ids are ≥ 0,
+  * so the low 32 bits are ≥ 1). Grows ×2 at 60% load; not thread-safe
+  * (one instance per partition iterator).
+  */
+private[operators] final class LongCountMap(initialCapacity: Int) {
+  private var cap = Integer.highestOneBit(math.max(initialCapacity, 16))
+  if (cap < initialCapacity) cap <<= 1
+  private var mask = cap - 1
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var n = 0
+
+  def size: Int = n
+
+  @inline private def slot(k: Long, m: Int): Int = {
+    val h = k * 0x9E3779B97F4A7C15L
+    (((h >>> 32) ^ h).toInt) & m
+  }
+
+  def increment(k: Long): Unit = {
+    var i = slot(k, mask)
+    while (true) {
+      val cur = keys(i)
+      if (cur == k) { vals(i) += 1; return }
+      if (cur == 0L) {
+        keys(i) = k; vals(i) = 1L; n += 1
+        if (n * 5 > cap * 3) grow()
+        return
+      }
+      i = (i + 1) & mask
+    }
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    var i = 0
+    while (i < ok.length) {
+      val k = ok(i)
+      if (k != 0L) {
+        var j = slot(k, mask)
+        while (keys(j) != 0L) j = (j + 1) & mask
+        keys(j) = k; vals(j) = ov(i)
+      }
+      i += 1
+    }
+  }
+
+  /** Emit all (key, count) entries and reset to empty (capacity kept). */
+  def drain(): Iterator[(Long, Long)] = {
+    val out = new Array[(Long, Long)](n)
+    var i = 0; var o = 0
+    while (i < cap) {
+      if (keys(i) != 0L) { out(o) = (keys(i), vals(i)); o += 1; keys(i) = 0L }
+      i += 1
+    }
+    n = 0
+    out.iterator
   }
 }

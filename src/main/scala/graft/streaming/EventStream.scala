@@ -158,7 +158,12 @@ object EventStream {
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.last <= SessionGapMs =>
-          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          // Late-but-admitted events can predate the open session (t <
+          // s.last, even t < s.start): merging is the documented one-pass
+          // approximation, but the span must still cover the event —
+          // extend BOTH ends so start/duration can't understate it.
+          cur = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1))
         case Some(s) =>
           closed += toSession(userId, s)
           cur = Some(SessionState(t, t, 1))
