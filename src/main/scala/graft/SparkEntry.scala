@@ -45,11 +45,17 @@ object SparkEntry {
     "q_percentiles" -> (RelationalOps.qPercentiles _),
     "q_pivot" -> (RelationalOps.qPivot _),
     "q_profile" -> (RelationalOps.qProfile _),
+    "q_cube" -> (RelationalOps.qCube _),
+    "q_set_ops" -> (RelationalOps.qSetOps _),
+    "q_min_by_group" -> (RelationalOps.qMinByGroup _),
+    "q_moving_avg" -> (RelationalOps.qMovingAvg _),
+    "q_exists_agg" -> (RelationalOps.qExistsAgg _),
     // F. LLM-data-pipeline: dedup
     "q_dedup_exact" -> (DedupOps.qDedupExact _),
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
     "q_dedup_minhash_pairs" -> (DedupOps.qDedupMinhashPairs _),
     "q_dedup_simhash" -> (DedupOps.qDedupSimhash _),
+    "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
     "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     // F. similarity search
     "q_embed_neardup" -> (SimilarityOps.qEmbedNeardup _),
@@ -64,6 +70,8 @@ object SparkEntry {
     "q_tfidf" -> (TextOps.qTfidf _),
     "q_bm25" -> (TextOps.qBm25 _),
     "q_stratified_sample" -> (TextOps.qStratifiedSample _),
+    "q_chunk_docs" -> (TextOps.qChunkDocs _),
+    "q_repetition" -> (TextOps.qRepetition _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -138,6 +146,24 @@ object SparkEntry {
   /** Single source of truth with the engine side: the oracle must score
     * exactly the features MLOps scores.
     */
+  /** MinHash-LSH verified candidate pairs (mirror of
+    * DedupOps.qDedupMinhashPairs) — shared by the pairs oracle and the
+    * connected-components cluster oracle. */
+  private val minhashPairsSql =
+    s"""WITH s AS (SELECT doc_id, list_distinct(hs) AS hj,
+          ${(0 until 12).map(minhashSql).mkString(", ")}
+        FROM ($hashedShinglesSql)),
+        bk AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
+          s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
+        FROM s),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          round(len(list_intersect(sa.hj, sb.hj))*1.0
+            / len(list_distinct(list_concat(sa.hj, sb.hj))), 4) AS jaccard
+        FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+        ORDER BY jaccard DESC, doc_a, doc_b"""
+
   private val mlFeatures = MLOps.FeatureCols
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -404,6 +430,42 @@ object SparkEntry {
       """SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY ROLLUP(user_id, event_type)
          ORDER BY user_id NULLS LAST, event_type NULLS LAST""",
+    "q_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT 'click_and_purchase' AS tag, user_id
+           FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+         UNION ALL
+         SELECT 'click_no_purchase' AS tag, user_id
+           FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+         ORDER BY tag, user_id""",
+    "q_min_by_group" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 min(p_retailprice) OVER (PARTITION BY p_brand) AS brand_min
+               FROM part)
+         WHERE p_retailprice = brand_min
+         ORDER BY p_brand, p_partkey""",
+    "q_moving_avg" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           round(avg(n) OVER (PARTITION BY user_id ORDER BY d - DATE '1970-01-01'
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         FROM daily ORDER BY user_id, day""",
+    "q_exists_agg" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -459,20 +521,24 @@ object SparkEntry {
             ${(0 until 12).map(j => s"mh_$j").mkString(", ")},
             ${(0 until 4).map(b => s"md5(${bandSql(b)}) AS band_$b").mkString(", ")}
           FROM mh ORDER BY doc_id""",
-    "q_dedup_minhash_pairs" ->
-      s"""WITH s AS (SELECT doc_id, list_distinct(hs) AS hj,
-            ${(0 until 12).map(minhashSql).mkString(", ")}
-          FROM ($hashedShinglesSql)),
-          bk AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
-            s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
-          FROM s),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b,
-            round(len(list_intersect(sa.hj, sb.hj))*1.0
-              / len(list_distinct(list_concat(sa.hj, sb.hj))), 4) AS jaccard
-          FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
-          ORDER BY jaccard DESC, doc_a, doc_b""",
+    "q_dedup_minhash_pairs" -> minhashPairsSql,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS ($minhashPairsSql),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  WHERE jaccard >= ${DedupOps.ClusterJaccard}
+                UNION ALL
+                SELECT doc_b, doc_a FROM pr
+                  WHERE jaccard >= ${DedupOps.ClusterJaccard}),
+          reach(s, d) AS (
+            SELECT DISTINCT a AS s, a AS d FROM e
+            UNION
+            SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+          comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s)
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+            CAST(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+              THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+          ORDER BY d.doc_id""",
     "q_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, lang, n_chars, list_distinct(hs) AS hj
             FROM ($hashedShinglesSql))
@@ -547,6 +613,37 @@ object SparkEntry {
             AS BIGINT) AS bpe_tokens,
           CAST(length(text) AS BIGINT) AS n_chars_calc
           FROM documents ORDER BY doc_id""",
+    "q_chunk_docs" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+          st AS (SELECT doc_id, t,
+            unnest(generate_series(0, len(t)-1, ${TextOps.ChunkStride})) AS s
+          FROM tok)
+          SELECT doc_id, CAST(s // ${TextOps.ChunkStride} AS BIGINT) AS chunk_idx,
+            CAST(len(list_slice(t, s+1, s+${TextOps.ChunkSize})) AS BIGINT) AS chunk_tokens,
+            substr(md5(array_to_string(list_slice(t, s+1, s+${TextOps.ChunkSize}), ' ')),
+              1, 8) AS chunk_hash
+          FROM st ORDER BY doc_id, chunk_idx""",
+    "q_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+          tf AS (SELECT doc_id, x, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS x FROM tok) GROUP BY 1, 2),
+          ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS uniq_tokens, CAST(max(c) AS BIGINT) AS top_c
+          FROM tf GROUP BY 1),
+          bs AS (SELECT doc_id, CAST(len(list_distinct(
+            CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t)-1),
+                   i -> concat_ws(' ', t[i], t[i+1]))
+              ELSE []::VARCHAR[] END)) AS BIGINT) AS uniq_bigrams
+          FROM tok)
+          SELECT ts.doc_id, n_tokens, uniq_tokens,
+            round(uniq_tokens / n_tokens::DOUBLE, 4) AS uniq_token_ratio,
+            round(top_c / n_tokens::DOUBLE, 4) AS top_token_frac,
+            CAST(greatest(n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+            uniq_bigrams,
+            round(1 - uniq_bigrams / greatest(n_tokens - 1, 1)::DOUBLE, 4)
+              AS dup_bigram_ratio
+          FROM ts JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""",
     "q_fingerprint" ->
       s"""WITH s AS (SELECT doc_id, $shingleSql AS sh,
             list_distinct(CASE WHEN length(text) >= 8

@@ -124,4 +124,62 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
   }
+
+  /** Jaccard threshold above which a verified candidate pair is an edge
+    * of the near-duplicate graph ([[qDedupClusters]]). */
+  val ClusterJaccard = 0.5
+
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * MinHash pair graph, labeling every document with the min doc_id of
+    * its component — the step that turns pairwise near-dup hits into
+    * "keep one per cluster" curation decisions (pairs alone over-delete:
+    * a∼b, b∼c must keep ONE of {a,b,c}, not two survivors of two pairs).
+    *
+    * Algorithm: distributed min-label propagation (the Pregel/GraphX
+    * connected-components kernel) — each round every node takes the min
+    * label among itself and its neighbors; rounds = graph diameter
+    * (near-dup components are tiny and dense, so a handful). Each round
+    * is one edge-keyed join + node-keyed aggregate; labels are
+    * localCheckpointed so lineage doesn't grow per round, and
+    * convergence is detected by the (monotonically decreasing) label sum
+    * — ONE scalar to the driver per round, never the data.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // The verified-pair pipeline (LSH + Jaccard verify) is the expensive
+    // half; memoize the materialized edge list per (session, dir) so
+    // repeated clustering (and the pairs query itself having run) doesn't
+    // re-shingle the corpus. localCheckpoint also truncates lineage, so
+    // propagation rounds re-read a materialized edge list, not the plan.
+    val edges = graft.Memo("minhashEdges", spark, dir) {
+      val pairs = qDedupMinhashPairs(spark, dir)
+        .filter(col("jaccard") >= ClusterJaccard)
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
+    var prevSum = Long.MaxValue
+    var curSum = lblSum(labels)
+    var rounds = 0
+    while (curSum < prevSum && rounds < 50) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      labels = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = lblSum(labels)
+      rounds += 1
+    }
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor",
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
 }

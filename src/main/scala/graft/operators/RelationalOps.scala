@@ -304,4 +304,89 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** CUBE(status, priority) totals over orders — all four grouping sets in
+    * ONE pass (Catalyst expands the cube into a single Expand + hash agg;
+    * map-side partial aggregation still applies, so the shuffle carries at
+    * most 4× the distinct group keys, not 4× the rows). Subtotal rows are
+    * labeled 'ALL' via grouping() so downstream consumers (and the hash
+    * compare) never see NULL-as-subtotal ambiguity.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"),
+        count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total_price"))
+      .select(
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Set operators over user populations: INTERSECT (clicked AND
+    * purchased) and EXCEPT (clicked, never purchased) in one tagged
+    * result. Both compile to aggregate/join plans on the distinct user
+    * sets — no driver-side membership lists.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def users(t: String) = events(spark, dir)
+      .filter(col("event_type") === t).select(col("user_id")).distinct()
+    val clicked = users("click")
+    val purchased = users("purchase")
+    clicked.intersect(purchased).withColumn("tag", lit("click_and_purchase"))
+      .union(clicked.except(purchased).withColumn("tag", lit("click_no_purchase")))
+      .select(col("tag"), col("user_id"))
+      .orderBy(col("tag"), col("user_id"))
+  }
+
+  /** Argmin-by-group (TPC-H Q2's correlated min-subquery pattern): the
+    * part(s) at the minimum retail price per brand. The correlated
+    * subquery re-expresses as ONE window min over the brand partition —
+    * a single shuffle on p_brand, no self-join (ties kept, deterministic
+    * order).
+    */
+  def qMinByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    part(spark, dir)
+      .withColumn("brand_min", min(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") === col("brand_min"))
+      .select(col("p_brand"), col("p_partkey"), r2(col("p_retailprice")).as("price"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  /** 7-day moving average of per-user daily activity — RANGE frame over
+    * day offsets (not ROWS: a user with gap days must average over the
+    * calendar window, not the last 7 present rows). Daily pre-aggregation
+    * shrinks the window input to |user × day| before the single user-keyed
+    * sort, the standard telemetry-rollup shape.
+    */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, 0)
+    daily
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), r4(avg(col("n")).over(w)).as("ma7"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Grouped EXISTS (TPC-H Q4's shape): per order priority, how many
+    * orders have at least one line shipped after the order date. The
+    * EXISTS compiles to a LEFT SEMI join on o_orderkey — lineitem is
+    * deduplicated by the semi join itself (no DISTINCT pass), and only
+    * join keys + the date predicate columns shuffle.
+    */
+  def qExistsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    orders(spark, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

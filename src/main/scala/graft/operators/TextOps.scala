@@ -187,4 +187,51 @@ object TextOps {
       array_min(transform(cg, s => md5(s))).as("chargram_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Token-window chunk size / stride for [[qChunkDocs]] (25% overlap). */
+  val ChunkSize = 20
+  val ChunkStride = 15
+
+  /** Document chunking: overlapping token windows (size 20, stride 15) —
+    * the context-window splitter every LLM training pipeline runs before
+    * tokenization. Pure per-row explode (narrow, no shuffle until the
+    * final order); chunk text is emitted as an 8-hex-char md5 prefix, not
+    * the text itself, so the output stays narrow at corpus scale.
+    */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride))).as("s"))
+      .withColumn("chunk", slice(col("t"), col("s") + 1, lit(ChunkSize)))
+      .select(col("doc_id"),
+        (col("s") / ChunkStride).cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        substring(md5(concat_ws(" ", col("chunk"))), 1, 8).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Repetition signals (Gopher-style quality filters): unique-token
+    * ratio, most-frequent-token fraction, and duplicate-bigram ratio per
+    * document. Token stats come from the shared (doc, term) frequency
+    * aggregate ([[termFreq]], cached); distinct bigrams from the
+    * single-kernel [[graft.functions.ShingleHash32]] (k=2) — the join is
+    * doc-keyed on two already-narrow sides.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ts = termFreq(spark, dir).groupBy(col("doc_id")).agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("uniq_tokens"),
+      max(col("tf")).as("top_c"))
+    val bs = spread(spark, documents(spark, dir)).select(col("doc_id"),
+      size(graft.functions.ShingleHash32(col("text"), 2)).cast("long").as("uniq_bigrams"))
+    ts.join(bs, "doc_id").select(
+      col("doc_id"), col("n_tokens"), col("uniq_tokens"),
+      r4(col("uniq_tokens") / col("n_tokens")).as("uniq_token_ratio"),
+      r4(col("top_c") / col("n_tokens")).as("top_token_frac"),
+      greatest(col("n_tokens") - 1, lit(0L)).as("n_bigrams"),
+      col("uniq_bigrams"),
+      r4(lit(1) - col("uniq_bigrams") / greatest(col("n_tokens") - 1, lit(1L)))
+        .as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

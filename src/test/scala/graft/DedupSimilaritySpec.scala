@@ -87,4 +87,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("la") =!= col("lb"))
     assert(out.count() === 0)
   }
+
+  test("qDedupClusters: every doc labeled, labels are component minima") {
+    val cl = DedupOps.qDedupClusters(spark, sf).cache()
+    assert(cl.count() === Tables.documents(spark, sf).count())
+    // min-label invariant: a cluster id never exceeds the member doc id
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() === 0)
+    // is_survivor marks exactly one doc per cluster — the labeling doc
+    assert(cl.filter(col("is_survivor") === 1).count() ===
+      cl.select("cluster_id").distinct().count())
+    // every thresholded near-dup pair ends up in ONE cluster
+    val pairs = DedupOps.qDedupMinhashPairs(spark, sf)
+      .filter(col("jaccard") >= DedupOps.ClusterJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val lbl = cl.select(col("doc_id"), col("cluster_id"))
+    val split = pairs
+      .join(lbl.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(lbl.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(split.count() === 0)
+    cl.unpersist()
+  }
 }

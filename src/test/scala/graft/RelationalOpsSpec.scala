@@ -95,4 +95,70 @@ class RelationalOpsSpec extends SparkSpec {
     val total = RelationalOps.qWindowedCounts(spark, sf).agg(sum("n")).head.getLong(0)
     assert(total === Tables.events(spark, sf).count())
   }
+
+  test("qCube: grand total row equals orders count; subtotals reconcile") {
+    val c = RelationalOps.qCube(spark, sf).cache()
+    val nOrders = Tables.orders(spark, sf).count()
+    val grand = c.filter(col("status") === "ALL" && col("priority") === "ALL")
+    assert(grand.count() === 1)
+    assert(grand.head.getAs[Long]("n") === nOrders)
+    // priority subtotals (status=ALL) sum back to the grand total
+    val subSum = c.filter(col("status") === "ALL" && col("priority") =!= "ALL")
+      .agg(sum("n")).head.getLong(0)
+    assert(subSum === nOrders)
+    // detail cells sum back to the grand total too
+    val cellSum = c.filter(col("status") =!= "ALL" && col("priority") =!= "ALL")
+      .agg(sum("n")).head.getLong(0)
+    assert(cellSum === nOrders)
+    c.unpersist()
+  }
+
+  test("qSetOps: tags partition the clicker population") {
+    val s = RelationalOps.qSetOps(spark, sf).cache()
+    val clickers = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(s.count() === clickers)
+    assert(s.select("user_id").distinct().count() === clickers)
+    // every intersect user really purchased
+    val purchasers = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").select("user_id").distinct()
+    val bad = s.filter(col("tag") === "click_and_purchase")
+      .join(purchasers, Seq("user_id"), "left_anti")
+    assert(bad.count() === 0)
+    s.unpersist()
+  }
+
+  test("qMinByGroup: exactly the per-brand argmin rows, every brand present") {
+    val m = RelationalOps.qMinByGroup(spark, sf).cache()
+    val brands = Tables.part(spark, sf).select("p_brand").distinct().count()
+    assert(m.select("p_brand").distinct().count() === brands)
+    val mins = Tables.part(spark, sf).groupBy("p_brand")
+      .agg(round(min("p_retailprice"), 2).as("true_min"))
+    assert(m.join(mins, "p_brand").filter(col("price") =!= col("true_min"))
+      .count() === 0)
+    m.unpersist()
+  }
+
+  test("qMovingAvg: bounded by the window extremes and exact on isolated days") {
+    val ma = RelationalOps.qMovingAvg(spark, sf).cache()
+    assert(ma.filter(col("ma7") < 1.0 - 1e-9).count() === 0, "daily counts are >=1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val bad = ma.withColumn("mx", max("n").over(w))
+      .filter(col("ma7") > col("mx") + 1e-9)
+    assert(bad.count() === 0)
+    ma.unpersist()
+  }
+
+  test("qExistsAgg matches an independent distinct-join recount") {
+    val e = RelationalOps.qExistsAgg(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_shipdate")
+    val direct = o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(e.join(direct, "o_orderpriority")
+      .filter(col("order_count") =!= col("n")).count() === 0)
+    assert(e.agg(sum("order_count")).head.getLong(0) <= o.count())
+  }
 }

@@ -162,4 +162,39 @@ class TextMlSpec extends SparkSpec {
     assert(rf.filter(col("prob") < 0 || col("prob") > 1).count() === 0)
     rf.unpersist()
   }
+
+  test("qChunkDocs: full coverage, contiguous indices, chunk sizes bounded") {
+    val ch = TextOps.qChunkDocs(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(ch.select("doc_id").distinct().count() === docs)
+    assert(ch.filter(col("chunk_tokens") < 1 ||
+      col("chunk_tokens") > TextOps.ChunkSize).count() === 0)
+    // chunk_idx runs 0..n-1 per doc: max_idx + 1 == chunk count
+    val bad = ch.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"), min("chunk_idx").as("mn"))
+      .filter(col("mn") =!= 0 || col("mx") + 1 =!= col("n"))
+    assert(bad.count() === 0)
+    // exact size law: chunk i holds min(ChunkSize, n_tokens - i*stride)
+    // tokens (trailing overlapped windows are progressively truncated)
+    val tc = TextOps.qTokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
+    val bad2 = ch.join(tc, "doc_id").filter(col("chunk_tokens") =!=
+      least(lit(TextOps.ChunkSize),
+        col("ws_tokens") - col("chunk_idx") * TextOps.ChunkStride))
+    assert(bad2.count() === 0)
+    ch.unpersist()
+  }
+
+  test("qRepetition: ratios in [0,1], consistent with qTokenCount") {
+    val r = TextOps.qRepetition(spark, sf).cache()
+    val bad = r.filter(col("uniq_token_ratio") < 0 || col("uniq_token_ratio") > 1 ||
+      col("top_token_frac") <= 0 || col("top_token_frac") > 1 ||
+      col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1 ||
+      col("uniq_tokens") > col("n_tokens") ||
+      col("uniq_bigrams") > col("n_bigrams"))
+    assert(bad.count() === 0)
+    val tc = TextOps.qTokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
+    assert(r.join(tc, "doc_id").filter(col("n_tokens") =!= col("ws_tokens"))
+      .count() === 0)
+    r.unpersist()
+  }
 }
