@@ -43,6 +43,7 @@ object SparkEntry {
     "q_anti_join" -> (RelationalOps.qAntiJoin _),
     "q_semi_join" -> (RelationalOps.qSemiJoin _),
     "q_percentiles" -> (RelationalOps.qPercentiles _),
+    "q_percentiles_approx" -> (RelationalOps.qPercentilesApprox _),
     "q_pivot" -> (RelationalOps.qPivot _),
     "q_profile" -> (RelationalOps.qProfile _),
     "q_cube" -> (RelationalOps.qCube _),

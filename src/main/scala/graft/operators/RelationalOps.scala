@@ -233,6 +233,26 @@ object RelationalOps {
       .orderBy(col("event_type"))
   }
 
+  /** Approximate quartiles per event_type — the 100 TB swap for
+    * [[qPercentiles]]. Exact interpolated quantiles need a full sort per
+    * group; `approx_percentile` (Greenwald-Khanna/KLL-style sketch) is a
+    * fixed-size MERGEABLE summary, so partial aggregation stays map-side
+    * and the shuffle carries one sketch per (partition, group) regardless
+    * of row count. Accuracy 1/10000; spec bounds the error against the
+    * exact ranks. rows-only: sketch internals are engine-specific.
+    */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("p"))
+      .select(col("event_type"), col("n"),
+        r4(element_at(col("p"), 1)).as("p25"),
+        r4(element_at(col("p"), 2)).as("p50"),
+        r4(element_at(col("p"), 3)).as("p75"))
+      .orderBy(col("event_type"))
+
   /** One-pass data profile of the event log: row count, per-column null
     * and distinct counts, numeric/timestamp ranges — the schema-sanity
     * scan an ingest pipeline runs before anything else. ONE aggregation

@@ -195,7 +195,19 @@ object ThreatOps {
     * deg(r) > cap before pairing) bounds the quadratic term — standard
     * bipartite-projection practice. Top-100, deterministic.
     */
-  def qCoaccessPairs(spark: SparkSession, dir: String): DataFrame = {
+  def qCoaccessPairs(spark: SparkSession, dir: String): DataFrame =
+    coaccessPairs(spark, dir, maxDegree = Int.MaxValue)
+
+  /** [[qCoaccessPairs]] with an explicit hot-resource degree cap: a
+    * resource touched by more than `maxDegree` users contributes
+    * C(deg,2) pairs — one planet-hot key (a login portal every employee
+    * hits) can dominate Σ deg² while carrying no co-access signal.
+    * Dropping r with deg(r) > cap bounds the quadratic term at
+    * cap²·|resources|/2; counts become a lower bound for pairs that
+    * co-accessed a dropped resource (standard bipartite-projection
+    * practice). The oracle-checked entry runs uncapped.
+    */
+  def coaccessPairs(spark: SparkSession, dir: String, maxDegree: Int): DataFrame = {
     val s = spark
     import s.implicits._
     // ONE shuffle: collect_set dedupes (user, resource) while grouping by
@@ -205,7 +217,7 @@ object ThreatOps {
       .filter(col("resource").isNotNull)
       .groupBy(col("resource"))
       .agg(collect_set(col("user_id")).as("users"))
-      .filter(size(col("users")) >= 2)
+      .filter(size(col("users")) >= 2 && size(col("users")) <= maxDegree)
       .select(col("users"))
     // Pair generation + map-side combining in one tight partition-local
     // loop. A self-join materializes Σ deg(r)² rows (53M at sf0.1) just to

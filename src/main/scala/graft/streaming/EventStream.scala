@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** A raw activity-log event on the stream (mirror of the events table). */
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -181,6 +183,83 @@ object EventStream {
   private def toSession(userId: Long, s: SessionState): Session =
     Session(userId, new Timestamp(s.start), new Timestamp(s.last),
       s.n, (s.last - s.start) / 1000L)
+
+  /** Gap sessionization on the Spark 4 arbitrary-state API
+    * ([[org.apache.spark.sql.streaming.StatefulProcessor]] /
+    * `transformWithState`) — same semantics as [[sessionize]], re-expressed
+    * with an explicit ValueState + event-time TIMERS instead of
+    * flatMapGroupsWithState's single timeout. The processor model is what
+    * new stateful operators should target: typed state variables (value/
+    * list/map) on the RocksDB store, multiple timers per key, and state
+    * TTL — `flatMapGroupsWithState` can only approximate those.
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState is implemented on the
+    * RocksDB store only).
+    */
+  def sessionizeTws(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Per-user session state machine for [[sessionizeTws]]: merge events
+    * within the gap (extending BOTH ends, as in [[sessionizeUser]]), close
+    * on a gap-exceeding event, and arm ONE event-time timer at
+    * last + gap so the open session also closes when the user goes quiet.
+    */
+  private[graft] class SessionProcessor
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, batch: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var cur = if (state.exists()) Some(state.get()) else None
+      val closed = Seq.newBuilder[Session]
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= SessionGapMs =>
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            closed += toSession(userId, s)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // exactly one armed timer per key: drop stale ones, arm at the
+        // new quiet-period deadline
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(s.last + SessionGapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      // stale-timer guard: only close if this timer is the CURRENT
+      // quiet-period deadline (newer activity re-arms a later timer)
+      if (expiredTimerInfo.getExpiryTimeInMs >= s.last + SessionGapMs) {
+        state.clear()
+        Iterator.single(toSession(userId, s))
+      } else Iterator.empty
+    }
+  }
 
   /** Production sink for the windowed-counts stream: foreachBatch +
     * dynamic partition overwrite into parquet partitioned by

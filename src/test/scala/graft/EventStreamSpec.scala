@@ -98,6 +98,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeTws (transformWithState): gap close + timer close match sessionize") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sessionizeTws(mem.toDS())
+      .writeStream.format("memory").queryName("sess_tws").outputMode("append").start()
+    try {
+      // session A: two events 10 min apart; then a 40-min gap event (> 30
+      // min gap) closes A within the same key
+      mem.addData(ev(1, 0, 42), ev(2, 10, 42), ev(3, 50, 42))
+      q.processAllAvailable()
+      // advance the watermark far past 50 + gap so the TIMER closes B
+      mem.addData(ev(4, 360, 99))
+      q.processAllAvailable()
+      mem.addData(ev(5, 361, 99))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_tws").as[Session].collect()
+      val u42 = sessions.filter(_.user_id == 42L).sortBy(_.session_start.getTime)
+      assert(u42.toSeq === Seq(
+        Session(42L, ts(0), ts(10), 2, 600),   // closed by the gap event
+        Session(42L, ts(50), ts(50), 1, 0)))   // closed by the timer
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupEvents drops replayed event_ids within the watermark") {
     val s = spark
     import s.implicits._

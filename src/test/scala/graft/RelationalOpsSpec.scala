@@ -149,6 +149,21 @@ class RelationalOpsSpec extends SparkSpec {
     ma.unpersist()
   }
 
+  test("qPercentilesApprox tracks exact quartiles within sketch error") {
+    val exact = RelationalOps.qPercentiles(spark, sf)
+      .select(col("event_type"), col("p25"), col("p50"), col("p75"))
+    val approx = RelationalOps.qPercentilesApprox(spark, sf)
+      .select(col("event_type"), col("p25").as("a25"),
+        col("p50").as("a50"), col("p75").as("a75"))
+    // value domain is O(100); at accuracy 10000 the rank error is tiny —
+    // allow a small absolute tolerance for interpolation-vs-rank diffs
+    val bad = exact.join(approx, "event_type").filter(
+      abs(col("p25") - col("a25")) > 1.0 ||
+      abs(col("p50") - col("a50")) > 1.0 ||
+      abs(col("p75") - col("a75")) > 1.0)
+    assert(bad.count() === 0)
+  }
+
   test("qExistsAgg matches an independent distinct-join recount") {
     val e = RelationalOps.qExistsAgg(spark, sf)
     val o = Tables.orders(spark, sf)

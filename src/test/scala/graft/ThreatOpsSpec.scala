@@ -92,4 +92,34 @@ class ThreatOpsSpec extends SparkSpec {
     val counts = rows.map(_.getLong(1))
     assert(counts.sameElements(counts.sortBy(-_)), "must be count-descending")
   }
+
+  test("qCoaccessPairs: primitive-map fold matches a plain self-join recount") {
+    val fold = ThreatOps.qCoaccessPairs(spark, sf)
+    val ur = Tables.events(spark, sf)
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull)
+      .select(col("user_id"), col("resource")).distinct()
+    val joined = ur.as("a").join(ur.as("b"),
+        col("a.resource") === col("b.resource") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("sr"))
+      .filter(col("sr") >= 2)
+      .orderBy(col("sr").desc, col("user_a"), col("user_b"))
+      .limit(100)
+    val diff = fold.join(joined, Seq("user_a", "user_b"), "full")
+      .filter(col("shared_resources").isNull || col("sr").isNull ||
+        col("shared_resources") =!= col("sr"))
+    assert(diff.count() === 0)
+  }
+
+  test("coaccessPairs degree cap only removes hot-resource contributions") {
+    val full = ThreatOps.coaccessPairs(spark, sf, Int.MaxValue)
+      .withColumnRenamed("shared_resources", "sr_full")
+    val capped = ThreatOps.coaccessPairs(spark, sf, 10)
+    // capped counts are a lower bound of uncapped for surviving pairs
+    val inflated = capped.join(full, Seq("user_a", "user_b"))
+      .filter(col("shared_resources") > col("sr_full"))
+    assert(inflated.count() === 0)
+  }
 }
