@@ -66,6 +66,13 @@ object Tables {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce post-shuffle partitions by SIZE, not to defaultParallelism:
+      // parallelismFirst (the default) pins ~|cores| reduce tasks even when
+      // a shuffle carries kilobytes, so small stages pay pure task-launch
+      // overhead; size-based coalescing gives 1 task for tiny shuffles and
+      // the recommended ~64MB partitions on a 100 TB cluster alike.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -16,9 +16,17 @@ object TimeOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()

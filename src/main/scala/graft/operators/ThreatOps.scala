@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object ThreatOps {
 
-  /** Events with the resource extracted from the JSON props payload. */
+  /** Events with the resource extracted from the JSON props payload.
+    * (Deliberately NOT spread(): the round-robin exchange of full props
+    * rows costs more than the single-split JSON parse it would
+    * parallelize — measured at sf0.1; at scale the scan has many splits
+    * and the question disappears.)
+    */
   private def activityLog(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("resource", get_json_object(col("props"), "$.k"))
@@ -254,7 +259,14 @@ object ThreatOps {
         }
         flushed ++ m.drain()
       }
+    // Explicit hash repartition by pair key: the fold already did map-side
+    // combining, and the final sum over millions of partial pairs is
+    // CPU-bound — size-based AQE coalescing would squeeze it onto a
+    // couple of reduce tasks, so pin the aggregation width to the session
+    // shuffle parallelism (the groupBy reuses this partitioning; no
+    // second exchange).
     partial.toDF("pk", "c")
+      .repartition(spark.sparkContext.defaultParallelism, col("pk"))
       .groupBy(col("pk")).agg(sum(col("c")).as("shared_resources"))
       .filter(col("shared_resources") >= 2)
       .select(shiftright(col("pk"), 32).as("user_a"),
@@ -305,7 +317,7 @@ object ThreatOps {
   * so the low 32 bits are ≥ 1). Grows ×2 at 60% load; not thread-safe
   * (one instance per partition iterator).
   */
-private[operators] final class LongCountMap(initialCapacity: Int) {
+private[graft] final class LongCountMap(initialCapacity: Int) {
   private var cap = Integer.highestOneBit(math.max(initialCapacity, 16))
   if (cap < initialCapacity) cap <<= 1
   private var mask = cap - 1
