@@ -56,6 +56,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
     "q_dedup_minhash_pairs" -> (DedupOps.qDedupMinhashPairs _),
     "q_dedup_simhash" -> (DedupOps.qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (DedupOps.qDedupSimhashPairs _),
     "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
     "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     // F. similarity search
@@ -147,6 +148,20 @@ object SparkEntry {
   /** Single source of truth with the engine side: the oracle must score
     * exactly the features MLOps scores.
     */
+  /** 60-bit SimHash fingerprints (mirror of DedupOps.qDedupSimhash):
+    * per-token 60-bit md5 hash, ±1 vote per bit position, sign → bit.
+    * The 60 vote columns are generated, same as the Scala side. */
+  private val simhashSql = {
+    val votes = (0 until 60).map(j =>
+      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
+    val fp = (0 until 60).map(j =>
+      s"(CASE WHEN b_$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" | ")
+    s"""WITH toks AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest($tokSql) AS x FROM documents)),
+        votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+        SELECT doc_id, $fp AS simhash FROM votes"""
+  }
+
   /** MinHash-LSH verified candidate pairs (mirror of
     * DedupOps.qDedupMinhashPairs) — shared by the pairs oracle and the
     * connected-components cluster oracle. */
@@ -523,6 +538,26 @@ object SparkEntry {
             ${(0 until 4).map(b => s"md5(${bandSql(b)}) AS band_$b").mkString(", ")}
           FROM mh ORDER BY doc_id""",
     "q_dedup_minhash_pairs" -> minhashPairsSql,
+    "q_dedup_simhash" ->
+      s"""WITH fp AS ($simhashSql)
+          SELECT doc_id, simhash, simhash >> 44 AS bucket16
+          FROM fp ORDER BY doc_id""",
+    "q_dedup_simhash_pairs" -> {
+      val bands = (0 until DedupOps.SimhashBands).map { b =>
+        val shift = b * DedupOps.SimhashBandBits
+        val mask = (1L << DedupOps.SimhashBandBits) - 1
+        s"'$b:' || ((simhash >> $shift) & $mask)::VARCHAR"
+      }.mkString(", ")
+      s"""WITH fp AS ($simhashSql),
+          banded AS (SELECT doc_id, simhash, unnest([$bands]) AS band FROM fp)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id)
+          WHERE hamming <= ${DedupOps.HammingMax}
+          ORDER BY hamming, doc_a, doc_b"""
+    },
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($minhashPairsSql),
           e AS (SELECT doc_a AS a, doc_b AS b FROM pr

@@ -125,6 +125,39 @@ object DedupOps {
       .limit(20)
   }
 
+  /** Max hamming distance for a SimHash near-dup pair, and the band
+    * blocking layout (4 × 15-bit bands over the 60-bit fingerprint:
+    * a pair within hamming ≤ 15/4·k agrees on ≥ one band w.h.p. — the
+    * standard pigeonhole blocking, so candidate generation is a
+    * key-equality join, never all-pairs). */
+  val HammingMax = 8
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+
+  /** SimHash near-dup pairs: candidates from the band-bucket self-join,
+    * verified by exact hamming distance (`bit_count(xor)` — codegen'd
+    * built-ins). The SimHash twin of [[qDedupMinhashPairs]]: one narrow
+    * fingerprint per doc instead of 12 minhashes, cheaper to compute and
+    * store; recall is band-blocking-bounded rather than LSH-tunable.
+    */
+  def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qDedupSimhash(spark, dir).select(col("doc_id"), col("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBands).map(b =>
+        concat(lit(s"$b:"),
+          shiftright(col("simhash"), b * SimhashBandBits)
+            .bitwiseAND(lit((1L << SimhashBandBits) - 1)).cast("string"))): _*))
+        .as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
   /** Jaccard threshold above which a verified candidate pair is an edge
     * of the near-duplicate graph ([[qDedupClusters]]). */
   val ClusterJaccard = 0.5

@@ -88,4 +88,16 @@ object LogSources {
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** ORC sink/reader pair — the second columnar interchange format a log
+    * pipeline meets in practice (Hive-era warehouses hand over ORC).
+    * Same pushdown story as parquet: explicit schema on read, predicates
+    * and column pruning reach the ORC reader (spec asserts the scan
+    * shape).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readEventsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsJsonSchema).orc(path)
 }

@@ -88,6 +88,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("qDedupSimhashPairs: band-blocked pairs are exactly the brute-force " +
+      "hamming hits that share a band") {
+    val sig = DedupOps.qDedupSimhash(spark, sf)
+      .select(col("doc_id"), col("simhash"))
+    // brute force: ALL pairs within HammingMax
+    val all = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("h"))
+      .filter(col("h") <= DedupOps.HammingMax)
+    val blocked = DedupOps.qDedupSimhashPairs(spark, sf)
+    // every blocked pair is a true hamming hit with the same distance
+    val wrong = blocked.join(all, Seq("doc_a", "doc_b"), "left")
+      .filter(col("h").isNull || col("h") =!= col("hamming"))
+    assert(wrong.count() === 0)
+    // pigeonhole: hamming < SimhashBands means SOME band is untouched →
+    // blocking must recall those pairs exactly
+    val missed = all.filter(col("h") < DedupOps.SimhashBands)
+      .join(blocked, Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0)
+  }
+
   test("qDedupClusters: every doc labeled, labels are component minima") {
     val cl = DedupOps.qDedupClusters(spark, sf).cache()
     assert(cl.count() === Tables.documents(spark, sf).count())

@@ -55,6 +55,22 @@ class SourcesFunctionsSpec extends SparkSpec {
       s"expected partition pruning:\n$scan")
   }
 
+  test("ORC round-trip preserves events and pushes filters to the scan") {
+    val out = tmpDir("orc") + "/events"
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").limit(500)
+    LogSources.writeOrc(ev.withColumn("props", lit(null).cast("string")), out)
+    val back = LogSources.readEventsOrc(spark, out)
+    assert(back.count() === 500)
+    assert(back.select("event_id").exceptAll(ev.select("event_id")).count() === 0)
+    val filtered = back.filter(col("user_id") === 7L).select("event_id", "user_id")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"),
+      s"expected ORC predicate pushdown:\n$scan")
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint"),
+      s"expected column pruning to 2 columns:\n$scan")
+  }
+
   test("writeBucketed produces a shuffle-free bucketed aggregation") {
     spark.sql("DROP TABLE IF EXISTS events_bucketed")
     // a previously-crashed run can leave the managed location behind
