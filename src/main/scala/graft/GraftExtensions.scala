@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProd}
+import graft.functions.{CosineSim, DotProd, ShingleHash32}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,7 +34,18 @@ object GraftFunctions {
       (es: Seq[Expression]) => CosineSim(es(0), es(1))),
     ("dot_prod",
       info("dot_prod", "dot_prod(a, b) - dot product of two numeric arrays"),
-      (es: Seq[Expression]) => DotProd(es(0), es(1))))
+      (es: Seq[Expression]) => DotProd(es(0), es(1))),
+    ("shingle_hash32",
+      info("shingle_hash32",
+        "shingle_hash32(text, k) - 32-bit md5 hashes of the distinct word k-shingles of text (k a literal)"),
+      (es: Seq[Expression]) => {
+        val k = es(1).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash32: k must be an integer literal, got $other")
+        }
+        ShingleHash32(es(0), k)
+      }))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_pivot" -> (RelationalOps.qPivot _),
     "q_profile" -> (RelationalOps.qProfile _),
     "q_cube" -> (RelationalOps.qCube _),
+    "q_latest_snapshot" -> (RelationalOps.qLatestSnapshot _),
     "q_set_ops" -> (RelationalOps.qSetOps _),
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
@@ -446,6 +447,15 @@ object SparkEntry {
       """SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY ROLLUP(user_id, event_type)
          ORDER BY user_id NULLS LAST, event_type NULLS LAST""",
+    "q_latest_snapshot" ->
+      """SELECT user_id, resource, event_id, ts, event_type, round(value, 4) AS value
+         FROM (SELECT user_id, json_extract_string(props,'$.k') AS resource,
+                 event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id, json_extract_string(props,'$.k')
+                   ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events
+               WHERE json_extract_string(props,'$.k') IS NOT NULL)
+         WHERE rn = 1 ORDER BY user_id, resource""",
     "q_cube" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
            CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,

@@ -253,6 +253,27 @@ object RelationalOps {
         r4(element_at(col("p"), 3)).as("p75"))
       .orderBy(col("event_type"))
 
+  /** Log compaction / latest-record snapshot: the newest event per
+    * (user, resource) key — the keep-last-write pattern every CDC /
+    * upsert-compaction job runs (and what a mutable NoSQL store does
+    * implicitly on write). row_number over the key partition with a
+    * deterministic (ts, event_id) tiebreak; one shuffle on the compound
+    * key, no join. At scale this replaces a MERGE INTO against the
+    * snapshot table.
+    */
+  def qLatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("resource"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("resource"), col("event_id"), col("ts"),
+        col("event_type"), r4(col("value")).as("value"))
+      .orderBy(col("user_id"), col("resource"))
+  }
+
   /** One-pass data profile of the event log: row count, per-column null
     * and distinct counts, numeric/timestamp ranges — the schema-sanity
     * scan an ingest pipeline runs before anything else. ONE aggregation

@@ -149,6 +149,20 @@ class RelationalOpsSpec extends SparkSpec {
     ma.unpersist()
   }
 
+  test("qLatestSnapshot keeps exactly one newest row per (user, resource)") {
+    val snap = RelationalOps.qLatestSnapshot(spark, sf).cache()
+    val keyed = Tables.events(spark, sf)
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull)
+    assert(snap.count() ===
+      keyed.select("user_id", "resource").distinct().count())
+    // each kept row carries its key's max timestamp
+    val maxTs = keyed.groupBy("user_id", "resource").agg(max("ts").as("max_ts"))
+    assert(snap.join(maxTs, Seq("user_id", "resource"))
+      .filter(col("ts") =!= col("max_ts")).count() === 0)
+    snap.unpersist()
+  }
+
   test("qPercentilesApprox tracks exact quartiles within sketch error") {
     val exact = RelationalOps.qPercentiles(spark, sf)
       .select(col("event_type"), col("p25"), col("p50"), col("p75"))

@@ -102,6 +102,18 @@ class SourcesFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 32.0)
   }
 
+  test("SQL shingle_hash32 agrees with the Column API") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf).limit(20).createOrReplaceTempView("docs_test")
+    val viaSql = spark.sql(
+      "SELECT doc_id, shingle_hash32(text, 3) AS hs FROM docs_test")
+    val viaApi = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"),
+        graft.functions.ShingleHash32(col("text"), 3).as("hs"))
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
   test("SQL cosine_sim agrees with the Column API on real embeddings") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(50)
