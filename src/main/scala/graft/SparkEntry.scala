@@ -38,6 +38,7 @@ object SparkEntry {
     "q_sessionize" -> (RelationalOps.qSessionize _),
     "q_session_window" -> (RelationalOps.qSessionWindow _),
     "q_windowed_counts" -> (RelationalOps.qWindowedCounts _),
+    "q_sliding_counts" -> (RelationalOps.qSlidingCounts _),
     "q_asof_join" -> (RelationalOps.qAsofJoin _),
     "q_rollup" -> (RelationalOps.qRollup _),
     "q_anti_join" -> (RelationalOps.qAntiJoin _),
@@ -436,6 +437,15 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sliding_counts" ->
+      """WITH w AS (SELECT event_type, value,
+           unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+             AS window_start
+         FROM events)
+         SELECT window_start, event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts,
            epoch_us(e.ts)//1000000 - epoch_us(p.ts)//1000000 AS secs_since_purchase

@@ -346,6 +346,20 @@ object RelationalOps {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding 1-hour windows every 30 minutes — each event lands in
+    * width/slide = 2 windows (Spark's `window()` Expand does exactly
+    * this duplication before the hash agg, so the shuffle carries
+    * 2× rows but map-side partial aggregation still collapses them to
+    * one row per (window, type) per partition). The batch twin of the
+    * streaming sliding-window path (EventStream.afterHoursWindowed).
+    */
+  def qSlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** CUBE(status, priority) totals over orders — all four grouping sets in
     * ONE pass (Catalyst expands the cube into a single Expand + hash agg;
     * map-side partial aggregation still applies, so the shuffle carries at

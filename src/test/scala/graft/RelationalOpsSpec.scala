@@ -149,6 +149,19 @@ class RelationalOpsSpec extends SparkSpec {
     ma.unpersist()
   }
 
+  test("qSlidingCounts: every event lands in exactly width/slide windows") {
+    val sc = RelationalOps.qSlidingCounts(spark, sf)
+    // 1h window / 30min slide => each event counted exactly twice
+    assert(sc.agg(sum("n")).head.getLong(0) ===
+      2 * Tables.events(spark, sf).count())
+    // and sliding totals reconcile with the tumbling twin per type
+    val slid = sc.groupBy("event_type").agg(sum("n").as("n2"))
+    val tumb = RelationalOps.qWindowedCounts(spark, sf)
+      .groupBy("event_type").agg(sum("n").as("n1"))
+    assert(slid.join(tumb, "event_type")
+      .filter(col("n2") =!= col("n1") * 2).count() === 0)
+  }
+
   test("qLatestSnapshot keeps exactly one newest row per (user, resource)") {
     val snap = RelationalOps.qLatestSnapshot(spark, sf).cache()
     val keyed = Tables.events(spark, sf)
