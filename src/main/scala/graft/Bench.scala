@@ -4,16 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // size-based AQE coalescing (see Tables.localSession): tiny shuffles
-      // collapse to one reduce task instead of |cores| launch overheads
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the SAME session config the library verifies under — benchmarking a
+    // differently-configured session would measure the wrong thing
+    val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warmup on the tiny flagship input so the
     // first timed query doesn't absorb one-time JIT + classloading cost.

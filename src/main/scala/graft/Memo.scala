@@ -40,8 +40,23 @@ object Memo {
     * don't stack fresh InMemoryRelations — and [[invalidate]] can
     * unpersist it deterministically.
     */
-  def cached(op: String, spark: SparkSession, dir: String)(f: => DataFrame): DataFrame =
-    apply(op, spark, dir) { val v = f; v.cache(); v }
+  def cached(op: String, spark: SparkSession, dir: String)(f: => DataFrame): DataFrame = {
+    val key = (op, spark, dir)
+    val hit = store.get(key)
+    if (hit != null) hit
+    else {
+      val v = f
+      v.cache()
+      val prev = store.putIfAbsent(key, v)
+      if (prev != null) {
+        // Race loser: its plan (e.g. a freshly fitted scaler) differs from
+        // the winner's, so its CacheManager registration would otherwise
+        // be unreachable — unpersist it here, keep the winner.
+        try v.unpersist() catch { case _: Throwable => () }
+        prev
+      } else v
+    }
+  }
 
   /** Drop (and unpersist) every memoized entry whose input directory is
     * `dir` — call after rewriting the data under `dir` in a long-lived

@@ -88,8 +88,9 @@ object DedupOps {
     * hamming-neighborhood joins at scale.
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // Per doc: explode tokens, hash each to a 64-bit value via the first
-    // 16 hex chars of md5, then majority-vote each bit across tokens.
+    // Per doc: explode tokens, hash each to a 60-bit value via the first
+    // 15 hex chars of md5 (16 would overflow a signed long), then
+    // majority-vote each bit across tokens.
     val toks = spread(spark, documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
@@ -194,10 +195,11 @@ object DedupOps {
       .withColumn("lbl", col("id")).localCheckpoint()
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
+    val MaxRounds = 100 // safety valve ≫ any real near-dup component diameter
     var prevSum = Long.MaxValue
     var curSum = lblSum(labels)
     var rounds = 0
-    while (curSum < prevSum && rounds < 50) {
+    while (curSum < prevSum && rounds < MaxRounds) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       labels = labels.join(nbrMin, col("id") === col("src"), "left")
@@ -207,6 +209,12 @@ object DedupOps {
       curSum = lblSum(labels)
       rounds += 1
     }
+    // Never exit silently un-converged: labels past the cap would carry
+    // non-minimal cluster ids (two "survivors" in one component).
+    if (curSum < prevSum)
+      System.err.println(s"[graft] qDedupClusters: label propagation hit " +
+        s"$MaxRounds rounds before convergence — cluster ids may be " +
+        s"non-minimal for components with diameter > $MaxRounds")
     documents(spark, dir).select(col("doc_id"))
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),

@@ -215,14 +215,26 @@ object ThreatOps {
   def coaccessPairs(spark: SparkSession, dir: String, maxDegree: Int): DataFrame = {
     val s = spark
     import s.implicits._
-    // ONE shuffle: collect_set dedupes (user, resource) while grouping by
-    // resource, so the distinct() pre-pass (and its extra exchange) is
-    // fused into the same aggregation.
-    val perResource = activityLog(spark, dir)
-      .filter(col("resource").isNotNull)
+    val edges = activityLog(spark, dir).filter(col("resource").isNotNull)
+    // Capped path: the degree filter must run BEFORE collect_set, or the
+    // hot key still materializes its full degree-sized array in one
+    // aggregation buffer — the exact blowup the cap exists to prevent.
+    // One extra (cheap, two-column) counting aggregation buys that; the
+    // uncapped path keeps the single fused aggregation (collect_set
+    // dedupes (user, resource) while grouping, so no distinct() pre-pass).
+    val capped =
+      if (maxDegree == Int.MaxValue) edges
+      else {
+        val deg = edges.select(col("resource"), col("user_id")).distinct()
+          .groupBy(col("resource")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= maxDegree)
+          .select(col("resource"))
+        edges.join(deg, Seq("resource"), "left_semi")
+      }
+    val perResource = capped
       .groupBy(col("resource"))
       .agg(collect_set(col("user_id")).as("users"))
-      .filter(size(col("users")) >= 2 && size(col("users")) <= maxDegree)
+      .filter(size(col("users")) >= 2)
       .select(col("users"))
     // Pair generation + map-side combining in one tight partition-local
     // loop. A self-join materializes Σ deg(r)² rows (53M at sf0.1) just to
@@ -232,33 +244,12 @@ object ThreatOps {
     // pairs. Fewer, fatter partitions maximize that local dedup (each
     // partition's emission is capped by |distinct pairs|, not Σ deg²)
     // while keeping the counting loop parallel; the map is BOUNDED — at
-    // FlushAt entries it drains to the iterator and Spark sums the
-    // partials — so memory stays fixed no matter how hot a resource is.
-    val FlushAt = 1 << 22
+    // FlushAt entries it drains (lazily, mid-group) to the iterator and
+    // Spark sums the partials — so map memory is FlushAt + one anchor
+    // row, independent of how many pairs a resource generates.
     val pairParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
     val partial = perResource.repartition(pairParts)
-      .as[Array[Long]].mapPartitions { groups =>
-        val m = new LongCountMap(1 << 16)
-        val flushed = groups.flatMap { users =>
-          java.util.Arrays.sort(users)
-          // Packed (a<<32 | b) pair key needs ids in [0, 2^31); beyond
-          // that (planet-scale id spaces) key on a (a,b) struct instead.
-          require(users(0) >= 0 && users(users.length - 1) < (1L << 31),
-            "user_id out of packable range [0, 2^31)")
-          var i = 0
-          val n = users.length
-          var spill: Iterator[(Long, Long)] = Iterator.empty
-          while (i < n - 1) {
-            val a = users(i) << 32
-            var j = i + 1
-            while (j < n) { m.increment(a | users(j)); j += 1 }
-            i += 1
-          }
-          if (m.size >= FlushAt) spill = m.drain()
-          spill
-        }
-        flushed ++ m.drain()
-      }
+      .as[Array[Long]].mapPartitions(ThreatOps.foldPairs(_, PairFlushAt))
     // Explicit hash repartition by pair key: the fold already did map-side
     // combining, and the final sum over millions of partial pairs is
     // CPU-bound — size-based AQE coalescing would squeeze it onto a
@@ -274,6 +265,39 @@ object ThreatOps {
         col("shared_resources"))
       .orderBy(col("shared_resources").desc, col("user_a"), col("user_b"))
       .limit(100)
+  }
+
+  /** Partition-local pair-count map bound for [[foldPairs]]. */
+  private val PairFlushAt = 1 << 22
+
+  /** The co-access fold kernel: per-resource sorted user arrays → packed
+    * (a<<32 | b) pair keys combined in a [[LongCountMap]], emitting
+    * (pair, partialCount) rows. Flush is checked per ANCHOR ROW (after
+    * each inner j-loop) and drained chunks are emitted LAZILY through the
+    * returned iterator — one hot resource generating C(deg,2) ≫ flushAt
+    * pairs drains many times within its group instead of growing the map
+    * (or buffering chunks) unboundedly. Map memory is bounded by
+    * flushAt + deg entries; planet-hot degrees beyond that are what the
+    * maxDegree cap is for.
+    */
+  private[graft] def foldPairs(groups: Iterator[Array[Long]],
+      flushAt: Int): Iterator[(Long, Long)] = {
+    val m = new LongCountMap(1 << 16)
+    val flushed = groups.flatMap { users =>
+      java.util.Arrays.sort(users)
+      // Packed (a<<32 | b) pair key needs ids in [0, 2^31); beyond
+      // that (planet-scale id spaces) key on a (a,b) struct instead.
+      require(users(0) >= 0 && users(users.length - 1) < (1L << 31),
+        "user_id out of packable range [0, 2^31)")
+      val n = users.length
+      (0 until n - 1).iterator.flatMap { i =>
+        val a = users(i) << 32
+        var j = i + 1
+        while (j < n) { m.increment(a | users(j)); j += 1 }
+        if (m.size >= flushAt) m.drain() else Iterator.empty
+      }
+    }
+    flushed ++ m.drain()
   }
 
   /** Flagship: the full per-user ML feature matrix

@@ -113,6 +113,24 @@ class ThreatOpsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("foldPairs: tiny flushAt (mid-group drains) still sums to exact pair counts") {
+    // 3 overlapping groups; brute-force expected counts
+    val groups = Seq(Array(1L, 2L, 3L, 4L), Array(2L, 3L, 5L), Array(1L, 2L, 3L))
+    val expected = groups.flatMap { g =>
+      for (i <- g.indices; j <- g.indices if g(i) < g(j)) yield (g(i), g(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // flushAt=2 forces a drain nearly every anchor row — the hot-key path
+    val partials = ThreatOps.foldPairs(groups.iterator.map(_.clone()), 2).toSeq
+    val summed = partials.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum)
+      .map { case (pk, c) => ((pk >> 32, pk & 0xffffffffL), c) }.toMap
+    assert(summed === expected)
+    // and a large flushAt (no mid-group drain) agrees
+    val one = ThreatOps.foldPairs(groups.iterator.map(_.clone()), 1 << 20).toSeq
+    assert(one.map(_._2).sum === expected.values.sum)
+    assert(one.size === expected.size, "fully combined when map never flushes")
+  }
+
   test("coaccessPairs degree cap only removes hot-resource contributions") {
     val full = ThreatOps.coaccessPairs(spark, sf, Int.MaxValue)
       .withColumnRenamed("shared_resources", "sr_full")
