@@ -11,13 +11,14 @@ object Bench {
     // JVM/codegen/parquet-reader warmup on the tiny flagship input so the
     // first timed query doesn't absorb one-time JIT + classloading cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // min of 2 runs per query: the second run excludes one-time codegen
-    // compilation; min is the standard steady-state estimator. Failures
-    // are NOT silently timed as if they succeeded — a broken query must
-    // not make the benchmark look faster.
+    // min of 3 runs per query: later runs exclude one-time codegen
+    // compilation, and the min rides out GC/JIT noise (observed ±15% on
+    // whole-suite totals); min is the standard steady-state estimator.
+    // Failures are NOT silently timed as if they succeeded — a broken
+    // query must not make the benchmark look faster.
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>

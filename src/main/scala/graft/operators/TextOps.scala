@@ -141,12 +141,22 @@ object TextOps {
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val k1 = 1.2; val b = 0.75
     val tf = termFreq(spark, dir)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    // Corpus stats in ONE tiny broadcast row: N from the documents table,
+    // total tokens from tf — avgdl = total/N without materializing a
+    // per-doc length table.
+    val stats = tf.agg(sum(col("tf")).cast("double").as("total_tokens"))
+      .crossJoin(documents(spark, dir).agg(count(lit(1)).as("n")))
+      .select(col("n"), (col("total_tokens") / col("n")).as("avgdl"))
+    // dl is a window SUM over the same doc_id partition the top-k rank
+    // needs anyway — one shuffle serves both, replacing the former
+    // groupBy(doc_id)+join round-trip (df joins broadcast: it's
+    // |vocab| rows).
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("term").asc)
-    tf.join(df, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("dl", sum(col("tf")).over(wDoc))
       .select(col("doc_id"), col("term"),
         r4(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           * (col("tf") * (lit(k1) + 1.0))

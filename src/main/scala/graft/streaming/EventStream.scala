@@ -119,6 +119,31 @@ object EventStream {
         col("after_hours_ratio"), col("total_activities"))
   }
 
+  /** STREAM-STREAM interval join: each error event matched to the same
+    * user's purchases in the preceding 10 minutes — "errors right after
+    * checkout" correlation, continuously. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can evict
+    * buffered rows once the watermark passes `purchase_ts + 10 min`:
+    * state stays proportional to the interval, not the stream. (Without
+    * the time bound a stream-stream inner join must buffer forever.)
+    */
+  def purchaseLinkedErrors(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("error_ts"),
+        col("user_id"))
+      .withWatermark("error_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user"))
+      .withWatermark("purchase_ts", "2 hours")
+    errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("error_ts") >= col("purchase_ts") &&
+        col("error_ts") <= col("purchase_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stateful gap sessionization: a >30-minute silence per user closes the
     * session — the streaming twin of
     * [[graft.operators.RelationalOps.qSessionize]]'s lag-gap pattern,

@@ -131,6 +131,26 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("purchaseLinkedErrors joins errors to purchases within 10 minutes, same user") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.purchaseLinkedErrors(mem.toDF())
+      .writeStream.format("memory").queryName("ple").outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1, 0, 7, "purchase"),
+        ev(2, 5, 7, "error"),    // 5 min after purchase, same user → match
+        ev(3, 20, 7, "error"),   // 20 min after → outside interval
+        ev(4, 5, 8, "error"))    // same offset, different user → no match
+      q.processAllAvailable()
+      val rows = spark.table("ple")
+        .select("user_id", "error_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((7L, 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupEvents drops replayed event_ids within the watermark") {
     val s = spark
     import s.implicits._
