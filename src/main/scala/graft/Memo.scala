@@ -49,10 +49,18 @@ object Memo {
       v.cache()
       val prev = store.putIfAbsent(key, v)
       if (prev != null) {
-        // Race loser: its plan (e.g. a freshly fitted scaler) differs from
-        // the winner's, so its CacheManager registration would otherwise
-        // be unreachable — unpersist it here, keep the winner.
-        try v.unpersist() catch { case _: Throwable => () }
+        // Race loser. Two cases, because CacheManager matches plans by
+        // EQUIVALENCE, not object identity:
+        //  - loser's plan differs from the winner's (e.g. a freshly
+        //    fitted scaler): its registration would be unreachable →
+        //    unpersist it;
+        //  - plans are equivalent (deterministic bodies like termFreq):
+        //    the loser's cache() was a no-op on the same entry, and an
+        //    unpersist here would evict the WINNER's cache — skip it.
+        try {
+          if (!v.queryExecution.analyzed.sameResult(prev.queryExecution.analyzed))
+            v.unpersist()
+        } catch { case _: Throwable => () }
         prev
       } else v
     }

@@ -1,9 +1,12 @@
 package graft
 
-/** Dev harness: time labeled sub-plans or stages of a query to find the
-  * hot spot. Edit the probes below per investigation; prints
-  * `PROF <label> <sec>` lines and per-stage `STAGE` lines. Uses the same
-  * session config as Verify/Bench ([[Tables.localSession]]);
+/** Dev harness: stage-level timing of one named query. Usage:
+  * `runMain graft.Profile [sfDir] [queryName]` (default
+  * q_coaccess_pairs) — warms the query once, then re-executes a FRESH
+  * plan with a stage listener attached, printing one
+  * `STAGE <id> tasks=<n> ms=<dur>` line per completed stage and a final
+  * `PROF fresh_<name> <sec>` total. Uses the same session config as
+  * Verify/Bench ([[Tables.localSession]]);
   * `SPARK_GRAFT_CONF="k=v;k=v"` applies ad-hoc overrides for A/B runs.
   *
   * NOTE: always probe FRESH DataFrames — re-counting an already-executed

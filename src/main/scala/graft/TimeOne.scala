@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev harness: time one named query from [[SparkEntry.queries]] a few
   * times without paying the full Bench sweep. Usage:

@@ -142,20 +142,25 @@ object TextOps {
     val k1 = 1.2; val b = 0.75
     val tf = termFreq(spark, dir)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // Corpus stats in ONE tiny broadcast row: N from the documents table,
-    // total tokens from tf — avgdl = total/N without materializing a
-    // per-doc length table.
-    val stats = tf.agg(sum(col("tf")).cast("double").as("total_tokens"))
-      .crossJoin(documents(spark, dir).agg(count(lit(1)).as("n")))
+    // Corpus stats in ONE tiny broadcast row, derived from tf so the
+    // population matches the oracle exactly: N = docs WITH at least one
+    // token (a null/empty-text doc drops out of tf on both engines),
+    // avgdl = Σtf / N (≡ avg over the per-doc sums, without
+    // materializing the per-doc length table).
+    val stats = tf
+      .agg(countDistinct(col("doc_id")).as("n"),
+        sum(col("tf")).cast("double").as("total_tokens"))
       .select(col("n"), (col("total_tokens") / col("n")).as("avgdl"))
     // dl is a window SUM over the same doc_id partition the top-k rank
     // needs anyway — one shuffle serves both, replacing the former
-    // groupBy(doc_id)+join round-trip (df joins broadcast: it's
-    // |vocab| rows).
+    // groupBy(doc_id)+join round-trip. The df join is left to AQE: at
+    // this corpus it broadcasts from runtime stats, at web scale |vocab|
+    // is a fact table and the term-keyed shuffle (the SkewOps case, as
+    // in qTfidf) is the right plan — no forced hint either way.
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("term").asc)
-    tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+    tf.join(df, "term").crossJoin(broadcast(stats))
       .withColumn("dl", sum(col("tf")).over(wDoc))
       .select(col("doc_id"), col("term"),
         r4(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -124,7 +124,8 @@ object EventStream {
     * checkout" correlation, continuously. Both sides carry watermarks and
     * the join condition bounds event-time distance, so Spark can evict
     * buffered rows once the watermark passes `purchase_ts + 10 min`:
-    * state stays proportional to the interval, not the stream. (Without
+    * retained state is bounded by the watermark delay PLUS the join
+    * interval (~2h10m of stream here), not the whole stream. (Without
     * the time bound a stream-stream inner join must buffer forever.)
     */
   def purchaseLinkedErrors(events: DataFrame): DataFrame = {
