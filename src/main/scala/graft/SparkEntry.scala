@@ -27,6 +27,7 @@ object SparkEntry {
     "q_funnel" -> (ThreatOps.qFunnel _),
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
+    "q_skew_agg" -> (ThreatOps.qSkewAgg _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
     // E. relational core
@@ -76,6 +77,7 @@ object SparkEntry {
     "q_stratified_sample" -> (TextOps.qStratifiedSample _),
     "q_chunk_docs" -> (TextOps.qChunkDocs _),
     "q_repetition" -> (TextOps.qRepetition _),
+    "q_corpus_filter" -> (TextOps.qCorpusFilter _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -457,6 +459,9 @@ object SparkEntry {
       """SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY ROLLUP(user_id, event_type)
          ORDER BY user_id NULLS LAST, event_type NULLS LAST""",
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_latest_snapshot" ->
       """SELECT user_id, resource, event_id, ts, event_type, round(value, 4) AS value
          FROM (SELECT user_id, json_extract_string(props,'$.k') AS resource,
@@ -679,6 +684,39 @@ object SparkEntry {
             substr(md5(array_to_string(list_slice(t, s+1, s+${TextOps.ChunkSize}), ' ')),
               1, 8) AS chunk_hash
           FROM st ORDER BY doc_id, chunk_idx""",
+    "q_corpus_filter" ->
+      s"""WITH RECURSIVE pr AS ($minhashPairsSql),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  WHERE jaccard >= ${DedupOps.ClusterJaccard}
+                UNION ALL
+                SELECT doc_b, doc_a FROM pr
+                  WHERE jaccard >= ${DedupOps.ClusterJaccard}),
+          reach(s, d) AS (
+            SELECT DISTINCT a AS s, a AS d FROM e
+            UNION
+            SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+          comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s),
+          tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+          rep AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            round(1 - len(list_distinct(CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t)-1),
+                     i -> concat_ws(' ', t[i], t[i+1]))
+                ELSE []::VARCHAR[] END)) / greatest(len(t)-1, 1)::DOUBLE, 4)
+              AS dup_bigram_ratio
+          FROM tok)
+          SELECT r.doc_id, n_tokens, dup_bigram_ratio,
+            CAST(CASE WHEN n_tokens >= ${TextOps.MinTokens}
+              THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
+            CAST(CASE WHEN dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
+              THEN 1 ELSE 0 END AS BIGINT) AS rep_ok,
+            CAST(CASE WHEN r.doc_id = COALESCE(c.cluster_id, r.doc_id)
+              THEN 1 ELSE 0 END AS BIGINT) AS dedup_ok,
+            CAST(CASE WHEN n_tokens >= ${TextOps.MinTokens}
+              AND dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
+              AND r.doc_id = COALESCE(c.cluster_id, r.doc_id)
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM rep r LEFT JOIN comp c ON r.doc_id = c.doc_id
+          ORDER BY r.doc_id""",
     "q_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
           tf AS (SELECT doc_id, x, count(*) AS c

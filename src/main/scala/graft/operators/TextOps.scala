@@ -225,6 +225,36 @@ object TextOps {
         substring(md5(concat_ws(" ", col("chunk"))), 1, 8).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Corpus-filter thresholds for [[qCorpusFilter]]. */
+  val MinTokens = 40
+  val MaxDupBigramRatio = 0.05
+
+  /** The end-to-end curation verdict: per document, the keep/drop
+    * decision a training-data pipeline actually executes — length gate,
+    * repetition gate (Gopher-style dup-bigram ratio), and near-dup
+    * survivorship (one doc per MinHash cluster) — with per-gate flags so
+    * drops are attributable. Composes [[qRepetition]] and
+    * [[graft.operators.DedupOps.qDedupClusters]] on a doc-keyed join;
+    * every component is independently oracle-verified, and so is this
+    * composition.
+    */
+  def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rep = qRepetition(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("dup_bigram_ratio"))
+    val surv = graft.operators.DedupOps.qDedupClusters(spark, dir)
+      .select(col("doc_id"), col("is_survivor"))
+    rep.join(surv, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_bigram_ratio"),
+        when(col("n_tokens") >= MinTokens, 1L).otherwise(0L).as("len_ok"),
+        when(col("dup_bigram_ratio") <= MaxDupBigramRatio, 1L).otherwise(0L)
+          .as("rep_ok"),
+        col("is_survivor").as("dedup_ok"))
+      .withColumn("keep",
+        (col("len_ok") === 1 && col("rep_ok") === 1 && col("dedup_ok") === 1)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): unique-token
     * ratio, most-frequent-token fraction, and duplicate-bigram ratio per
     * document. Token stats come from the shared (doc, term) frequency

@@ -184,6 +184,24 @@ class TextMlSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("qCorpusFilter: keep is the conjunction of its gates; gates non-trivial") {
+    val cf = TextOps.qCorpusFilter(spark, sf).cache()
+    assert(cf.count() === Tables.documents(spark, sf).count())
+    val bad = cf.filter(col("keep") =!=
+      (col("len_ok") === 1 && col("rep_ok") === 1 && col("dedup_ok") === 1)
+        .cast("long"))
+    assert(bad.count() === 0)
+    // gates must agree with their source operators
+    val rep = TextOps.qRepetition(spark, sf)
+      .select(col("doc_id"), col("n_tokens").as("nt2"))
+    assert(cf.join(rep, "doc_id").filter(col("n_tokens") =!= col("nt2"))
+      .count() === 0)
+    // the filter must actually drop something and keep something
+    val kept = cf.filter(col("keep") === 1).count()
+    assert(kept > 0 && kept < cf.count())
+    cf.unpersist()
+  }
+
   test("qRepetition: ratios in [0,1], consistent with qTokenCount") {
     val r = TextOps.qRepetition(spark, sf).cache()
     val bad = r.filter(col("uniq_token_ratio") < 0 || col("uniq_token_ratio") > 1 ||
