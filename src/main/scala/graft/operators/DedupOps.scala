@@ -36,36 +36,47 @@ object DedupOps {
     * both engines. 12 permutations in 4 bands of 3: documents agreeing on
     * any full band land in the same LSH bucket in [[qDedupMinhashPairs]].
     */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val mh = (0 until MinhashPerms).map(j => minhash(col("hs"), j).as(s"mh_$j"))
-    val withSig = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), ShingleHash32(col("text"), 3).as("hs"))
-      .select(col("doc_id") +: size(col("hs")).cast("long").as("n_shingles") +: mh: _*)
-    // concat (null-propagating, matching SQL ||), NOT concat_ws: a doc
-    // with no shingles must yield NULL bands on both engines.
-    val bands = (0 until MinhashPerms / BandsRows).map { b =>
-      val parts = (0 until BandsRows)
-        .map(r => col(s"mh_${b * BandsRows + r}").cast("string"))
-        .flatMap(c => Seq(c, lit("|"))).dropRight(1)
-      md5(concat(parts: _*)).as(s"band_$b")
+  /** Unordered signature frame, Memo.cached: the shingle→md5→12-permutation
+    * kernel is the expensive half of every MinHash query, and the pairs
+    * join, the cluster edge build, and the signature dump all consume it —
+    * one pinned copy per (session, dir). */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("minhashSig", spark, dir) {
+      val mh = (0 until MinhashPerms).map(j => minhash(col("hs"), j).as(s"mh_$j"))
+      val withSig = spread(spark, documents(spark, dir))
+        .select(col("doc_id"), ShingleHash32(col("text"), 3).as("hs"))
+        .select(col("doc_id") +: size(col("hs")).cast("long").as("n_shingles") +: mh: _*)
+      // concat (null-propagating, matching SQL ||), NOT concat_ws: a doc
+      // with no shingles must yield NULL bands on both engines.
+      val bands = (0 until MinhashPerms / BandsRows).map { b =>
+        val parts = (0 until BandsRows)
+          .map(r => col(s"mh_${b * BandsRows + r}").cast("string"))
+          .flatMap(c => Seq(c, lit("|"))).dropRight(1)
+        md5(concat(parts: _*)).as(s"band_$b")
+      }
+      val outCols = Seq(col("doc_id"), col("n_shingles")) ++
+        (0 until MinhashPerms).map(j => col(s"mh_$j")) ++ bands
+      withSig.select(outCols: _*)
     }
-    val outCols = Seq(col("doc_id"), col("n_shingles")) ++
-      (0 until MinhashPerms).map(j => col(s"mh_$j")) ++ bands
-    withSig.select(outCols: _*).orderBy(col("doc_id"))
-  }
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashSig(spark, dir).orderBy(col("doc_id"))
 
   /** LSH candidate pairs: self-join signatures on any shared band key,
     * then verify with exact shingle-Jaccard. The join key is a 32-hex
     * bucket id — never the document. Returned ordered by similarity.
     */
   def qDedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qDedupMinhash(spark, dir)
+    val sig = minhashSig(spark, dir)
     // Jaccard verify runs on the 8-byte shingle hashes, not the shingle
     // strings: the arrays shuffled to the pair join are ~5x narrower and
     // the set-intersect compares longs (same result modulo md5 collisions,
-    // mirrored exactly in the oracle).
-    val docs = spread(spark, documents(spark, dir)).select(col("doc_id"),
-      array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
+    // mirrored exactly in the oracle). Memo.cached: the cluster query
+    // re-verifies the same pairs.
+    val docs = graft.Memo.cached("docShingleHashes", spark, dir) {
+      spread(spark, documents(spark, dir)).select(col("doc_id"),
+        array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
+    }
     val nBands = MinhashPerms / BandsRows
     val buckets = sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -87,26 +98,33 @@ object DedupOps {
     * bit. `bucket16` is the TOP 16 bits (bits 44..59, `simhash >> 44`) for
     * hamming-neighborhood joins at scale.
     */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // Per doc: explode tokens, hash each to a 60-bit value via the first
-    // 15 hex chars of md5 (16 would overflow a signed long), then
-    // majority-vote each bit across tokens.
-    val toks = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    // bit j of h: (h >> j) & 1 → vote +1/-1; 60 usable bits from 15 hex chars.
-    val bitCols = (0 until 60).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+  /** Unordered fingerprint frame, Memo.cached — the 60-column vote
+    * aggregation is the expensive half shared by the fingerprint dump and
+    * the pair join. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("simhashSig", spark, dir) {
+      // Per doc: explode tokens, hash each to a 60-bit value via the first
+      // 15 hex chars of md5 (16 would overflow a signed long), then
+      // majority-vote each bit across tokens.
+      val toks = spread(spark, documents(spark, dir))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      // bit j of h: (h >> j) & 1 → vote +1/-1; 60 usable bits from 15 hex chars.
+      val bitCols = (0 until 60).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+      }
+      val votes = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      val fp = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
+        acc.bitwiseOR(when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      }
+      votes.select(col("doc_id"), fp.as("simhash"))
     }
-    val votes = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-    }
-    votes.select(col("doc_id"), fp.as("simhash"))
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir)
       .withColumn("bucket16", shiftright(col("simhash"), 44))
       .orderBy(col("doc_id"))
-  }
 
   /** 3-shingle Jaccard similarity over candidate pairs bucketed by
     * (lang, n_chars): top-20 most-similar pairs. The bucket join bounds
@@ -142,7 +160,7 @@ object DedupOps {
     * store; recall is band-blocking-bounded rather than LSH-tunable.
     */
   def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qDedupSimhash(spark, dir).select(col("doc_id"), col("simhash"))
+    val sig = simhashSig(spark, dir)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map(b =>
         concat(lit(s"$b:"),

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.ThreatOps
+import graft.streaming.{Event, EventStream, SessionState}
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized-property tests for the hand-written kernels — the code
+  * Catalyst does NOT verify for us. Each property is checked against an
+  * obviously-correct reference implementation over many seeded-random
+  * inputs (deterministic: fixed seed, so failures reproduce). No
+  * SparkSession needed — these exercise pure JVM logic.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  test("foldPairs sums match brute force for random groups and any flushAt") {
+    for (_ <- 1 to 200) {
+      val nGroups = rnd.nextInt(6)
+      val groups = List.fill(nGroups) {
+        val n = 2 + rnd.nextInt(30)
+        Array.fill(n)(rnd.nextLong(50L)).distinct match {
+          case a if a.length >= 2 => a
+          case a => a ++ Array(a.headOption.getOrElse(0L) + 51L)
+        }
+      }
+      val flushAt = 1 + rnd.nextInt(64)
+      val expected = groups.flatMap { g =>
+        val s = g.sorted
+        for (i <- s.indices; j <- s.indices if s(i) < s(j)) yield (s(i), s(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val actual = ThreatOps.foldPairs(groups.iterator.map(_.clone()), flushAt)
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .map { case (pk, c) => ((pk >> 32, pk & 0xffffffffL), c) }.toMap
+      assert(actual === expected, s"groups=${groups.map(_.toList)} flushAt=$flushAt")
+    }
+  }
+
+  test("LongCountMap increments/drains like a reference HashMap across growth") {
+    for (trial <- 1 to 50) {
+      val m = new java.util.HashMap[Long, Long]()
+      val lcm = new graft.operators.LongCountMap(16) // tiny: forces growth
+      val keys = Array.fill(1 + rnd.nextInt(5000))(1L + rnd.nextLong(500L))
+      keys.foreach { k =>
+        lcm.increment(k)
+        m.merge(k, 1L, _ + _)
+      }
+      assert(lcm.size === m.size, s"trial $trial size")
+      val drained = lcm.drain().toMap
+      assert(drained.size === m.size)
+      m.forEach((k, v) => assert(drained(k) === v, s"trial $trial key $k"))
+      assert(lcm.size === 0, "drain resets")
+      // reuse after drain must work
+      lcm.increment(7L); lcm.increment(7L)
+      assert(lcm.drain().toMap === Map(7L -> 2L))
+    }
+  }
+
+  test("sessionizeUser: sessions partition events; gaps only between sessions") {
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(40)
+      val ts = List.fill(n)(60000L + math.abs(rnd.nextLong() % (6L * 3600 * 1000)))
+      val events = ts.zipWithIndex.map { case (t, i) =>
+        Event(i.toLong, new java.sql.Timestamp(t), 7L, "login", 1.0)
+      }
+      val state = TestGroupState.create[SessionState](
+        Optional.empty[SessionState](), GroupStateTimeout.EventTimeTimeout,
+        0L, Optional.of(java.lang.Long.valueOf(0L)), false)
+      val closed = EventStream.sessionizeUser(7L, events.iterator, state).toSeq
+      val open = if (state.exists) Seq(state.get) else Seq.empty
+      // every event lands in exactly one session
+      assert(closed.map(_.n_events).sum + open.map(_.n).sum === n.toLong)
+      // spans are well-formed and adjacent sessions separated by > gap
+      val spans = (closed.map(s =>
+        (s.session_start.getTime, s.session_end.getTime)) ++
+        open.map(s => (s.start, s.last))).sortBy(_._1)
+      spans.foreach { case (a, b) => assert(a <= b) }
+      spans.sliding(2).foreach {
+        case Seq((_, prevEnd), (nextStart, _)) =>
+          assert(nextStart - prevEnd > EventStream.SessionGapMs,
+            s"adjacent sessions closer than the gap: $spans")
+        case _ => ()
+      }
+    }
+  }
+}
