@@ -166,6 +166,32 @@ object SparkEntry {
         SELECT doc_id, $fp AS simhash FROM votes"""
   }
 
+  /** Connected-components CTE block over the thresholded pair graph
+    * (expects a CTE `pr(doc_a, doc_b, jaccard)` in scope; the enclosing
+    * WITH must be RECURSIVE) — shared by the cluster oracle and the
+    * corpus-filter oracle so the two can never silently diverge. */
+  private val clusterCompSql =
+    s"""e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+            WHERE jaccard >= ${DedupOps.ClusterJaccard}
+          UNION ALL
+          SELECT doc_b, doc_a FROM pr
+            WHERE jaccard >= ${DedupOps.ClusterJaccard}),
+        reach(s, d) AS (
+          SELECT DISTINCT a AS s, a AS d FROM e
+          UNION
+          SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+        comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s)"""
+
+  /** Distinct-bigram count over a token array `t` (mirror of
+    * ShingleHash32(text, 2) size — dedup happens on the bigram STRINGS
+    * before hashing, so no hash step is needed here). Shared by the
+    * repetition and corpus-filter oracles. */
+  private val uniqBigramsSql =
+    """len(list_distinct(CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t)-1),
+              i -> concat_ws(' ', t[i], t[i+1]))
+         ELSE []::VARCHAR[] END))"""
+
   /** MinHash-LSH verified candidate pairs (mirror of
     * DedupOps.qDedupMinhashPairs) — shared by the pairs oracle and the
     * connected-components cluster oracle. */
@@ -585,16 +611,7 @@ object SparkEntry {
     },
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($minhashPairsSql),
-          e AS (SELECT doc_a AS a, doc_b AS b FROM pr
-                  WHERE jaccard >= ${DedupOps.ClusterJaccard}
-                UNION ALL
-                SELECT doc_b, doc_a FROM pr
-                  WHERE jaccard >= ${DedupOps.ClusterJaccard}),
-          reach(s, d) AS (
-            SELECT DISTINCT a AS s, a AS d FROM e
-            UNION
-            SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
-          comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s)
+          $clusterCompSql
           SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
             CAST(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
               THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
@@ -686,24 +703,15 @@ object SparkEntry {
           FROM st ORDER BY doc_id, chunk_idx""",
     "q_corpus_filter" ->
       s"""WITH RECURSIVE pr AS ($minhashPairsSql),
-          e AS (SELECT doc_a AS a, doc_b AS b FROM pr
-                  WHERE jaccard >= ${DedupOps.ClusterJaccard}
-                UNION ALL
-                SELECT doc_b, doc_a FROM pr
-                  WHERE jaccard >= ${DedupOps.ClusterJaccard}),
-          reach(s, d) AS (
-            SELECT DISTINCT a AS s, a AS d FROM e
-            UNION
-            SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
-          comp AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s),
+          $clusterCompSql,
           tok AS (SELECT doc_id, $tokSql AS t FROM documents),
           rep AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-            round(1 - len(list_distinct(CASE WHEN len(t) >= 2
-                THEN list_transform(generate_series(1, len(t)-1),
-                     i -> concat_ws(' ', t[i], t[i+1]))
-                ELSE []::VARCHAR[] END)) / greatest(len(t)-1, 1)::DOUBLE, 4)
+            round(1 - $uniqBigramsSql / greatest(len(t)-1, 1)::DOUBLE, 4)
               AS dup_bigram_ratio
-          FROM tok)
+          FROM tok
+          -- a NULL-text doc vanishes from the Spark side (explode of a
+          -- null token array emits no rows); mirror that here
+          WHERE t IS NOT NULL)
           SELECT r.doc_id, n_tokens, dup_bigram_ratio,
             CAST(CASE WHEN n_tokens >= ${TextOps.MinTokens}
               THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
@@ -724,11 +732,7 @@ object SparkEntry {
           ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
             CAST(count(*) AS BIGINT) AS uniq_tokens, CAST(max(c) AS BIGINT) AS top_c
           FROM tf GROUP BY 1),
-          bs AS (SELECT doc_id, CAST(len(list_distinct(
-            CASE WHEN len(t) >= 2
-              THEN list_transform(generate_series(1, len(t)-1),
-                   i -> concat_ws(' ', t[i], t[i+1]))
-              ELSE []::VARCHAR[] END)) AS BIGINT) AS uniq_bigrams
+          bs AS (SELECT doc_id, CAST($uniqBigramsSql AS BIGINT) AS uniq_bigrams
           FROM tok)
           SELECT ts.doc_id, n_tokens, uniq_tokens,
             round(uniq_tokens / n_tokens::DOUBLE, 4) AS uniq_token_ratio,

@@ -197,11 +197,28 @@ object DedupOps {
     * — ONE scalar to the driver per round, never the data.
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // The verified-pair pipeline (LSH + Jaccard verify) is the expensive
-    // half; memoize the materialized edge list per (session, dir) so
-    // repeated clustering (and the pairs query itself having run) doesn't
-    // re-shingle the corpus. localCheckpoint also truncates lineage, so
-    // propagation rounds re-read a materialized edge list, not the plan.
+    // The whole propagation is memoized, not just the edges: the
+    // multi-round driver loop (a blocking action + localCheckpoint per
+    // round) is itself the expensive part, and both this query and
+    // qCorpusFilter consume the converged labels.
+    val labels = graft.Memo("dedupClusterLabels", spark, dir)(
+      clusterLabels(spark, dir))
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor",
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pregel-style min-label propagation over the thresholded MinHash pair
+    * graph (see [[qDedupClusters]]): returns (id, lbl) for every node
+    * that appears in an edge, converged to the component minimum. The
+    * materialized edge list is memoized separately (localCheckpoint
+    * truncates lineage so propagation rounds re-read data, not plans).
+    */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val edges = graft.Memo("minhashEdges", spark, dir) {
       val pairs = qDedupMinhashPairs(spark, dir)
         .filter(col("jaccard") >= ClusterJaccard)
@@ -233,12 +250,6 @@ object DedupOps {
       System.err.println(s"[graft] qDedupClusters: label propagation hit " +
         s"$MaxRounds rounds before convergence — cluster ids may be " +
         s"non-minimal for components with diameter > $MaxRounds")
-    documents(spark, dir).select(col("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_survivor",
-        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
-      .orderBy(col("doc_id"))
+    labels
   }
 }

@@ -33,6 +33,19 @@ object SkewOps {
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("sum"))
 
+  /** Count AND sum in ONE salted two-stage aggregation — when both stats
+    * are needed, running [[saltedCount]] and [[saltedSum]] separately
+    * pays the heavy |rows| salt shuffle twice plus a join; this pays it
+    * once.
+    */
+  def saltedCountSum(df: DataFrame, key: Column, value: Column,
+      salt: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("pc"), sum(value).as("ps"))
+      .groupBy(col("key"))
+      .agg(sum(col("pc")).as("count"), sum(col("ps")).as("sum"))
+
   /** Replicated broadcast join against a skewed fact side: every fact row
     * gets a random-ish salt, the (small) dim is exploded across all salt
     * values, and the join key becomes (key, salt) — no single reducer

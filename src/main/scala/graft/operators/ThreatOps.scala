@@ -267,8 +267,8 @@ object ThreatOps {
       .limit(100)
   }
 
-  /** Event-type totals via [[SkewOps.saltedCount]]+[[SkewOps.saltedSum]]:
-    * the salted two-stage aggregation surfaced as a gated query.
+  /** Event-type totals via [[SkewOps.saltedCountSum]]: the salted
+    * two-stage aggregation surfaced as a gated query.
     * event_type has only 5 keys — each holds ~20% of ALL rows, exactly
     * the single-hot-key shape AQE's skew handling can't split for
     * aggregations (skew-join splitting doesn't apply to groupBy). The
@@ -276,17 +276,11 @@ object ThreatOps {
     * combine stage moves |keys|·salt rows. Result is exactly the plain
     * groupBy — which is what the DuckDB oracle runs.
     */
-  def qSkewAgg(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-    val counts = SkewOps.saltedCount(ev, col("event_type"))
-      .withColumnRenamed("key", "event_type").withColumnRenamed("count", "n")
-    val sums = SkewOps.saltedSum(ev, col("event_type"), col("value"))
-      .withColumnRenamed("key", "event_type")
-      .select(col("event_type"), r2(col("sum")).as("sum_value"))
-    counts.join(sums, "event_type")
-      .select(col("event_type"), col("n"), col("sum_value"))
+  def qSkewAgg(spark: SparkSession, dir: String): DataFrame =
+    SkewOps.saltedCountSum(events(spark, dir), col("event_type"), col("value"))
+      .select(col("key").as("event_type"), col("count").as("n"),
+        r2(col("sum")).as("sum_value"))
       .orderBy(col("event_type"))
-  }
 
   /** Partition-local pair-count map bound for [[foldPairs]]. */
   private val PairFlushAt = 1 << 22
