@@ -67,6 +67,7 @@ object SparkEntry {
     "q_ann_brute" -> (SimilarityOps.qAnnBrute _),
     "q_ann_lsh" -> (SimilarityOps.qAnnLsh _),
     "q_ann_ivf" -> (SimilarityOps.qAnnIvf _),
+    "q_embed_stats" -> (SimilarityOps.qEmbedStats _),
     // F. text analysis
     "q_lang_id" -> (TextOps.qLangId _),
     "q_quality_score" -> (TextOps.qQualityScore _),
@@ -626,6 +627,14 @@ object SparkEntry {
           FROM s a JOIN s b
             ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
           ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "q_embed_stats" ->
+      s"""WITH n AS ($embNormSql)
+          SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+            count(DISTINCT len(v)) AS n_dims,
+            round(avg(nv), 4) AS avg_norm,
+            round(min(nv), 4) AS min_norm,
+            round(max(nv), 4) AS max_norm
+          FROM n GROUP BY 1 ORDER BY 1""",
     "q_embed_neardup" ->
       s"""WITH n AS ($embNormSql)
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

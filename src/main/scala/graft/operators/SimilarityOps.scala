@@ -139,4 +139,27 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
       .orderBy(col("probe_id"), col("rank"))
   }
+
+  /** Embedding-corpus profile: per label, vector count, distinct
+    * dimensionalities (a health check — mixed dims break every ANN
+    * index), and L2-norm stats via the codegen
+    * [[graft.functions.VectorExpressions.dotProd]] (‖v‖ = √(v·v), no
+    * interpreted HOF in the hot loop). The sanity scan an embedding
+    * pipeline runs before building an index; one narrow pass + one
+    * label-keyed aggregation.
+    */
+  def qEmbedStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.dotProd
+    val v = col("embedding")
+    embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        sqrt(dotProd(v, v)).as("norm"), size(v).as("dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("dim")).as("n_dims"),
+        r4(avg(col("norm"))).as("avg_norm"),
+        r4(min(col("norm"))).as("min_norm"),
+        r4(max(col("norm"))).as("max_norm"))
+      .orderBy(col("label"))
+  }
 }

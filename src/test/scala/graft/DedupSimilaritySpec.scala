@@ -83,6 +83,17 @@ class DedupSimilaritySpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("qEmbedStats: counts reconcile, norms ordered, single dimensionality") {
+    val st = SimilarityOps.qEmbedStats(spark, sf).cache()
+    assert(st.agg(sum("n")).head.getLong(0) ===
+      Tables.embeddings(spark, sf).count())
+    assert(st.filter(col("n_dims") =!= 1).count() === 0,
+      "synthetic embeddings are fixed-dimension")
+    assert(st.filter(col("min_norm") > col("avg_norm") ||
+      col("avg_norm") > col("max_norm") || col("min_norm") <= 0).count() === 0)
+    st.unpersist()
+  }
+
   test("qEmbedNeardup pairs stay within label buckets") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
     val out = SimilarityOps.qEmbedNeardup(spark, sf)
