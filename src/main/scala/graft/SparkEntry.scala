@@ -50,6 +50,9 @@ object SparkEntry {
     "q_profile" -> (RelationalOps.qProfile _),
     "q_cube" -> (RelationalOps.qCube _),
     "q_latest_snapshot" -> (RelationalOps.qLatestSnapshot _),
+    "q_interval_join" -> (RelationalOps.qIntervalJoin _),
+    "q_daily_change" -> (RelationalOps.qDailyChange _),
+    "q_histogram" -> (RelationalOps.qHistogram _),
     "q_set_ops" -> (RelationalOps.qSetOps _),
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
@@ -489,6 +492,32 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           count(e.ts) AS events_10m,
+           CAST(count(CASE WHEN e.event_type = 'error' THEN 1 END) AS BIGINT)
+             AS errors_10m
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         LEFT JOIN events e
+           ON e.user_id = p.user_id
+          AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+         GROUP BY 1, 2, 3 ORDER BY purchase_id""",
+    "q_daily_change" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           CAST(n - lag(n, 1) OVER (PARTITION BY user_id ORDER BY d) AS BIGINT)
+             AS delta
+         FROM daily ORDER BY user_id, day""",
+    "q_histogram" ->
+      """SELECT event_type,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN value < 0 THEN 0
+                WHEN value >= 100 THEN 11
+                ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bin,
+           count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY event_type, bin""",
     "q_latest_snapshot" ->
       """SELECT user_id, resource, event_id, ts, event_type, round(value, 4) AS value
          FROM (SELECT user_id, json_extract_string(props,'$.k') AS resource,

@@ -253,6 +253,59 @@ object RelationalOps {
         r4(element_at(col("p"), 3)).as("p75"))
       .orderBy(col("event_type"))
 
+  /** Forward-interval (range) join: for each purchase, the same user's
+    * activity in the following 10 minutes — the "what happened right
+    * after conversion" window, batch twin of the streaming interval join
+    * (EventStream.purchaseLinkedErrors). The equi-key (user_id) makes
+    * this a hash/sort-merge join with the time range as a post-join
+    * predicate — never a nested-loop cross product.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val follow = ev.select(col("user_id").as("u2"), col("ts"), col("event_type"))
+    purchases.join(follow,
+        col("user_id") === col("u2") &&
+          col("ts") > col("purchase_ts") &&
+          col("ts") <= col("purchase_ts") + expr("INTERVAL 10 MINUTES"),
+        "left")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"))
+      .agg(count(col("ts")).as("events_10m"),
+        count(when(col("event_type") === "error", 1)).as("errors_10m"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Day-over-day activity change per user: daily counts + lag diff —
+    * the simplest time-series derivative, and the pattern behind every
+    * "sudden behavior change" detector. One shuffle (user-keyed window
+    * over pre-aggregated daily rows).
+    */
+  def qDailyChange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    daily
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), (col("n") - lag(col("n"), 1).over(w)).as("delta"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Fixed-width value histogram per event_type (10 bins over [0, 100))
+    * via width_bucket — the binning aggregation behind every
+    * distribution dashboard; one pass, one shuffle on the tiny
+    * (type, bin) key.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        width_bucket(col("value"), lit(0.0), lit(100.0), lit(10L)).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
   /** Log compaction / latest-record snapshot: the newest event per
     * (user, resource) key — the keep-last-write pattern every CDC /
     * upsert-compaction job runs (and what a mutable NoSQL store does

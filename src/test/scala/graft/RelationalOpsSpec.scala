@@ -162,6 +162,39 @@ class RelationalOpsSpec extends SparkSpec {
       .filter(col("n2") =!= col("n1") * 2).count() === 0)
   }
 
+  test("qIntervalJoin: one row per purchase, follow counts bounded by user activity") {
+    val ij = RelationalOps.qIntervalJoin(spark, sf).cache()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(ij.count() === purchases)
+    assert(ij.filter(col("errors_10m") > col("events_10m")).count() === 0)
+    val perUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("total"))
+    assert(ij.join(perUser, "user_id")
+      .filter(col("events_10m") > col("total")).count() === 0)
+    ij.unpersist()
+  }
+
+  test("qDailyChange: deltas telescope back to the daily counts") {
+    val dc = RelationalOps.qDailyChange(spark, sf).cache()
+    // first day per user has null delta; all others satisfy n = prev + delta
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val bad = dc.withColumn("prev", lag("n", 1).over(w))
+      .filter(col("prev").isNotNull && col("n") =!= col("prev") + col("delta"))
+    assert(bad.count() === 0)
+    assert(dc.filter(col("delta").isNull).count() ===
+      dc.select("user_id").distinct().count())
+    dc.unpersist()
+  }
+
+  test("qHistogram: bin mass conserves rows, bins within range") {
+    val h = RelationalOps.qHistogram(spark, sf).cache()
+    assert(h.agg(sum("n")).head.getLong(0) === Tables.events(spark, sf).count())
+    assert(h.filter(col("bin") < 0 || col("bin") > 11).count() === 0)
+    h.unpersist()
+  }
+
   test("qLatestSnapshot keeps exactly one newest row per (user, resource)") {
     val snap = RelationalOps.qLatestSnapshot(spark, sf).cache()
     val keyed = Tables.events(spark, sf)
