@@ -149,7 +149,6 @@ object SimilarityOps {
     * label-keyed aggregation.
     */
   def qEmbedStats(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExpressions.dotProd
     val v = col("embedding")
     embeddings(spark, dir)
       .select(col("label").cast("long").as("label"),

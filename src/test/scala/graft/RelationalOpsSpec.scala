@@ -175,14 +175,28 @@ class RelationalOpsSpec extends SparkSpec {
     ij.unpersist()
   }
 
-  test("qDailyChange: deltas telescope back to the daily counts") {
+  test("qDailyChange: deltas match an independent daily recount") {
     val dc = RelationalOps.qDailyChange(spark, sf).cache()
-    // first day per user has null delta; all others satisfy n = prev + delta
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("day")
-    val bad = dc.withColumn("prev", lag("n", 1).over(w))
-      .filter(col("prev").isNotNull && col("n") =!= col("prev") + col("delta"))
-    assert(bad.count() === 0)
+    // independent reference: recount per day from the raw events and
+    // self-join adjacent (user, day) rows — no window function shared
+    // with the query under test
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val prev = daily.select(col("user_id"), date_add(col("d"), 1).as("d"),
+      col("cnt").as("prev_cnt"))
+    val ref = daily.join(prev, Seq("user_id", "d"), "left")
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("cnt"), (col("cnt") - col("prev_cnt")).as("ref_delta"))
+    val joined = dc.join(ref, Seq("user_id", "day"))
+    assert(joined.count() === dc.count())
+    assert(joined.filter(col("n") =!= col("cnt")).count() === 0)
+    // ref_delta is null when the PRIOR CALENDAR day is absent; the query's
+    // lag-based delta is null only on each user's first row — where both
+    // are defined they must agree
+    assert(joined.filter(col("ref_delta").isNotNull &&
+      col("delta").isNotNull && col("delta") =!= col("ref_delta"))
+      .count() === 0)
     assert(dc.filter(col("delta").isNull).count() ===
       dc.select("user_id").distinct().count())
     dc.unpersist()
