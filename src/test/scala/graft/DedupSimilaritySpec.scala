@@ -59,15 +59,20 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("qAnnLsh results are a subset of brute-force candidates per probe") {
+  test("qAnnLsh: scores agree with brute force, recall@k above the multi-table bound") {
     val brute = SimilarityOps.qAnnBrute(spark, sf)
-      .select(col("probe_id"), col("vec_id"), col("cos").as("cos_b"))
+      .select(col("probe_id"), col("vec_id"), col("cos").as("cos_b")).cache()
     val lsh = SimilarityOps.qAnnLsh(spark, sf)
-      .select(col("probe_id"), col("vec_id"), col("cos"))
+      .select(col("probe_id"), col("vec_id"), col("cos")).cache()
     // same (probe, vec) pair must score identically in both paths
     val joined = lsh.join(brute, Seq("probe_id", "vec_id"))
-      .filter(abs(col("cos") - col("cos_b")) > 1e-9)
-    assert(joined.count() === 0)
+    assert(joined.filter(abs(col("cos") - col("cos_b")) > 1e-9).count() === 0)
+    // recall@k: fraction of true top-k recovered (8 tables x 4 bits
+    // measures ~0.7; assert a conservative floor so a regression to
+    // single-table recall (~0.08) fails loudly)
+    val recall = joined.count().toDouble / brute.count()
+    assert(recall >= 0.4, s"LSH recall@k degraded to $recall")
+    brute.unpersist(); lsh.unpersist()
   }
 
   test("qAnnIvf scores agree with brute force; at most k results per probe") {
