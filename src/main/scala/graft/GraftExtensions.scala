@@ -39,10 +39,27 @@ object GraftFunctions {
       info("shingle_hash32",
         "shingle_hash32(text, k) - 32-bit md5 hashes of the distinct word k-shingles of text (k a literal)"),
       (es: Seq[Expression]) => {
+        // k parameterizes the builder itself, so it must fold at plan
+        // build; accept any integral literal and fail with analysis-time
+        // context otherwise (not a deep runtime eval error).
+        if (!es(1).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`shingle_hash32`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\""))
         val k = es(1).eval() match {
           case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"shingle_hash32: k must be an integer literal, got $other")
+          case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+            messageParameters = Map(
+              "parameter" -> "`k`",
+              "functionName" -> "`shingle_hash32`",
+              "invalidValue" -> String.valueOf(other)))
         }
         ShingleHash32(es(0), k)
       }))

@@ -18,10 +18,7 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
-      })
+    Tables.applyConfOverrides(spark)
     val name = args.lift(1).getOrElse("q_coaccess_pairs")
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // JIT warm

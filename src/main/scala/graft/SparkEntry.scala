@@ -747,22 +747,25 @@ object SparkEntry {
             round(1 - $uniqBigramsSql / greatest(len(t)-1, 1)::DOUBLE, 4)
               AS dup_bigram_ratio
           FROM tok
-          -- a NULL-text doc vanishes from the Spark side (explode of a
-          -- null token array emits no rows); mirror that here
-          WHERE t IS NOT NULL)
-          SELECT r.doc_id, n_tokens, dup_bigram_ratio,
-            CAST(CASE WHEN n_tokens >= ${TextOps.MinTokens}
+          -- token-less docs have no row on the Spark rep side (explode of
+          -- a null/empty token array emits no rows); mirror, then restore
+          -- them via the LEFT JOIN from documents below
+          WHERE t IS NOT NULL AND len(t) > 0)
+          SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, dup_bigram_ratio,
+            CAST(CASE WHEN COALESCE(n_tokens, 0) >= ${TextOps.MinTokens}
               THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
             CAST(CASE WHEN dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
               THEN 1 ELSE 0 END AS BIGINT) AS rep_ok,
-            CAST(CASE WHEN r.doc_id = COALESCE(c.cluster_id, r.doc_id)
+            CAST(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
               THEN 1 ELSE 0 END AS BIGINT) AS dedup_ok,
-            CAST(CASE WHEN n_tokens >= ${TextOps.MinTokens}
+            CAST(CASE WHEN COALESCE(n_tokens, 0) >= ${TextOps.MinTokens}
               AND dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
-              AND r.doc_id = COALESCE(c.cluster_id, r.doc_id)
+              AND d.doc_id = COALESCE(c.cluster_id, d.doc_id)
               THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM rep r LEFT JOIN comp c ON r.doc_id = c.doc_id
-          ORDER BY r.doc_id""",
+          FROM documents d
+            LEFT JOIN rep r ON d.doc_id = r.doc_id
+            LEFT JOIN comp c ON d.doc_id = c.doc_id
+          ORDER BY d.doc_id""",
     "q_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
           tf AS (SELECT doc_id, x, count(*) AS c

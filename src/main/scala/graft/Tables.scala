@@ -76,4 +76,18 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  /** Apply ad-hoc `SPARK_GRAFT_CONF="k=v;k=v"` overrides (A/B harness
+    * knob shared by Profile/TimeOne). A segment without '=' is reported
+    * by name instead of surfacing as a MatchError.
+    */
+  def applyConfOverrides(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => System.err.println(
+            s"[graft] ignoring malformed SPARK_GRAFT_CONF segment '$kv' (expected k=v)")
+        }
+      })
 }

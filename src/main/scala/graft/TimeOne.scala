@@ -15,10 +15,7 @@ object TimeOne {
     val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // ad-hoc conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
-      })
+    Tables.applyConfOverrides(spark)
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()

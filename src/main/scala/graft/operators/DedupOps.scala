@@ -244,12 +244,13 @@ object DedupOps {
       curSum = lblSum(labels)
       rounds += 1
     }
-    // Never exit silently un-converged: labels past the cap would carry
-    // non-minimal cluster ids (two "survivors" in one component).
+    // Never exit un-converged: labels past the cap would carry non-minimal
+    // cluster ids (two "survivors" in one component), and Memo would serve
+    // the wrong labels for the rest of the session.
     if (curSum < prevSum)
-      System.err.println(s"[graft] qDedupClusters: label propagation hit " +
-        s"$MaxRounds rounds before convergence — cluster ids may be " +
-        s"non-minimal for components with diameter > $MaxRounds")
+      throw new IllegalStateException(s"qDedupClusters: label propagation " +
+        s"hit $MaxRounds rounds before convergence — component diameter " +
+        s"exceeds the cap; raise MaxRounds or check the edge set")
     labels
   }
 }

@@ -243,7 +243,16 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("dup_bigram_ratio"))
     val surv = graft.operators.DedupOps.qDedupClusters(spark, dir)
       .select(col("doc_id"), col("is_survivor"))
-    rep.join(surv, "doc_id")
+    // surv covers EVERY document (clusters left-join from the doc table);
+    // rep is derived from exploded tokens, so null-/empty-text docs have
+    // no row there. Left-join so token-less docs still get a verdict:
+    // n_tokens=0, len_ok=0, keep=0 — a curation pipeline must emit a drop
+    // decision for them, not silently omit the row.
+    surv.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("dup_bigram_ratio"),
+        col("is_survivor"))
       .select(col("doc_id"), col("n_tokens"), col("dup_bigram_ratio"),
         when(col("n_tokens") >= MinTokens, 1L).otherwise(0L).as("len_ok"),
         when(col("dup_bigram_ratio") <= MaxDupBigramRatio, 1L).otherwise(0L)

@@ -231,7 +231,18 @@ object ThreatOps {
           .select(col("resource"))
         edges.join(deg, Seq("resource"), "left_semi")
       }
-    val perResource = capped
+    // Packed (a<<32 | b) pair keys need ids in [0, 2^31). Validate in the
+    // scan stage — one codegen'd comparison per row — so an oversized id
+    // fails the FIRST stage with an actionable message instead of a bare
+    // require() deep inside the pair-fold shuffle. Id spaces beyond 2^31
+    // are served by [[coaccessPairsWide]] (struct pair keys, no packing).
+    val guarded = capped.withColumn("user_id",
+      when(col("user_id") >= 0 && col("user_id") < (1L << 31), col("user_id"))
+        .otherwise(raise_error(concat(
+          lit("qCoaccessPairs: user_id "), col("user_id").cast("string"),
+          lit(" outside packable range [0, 2^31); use coaccessPairsWide")))
+          .cast("long")))
+    val perResource = guarded
       .groupBy(col("resource"))
       .agg(collect_set(col("user_id")).as("users"))
       .filter(size(col("users")) >= 2)
@@ -281,6 +292,46 @@ object ThreatOps {
       .select(col("key").as("event_type"), col("count").as("n"),
         r2(col("sum")).as("sum_value"))
       .orderBy(col("event_type"))
+
+  /** Struct-keyed co-access fallback for id spaces beyond 2^31 (packed
+    * longs can't hold them). Pairs are exploded per resource and combined
+    * by Spark's own partial hash aggregate — map-side combine still
+    * happens, just through Row-shaped buffers instead of the primitive
+    * [[LongCountMap]] (~2-3× the per-pair cost; unbounded id range).
+    * Same result contract as [[coaccessPairs]].
+    */
+  def coaccessPairsWide(spark: SparkSession, dir: String,
+      maxDegree: Int = Int.MaxValue): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val edges = activityLog(spark, dir).filter(col("resource").isNotNull)
+    val capped =
+      if (maxDegree == Int.MaxValue) edges
+      else {
+        val deg = edges.select(col("resource"), col("user_id")).distinct()
+          .groupBy(col("resource")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= maxDegree)
+          .select(col("resource"))
+        edges.join(deg, Seq("resource"), "left_semi")
+      }
+    val perResource = capped
+      .groupBy(col("resource"))
+      .agg(collect_set(col("user_id")).as("users"))
+      .filter(size(col("users")) >= 2)
+      .select(sort_array(col("users")).as("users"))
+    perResource
+      .as[Array[Long]]
+      .flatMap { users =>
+        for { i <- 0 until users.length - 1; j <- i + 1 until users.length }
+          yield (users(i), users(j))
+      }
+      .toDF("user_a", "user_b")
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("shared_resources"))
+      .filter(col("shared_resources") >= 2)
+      .orderBy(col("shared_resources").desc, col("user_a"), col("user_b"))
+      .limit(100)
+  }
 
   /** Partition-local pair-count map bound for [[foldPairs]]. */
   private val PairFlushAt = 1 << 22

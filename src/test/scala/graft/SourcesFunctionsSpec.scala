@@ -114,6 +114,23 @@ class SourcesFunctionsSpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() === 0)
   }
 
+  test("SQL shingle_hash32 accepts BIGINT k and rejects non-literal k clearly") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_k_test")
+    // BIGINT literal folds to the same kernel as an INT literal
+    val viaLong = spark.sql(
+      "SELECT doc_id, shingle_hash32(text, CAST(3 AS BIGINT)) AS hs FROM docs_k_test")
+    val viaInt = spark.sql(
+      "SELECT doc_id, shingle_hash32(text, 3) AS hs FROM docs_k_test")
+    assert(viaLong.exceptAll(viaInt).count() === 0)
+    // a non-foldable k fails at analysis with a named-function message
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT shingle_hash32(text, length(text)) FROM docs_k_test").collect()
+    }
+    assert(ex.getMessage.contains("shingle_hash32"))
+  }
+
   test("SQL cosine_sim agrees with the Column API on real embeddings") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(50)

@@ -131,6 +131,16 @@ class ThreatOpsSpec extends SparkSpec {
     assert(one.size === expected.size, "fully combined when map never flushes")
   }
 
+  test("coaccessPairsWide (struct-key fallback) matches the packed-long path") {
+    val packed = ThreatOps.qCoaccessPairs(spark, sf)
+    val wide = ThreatOps.coaccessPairsWide(spark, sf)
+      .withColumnRenamed("shared_resources", "sr_wide")
+    val diff = packed.join(wide, Seq("user_a", "user_b"), "full")
+      .filter(col("shared_resources").isNull || col("sr_wide").isNull ||
+        col("shared_resources") =!= col("sr_wide"))
+    assert(diff.count() === 0)
+  }
+
   test("coaccessPairs degree cap only removes hot-resource contributions") {
     val full = ThreatOps.coaccessPairs(spark, sf, Int.MaxValue)
       .withColumnRenamed("shared_resources", "sr_full")
