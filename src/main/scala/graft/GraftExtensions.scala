@@ -49,11 +49,14 @@ object GraftFunctions {
               "funcName" -> "`shingle_hash32`",
               "paramName" -> "`k`",
               "paramType" -> "\"INT\""))
+        // One range check for every integral width: k must be >= 1 (a
+        // 0/negative shingle size is meaningless — the kernel would
+        // degenerate to hashing the empty string) and fit an Int.
         val k = es(1).eval() match {
-          case i: Int => i
+          case i: Int if i >= 1 => i
           case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
-          case s: Short => s.toInt
-          case b: Byte => b.toInt
+          case s: Short if s >= 1 => s.toInt
+          case b: Byte if b >= 1 => b.toInt
           case other => throw new org.apache.spark.sql.AnalysisException(
             errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
             messageParameters = Map(

@@ -215,7 +215,12 @@ object ThreatOps {
   def coaccessPairs(spark: SparkSession, dir: String, maxDegree: Int): DataFrame = {
     val s = spark
     import s.implicits._
-    val edges = activityLog(spark, dir).filter(col("resource").isNotNull)
+    // NULL user_id rows carry no pair signal (collect_set would drop them
+    // anyway) — filter them explicitly so the packable-range guard below
+    // never sees a NULL (when(NULL) falls through to the raise_error
+    // branch, turning an expected-dirty row into a query failure).
+    val edges = activityLog(spark, dir)
+      .filter(col("resource").isNotNull && col("user_id").isNotNull)
     // Capped path: the degree filter must run BEFORE collect_set, or the
     // hot key still materializes its full degree-sized array in one
     // aggregation buffer — the exact blowup the cap exists to prevent.
@@ -304,7 +309,8 @@ object ThreatOps {
       maxDegree: Int = Int.MaxValue): DataFrame = {
     val s = spark
     import s.implicits._
-    val edges = activityLog(spark, dir).filter(col("resource").isNotNull)
+    val edges = activityLog(spark, dir)
+      .filter(col("resource").isNotNull && col("user_id").isNotNull)
     val capped =
       if (maxDegree == Int.MaxValue) edges
       else {
@@ -321,9 +327,14 @@ object ThreatOps {
       .select(sort_array(col("users")).as("users"))
     perResource
       .as[Array[Long]]
+      // Lazy pair generation: a strict for-yield would materialize all
+      // C(deg,2) pairs of one resource as an in-memory collection before
+      // Spark's partial aggregate consumes any — one hot resource at the
+      // unbounded-degree default could OOM the executor. Iterators keep
+      // the footprint at O(1) per emitted pair.
       .flatMap { users =>
-        for { i <- 0 until users.length - 1; j <- i + 1 until users.length }
-          yield (users(i), users(j))
+        (0 until users.length - 1).iterator.flatMap(i =>
+          (i + 1 until users.length).iterator.map(j => (users(i), users(j))))
       }
       .toDF("user_a", "user_b")
       .groupBy(col("user_a"), col("user_b"))

@@ -131,6 +131,19 @@ class SourcesFunctionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("shingle_hash32"))
   }
 
+  test("SQL shingle_hash32 rejects k < 1 in every integral width") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_k0_test")
+    for (kLit <- Seq("0", "-1", "CAST(0 AS BIGINT)", "CAST(0 AS SMALLINT)",
+        "CAST(-2 AS TINYINT)")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          s"SELECT shingle_hash32(text, $kLit) FROM docs_k0_test").collect()
+      }
+      assert(ex.getMessage.contains("shingle_hash32"), s"k=$kLit")
+    }
+  }
+
   test("SQL cosine_sim agrees with the Column API on real embeddings") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(50)

@@ -141,6 +141,31 @@ class ThreatOpsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("coaccessPairs tolerates NULL user_id rows (both paths drop them)") {
+    // Real logs carry NULL user_ids (qPreprocess's null-drop exists for
+    // them). The packable-range guard must never see a NULL — when(NULL)
+    // would fall through to the raise_error branch and fail the query.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nullids").toString
+    val s = spark
+    import s.implicits._
+    val rows = Seq[(Long, Long, java.lang.Long, String, Double, String)](
+      (1L, 1000000000L, 1L, "login", 1.0, """{"k":"r1"}"""),
+      (2L, 2000000000L, 2L, "login", 1.0, """{"k":"r1"}"""),
+      (3L, 3000000000L, null, "login", 1.0, """{"k":"r1"}"""),
+      (4L, 4000000000L, 1L, "login", 1.0, """{"k":"r2"}"""),
+      (5L, 5000000000L, 2L, "login", 1.0, """{"k":"r2"}"""),
+      (6L, 6000000000L, null, "login", 1.0, """{"k":"r2"}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    for (df <- Seq(ThreatOps.qCoaccessPairs(spark, tmp),
+        ThreatOps.coaccessPairsWide(spark, tmp))) {
+      val got = df.collect()
+      assert(got.length === 1)
+      assert(got(0).getLong(0) === 1L && got(0).getLong(1) === 2L &&
+        got(0).getLong(2) === 2L)
+    }
+  }
+
   test("coaccessPairs degree cap only removes hot-resource contributions") {
     val full = ThreatOps.coaccessPairs(spark, sf, Int.MaxValue)
       .withColumnRenamed("shared_resources", "sr_full")
