@@ -28,6 +28,9 @@ object SparkEntry {
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
     "q_skew_agg" -> (ThreatOps.qSkewAgg _),
+    "q_event_transitions" -> (ThreatOps.qEventTransitions _),
+    "q_rare_access_pmi" -> (ThreatOps.qRareAccessPmi _),
+    "q_ewma_drift" -> (ThreatOps.qEwmaDrift _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
     // E. relational core
@@ -57,6 +60,8 @@ object SparkEntry {
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
     "q_exists_agg" -> (RelationalOps.qExistsAgg _),
+    "q_unpivot" -> (RelationalOps.qUnpivot _),
+    "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
     // F. LLM-data-pipeline: dedup
     "q_dedup_exact" -> (DedupOps.qDedupExact _),
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
@@ -82,6 +87,7 @@ object SparkEntry {
     "q_chunk_docs" -> (TextOps.qChunkDocs _),
     "q_repetition" -> (TextOps.qRepetition _),
     "q_corpus_filter" -> (TextOps.qCorpusFilter _),
+    "q_redact" -> (TextOps.qRedact _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -556,6 +562,64 @@ object SparkEntry {
            round(avg(n) OVER (PARTITION BY user_id ORDER BY d - DATE '1970-01-01'
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM daily ORDER BY user_id, day""",
+    "q_unpivot" ->
+      """WITH t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+         u AS (SELECT DISTINCT user_id FROM events),
+         c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+         SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+         ORDER BY u.user_id, t.event_type""",
+    "q_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""",
+    "q_event_transitions" ->
+      """WITH b AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS from_type, event_type AS to_type FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM b
+               WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 4) AS prob
+         FROM c ORDER BY from_type, to_type""",
+    "q_rare_access_pmi" ->
+      """WITH e AS (SELECT user_id, json_extract_string(props,'$.k') AS resource
+             FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL),
+         p AS (SELECT user_id, resource, count(*) AS n_ur FROM e GROUP BY 1, 2),
+         u AS (SELECT user_id, count(*) AS n_u FROM e GROUP BY 1),
+         r AS (SELECT resource, count(*) AS n_r FROM e GROUP BY 1),
+         t AS (SELECT count(*)::DOUBLE AS total FROM e)
+         SELECT p.user_id, p.resource, n_ur, n_u, n_r,
+           round(log2(n_ur * total / (n_u * n_r)), 4) AS pmi
+         FROM p JOIN u USING (user_id) JOIN r USING (resource) CROSS JOIN t
+         ORDER BY pmi ASC, user_id, resource LIMIT 100""",
+    "q_ewma_drift" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT a.user_id, strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(a.n AS BIGINT) AS n,
+           round(sum(b.n * pow(0.5, (a.d - b.d) - 1))
+             / sum(pow(0.5, (a.d - b.d) - 1)), 4) AS ewma7,
+           round(a.n / (sum(b.n * pow(0.5, (a.d - b.d) - 1))
+             / sum(pow(0.5, (a.d - b.d) - 1))), 4) AS drift
+         FROM daily a LEFT JOIN daily b
+           ON b.user_id = a.user_id AND b.d >= a.d - 7 AND b.d < a.d
+         GROUP BY a.user_id, a.d, a.n
+         ORDER BY a.user_id, day""",
+    "q_redact" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+             AS redacted
+         FROM documents ORDER BY doc_id""",
     "q_exists_agg" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o

@@ -497,4 +497,38 @@ object RelationalOps {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Unpivot (melt): the wide per-user activity matrix back to long
+    * (user_id, event_type, n) form — the inverse of [[qPivot]] and the
+    * standard wide→long reshaping every feature store needs. Spark's
+    * `unpivot` compiles to a single Expand (one output row per value
+    * column per input row) — narrow, no shuffle beyond the pivot's own;
+    * at 100 TB the Expand streams, nothing is materialized wide.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Explicit GROUPING SETS — the general form behind ROLLUP/CUBE
+    * ([[qRollup]]/[[qCube]]): here the two one-dimension subtotals plus
+    * the grand total, WITHOUT the (status, priority) cross cells a CUBE
+    * would also compute. Catalyst expands all three sets in one
+    * Expand + hash aggregate pass (3× the distinct keys shuffle, not 3×
+    * the rows — partial aggregation still applies). Only expressible via
+    * SQL in Spark's public API, which is itself part of the surface:
+    * `spark.sql` over a registered view.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT
+           CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+           CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+         FROM orders_gsets
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""")
+  }
 }

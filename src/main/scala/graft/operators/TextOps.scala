@@ -288,4 +288,38 @@ object TextOps {
         .as("dup_bigram_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** PII patterns shared by the redactor and its oracle/spec. Kept to
+    * constructs with IDENTICAL semantics in Java regex and RE2 (DuckDB):
+    * explicit classes, bounded repeats, ASCII \b word boundaries — no
+    * lookarounds, no backrefs.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
+
+  /** Apply every PII mask in declared order (order matters: SSN before
+    * IP keeps dotted-quad-lookalike digit runs from being half-masked).
+    * Pure per-row regex work — narrow, codegen'd, scan-speed at 100 TB.
+    */
+  def redact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** PII redaction over the corpus: per-pattern match counts (taken on
+    * the ORIGINAL text, so overlapping masks can't hide each other) plus
+    * the masked text — the privacy-scrubbing pass every training-data
+    * pipeline runs before anything leaves the raw zone.
+    */
+  def qRedact(spark: SparkSession, dir: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id") +: counts :+ redact(col("text")).as("redacted"): _*)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -408,6 +408,95 @@ object ThreatOps {
         r4(col("weekend_activities") / greatest(col("total_activities"), lit(1))))
       .orderBy(col("user_id"))
   }
+
+  /** Behavioral sequence mining: the global next-event transition matrix
+    * (Markov bigrams). lag() over each user's time-ordered stream pairs
+    * every event with its predecessor — ONE window shuffle on user_id,
+    * then a tiny (from, to) aggregation; prob normalizes per source type.
+    * Sequence-pattern deviations (a user whose login→purchase chain
+    * never appears in the baseline matrix) are a standard insider-threat
+    * signal the reference's per-type counts can't see.
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bigrams = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    bigrams
+      .select(col("from_type"), col("to_type"), col("n"),
+        r4(col("n") / sum(col("n")).over(wTot)).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Unusual-access scoring via pointwise mutual information:
+    * PMI(u, r) = log2(N·c(u,r) / (c(u)·c(r))). A strongly NEGATIVE PMI
+    * marks a (user, resource) pairing that occurs despite both sides
+    * predicting it shouldn't — the "first touch of a sensitive share"
+    * signal, scored against the user's own volume and the resource's
+    * popularity. Three aggregations over the same edge list; the two
+    * marginals join back on their own keys (user join is co-partitioned
+    * with the pair agg's user grouping; resource marginal is small →
+    * broadcast at these SFs, shuffle-join at 100 TB). Bottom-100 by PMI.
+    */
+  def qRareAccessPmi(spark: SparkSession, dir: String): DataFrame = {
+    val edges = activityLog(spark, dir)
+      .filter(col("resource").isNotNull)
+      .select(col("user_id"), col("resource"))
+    val pair = edges.groupBy(col("user_id"), col("resource"))
+      .agg(count(lit(1)).as("n_ur"))
+    val byUser = edges.groupBy(col("user_id")).agg(count(lit(1)).as("n_u"))
+    val byRes = edges.groupBy(col("resource")).agg(count(lit(1)).as("n_r"))
+    val total = edges.count() // single scalar to the driver (agg'd scan)
+    pair
+      .join(byUser, "user_id")
+      .join(byRes, "resource")
+      .select(col("user_id"), col("resource"), col("n_ur"), col("n_u"), col("n_r"),
+        r4(log2(col("n_ur") * lit(total.toDouble) / (col("n_u") * col("n_r"))))
+          .as("pmi"))
+      .orderBy(col("pmi").asc, col("user_id"), col("resource"))
+      .limit(100)
+  }
+
+  /** Behavior-drift detection: each user-day's activity vs an
+    * exponentially-decayed weighted average of the prior 7 days
+    * (weight 0.5^(age-1) — gap-correct: weights follow CALENDAR distance,
+    * so a 3-day absence decays the baseline the same as three quiet
+    * days). The trailing window is a forward-interval self-join
+    * (equi user + bounded date range — same shape as [[RelationalOps
+    * .qIntervalJoin]], never nested-loop); drift = today / baseline.
+    * This is the time-series escalation primitive the reference's static
+    * per-user totals can't express: a slowly-ramping exfiltration shows
+    * as sustained drift > 1.
+    */
+  def qEwmaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    // Rename every prior-side column: the self-join would otherwise carry
+    // same-exprId attributes on both sides (daily is one plan subtree).
+    val prior = daily.select(col("user_id").as("pu"), col("d").as("pd"),
+      col("n").as("pn"))
+    daily.as("a")
+      .join(prior,
+        col("a.user_id") === col("pu") &&
+          col("pd") >= date_sub(col("a.d"), 7) && col("pd") < col("a.d"),
+        "left")
+      .groupBy(col("a.user_id").as("user_id"), col("a.d").as("d"),
+        col("a.n").as("n"))
+      .agg(
+        sum(col("pn") * pow(lit(0.5), datediff(col("a.d"), col("pd")) - 1))
+          .as("wsum"),
+        sum(pow(lit(0.5), datediff(col("a.d"), col("pd")) - 1)).as("wnorm"))
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), r4(col("wsum") / col("wnorm")).as("ewma7"),
+        r4(col("n") / (col("wsum") / col("wnorm"))).as("drift"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }
 
 /** Primitive open-addressed long→long counter for partition-local pair

@@ -250,4 +250,34 @@ class RelationalOpsSpec extends SparkSpec {
       .filter(col("order_count") =!= col("n")).count() === 0)
     assert(e.agg(sum("order_count")).head.getLong(0) <= o.count())
   }
+
+  test("qUnpivot round-trips qPivot: full matrix, per-user sums = activity totals") {
+    val long = RelationalOps.qUnpivot(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(long.count() === users * RelationalOps.EventTypes.length)
+    val perUser = long.groupBy("user_id").agg(sum("n").as("total"))
+    val direct = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("direct"))
+    assert(perUser.join(direct, "user_id")
+      .filter(col("total") =!= col("direct")).count() === 0)
+    long.unpersist()
+  }
+
+  test("qGroupingSets: exactly the three declared sets, consistent with qCube") {
+    val gs = RelationalOps.qGroupingSets(spark, sf).cache()
+    // no (status, priority) cross cells: every row has at least one 'ALL'
+    assert(gs.filter(col("status") =!= "ALL" && col("priority") =!= "ALL")
+      .count() === 0)
+    // subtotals agree with the CUBE's matching slices
+    val cube = RelationalOps.qCube(spark, sf)
+    val diff = gs.join(cube, Seq("status", "priority"), "left")
+      .filter(gs("n") =!= cube("n") || gs("total_price") =!= cube("total_price"))
+    assert(diff.count() === 0)
+    // grand total present exactly once and equals the row count
+    val grand = gs.filter(col("status") === "ALL" && col("priority") === "ALL")
+      .collect()
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n") === Tables.orders(spark, sf).count())
+    gs.unpersist()
+  }
 }

@@ -215,4 +215,49 @@ class TextMlSpec extends SparkSpec {
       .count() === 0)
     r.unpersist()
   }
+
+  test("redact masks crafted PII and leaves clean text untouched") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("mail me at alice.smith+x@example.co.uk today", 0L, 0L, 1L),
+      ("server 10.0.255.3 and peer 192.168.1.1 up", 0L, 2L, 0L),
+      ("ssn 123-45-6789 on file", 1L, 0L, 0L),
+      ("from 1.2.3.4 by bob@corp.io ssn 987-65-4321", 1L, 1L, 1L),
+      ("no pii here, just text with numbers 12345", 0L, 0L, 0L))
+      .toDF("text", "e_ssn", "e_ip", "e_email")
+      .withColumn("red", TextOps.redact(col("text")))
+    val got = df.collect()
+    for (r <- got) {
+      val red = r.getAs[String]("red")
+      assert(!red.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"),
+        s"email survived: $red")
+      assert(!red.matches(".*\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b.*"),
+        s"ip survived: $red")
+      assert(!red.matches(".*\\b\\d{3}-\\d{2}-\\d{4}\\b.*"), s"ssn survived: $red")
+      if (r.getLong(1) + r.getLong(2) + r.getLong(3) == 0)
+        assert(red === r.getAs[String]("text"), "clean text must pass unchanged")
+    }
+    // the query's count columns see the same patterns
+    val counts = df.select(
+      TextOps.PiiPatterns.map { case (name, pat, _) =>
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long").as(s"n_$name") }: _*).collect()
+    got.zip(counts).foreach { case (exp, c) =>
+      assert(c.getLong(0) === exp.getLong(1), "ssn count")
+      assert(c.getLong(1) === exp.getLong(2), "ip count")
+      assert(c.getLong(2) === exp.getLong(3), "email count")
+    }
+  }
+
+  test("qRedact: masked corpus re-scan finds zero residual PII") {
+    val r = TextOps.qRedact(spark, sf).cache()
+    assert(r.count() === Tables.documents(spark, sf).count())
+    val residual = TextOps.PiiPatterns.map { case (_, pat, _) =>
+      r.filter(size(regexp_extract_all(col("redacted"), lit(pat), lit(0))) > 0)
+        .count()
+    }.sum
+    assert(residual === 0, "redacted text must not match any PII pattern")
+    r.unpersist()
+  }
 }

@@ -141,6 +141,44 @@ class ThreatOpsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("qEventTransitions: bigram mass = N - #users, per-source probs sum to 1") {
+    val tr = ThreatOps.qEventTransitions(spark, sf).cache()
+    val n = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(tr.agg(sum("n")).head.getLong(0) === n - users)
+    val probSums = tr.groupBy("from_type").agg(sum("prob").as("p")).collect()
+    assert(probSums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-2),
+      "per-source transition probabilities must sum to ~1 (4 dp rounding)")
+    tr.unpersist()
+  }
+
+  test("qRareAccessPmi: joint counts bounded by marginals, ascending order") {
+    val pmi = ThreatOps.qRareAccessPmi(spark, sf).cache()
+    assert(pmi.count() > 0)
+    assert(pmi.filter(col("n_ur") > col("n_u") || col("n_ur") > col("n_r"))
+      .count() === 0, "joint count can never exceed a marginal")
+    val scores = pmi.select("pmi").collect().map(_.getDouble(0))
+    assert(scores.sameElements(scores.sorted), "bottom-100 must ascend")
+    pmi.unpersist()
+  }
+
+  test("qEwmaDrift: drift = n/ewma7, baseline null only on a user's first day") {
+    val d = ThreatOps.qEwmaDrift(spark, sf).cache()
+    // drift recomputes from its own columns (4 dp rounding slack: both
+    // columns round independently)
+    val bad = d.filter(col("ewma7").isNotNull &&
+      abs(col("drift") - round(col("n") / col("ewma7"), 4)) > 1e-3)
+    assert(bad.count() === 0)
+    // a NULL baseline means no activity in the prior 7 days — and the
+    // FIRST day per user always has none
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val firstDays = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(firstDays.filter(col("ewma7").isNotNull).count() === 0)
+    d.unpersist()
+  }
+
   test("coaccessPairs tolerates NULL user_id rows (both paths drop them)") {
     // Real logs carry NULL user_ids (qPreprocess's null-drop exists for
     // them). The packable-range guard must never see a NULL — when(NULL)
