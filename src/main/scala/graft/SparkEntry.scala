@@ -62,6 +62,8 @@ object SparkEntry {
     "q_exists_agg" -> (RelationalOps.qExistsAgg _),
     "q_unpivot" -> (RelationalOps.qUnpivot _),
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
+    "q_bloom_join" -> (BloomOps.qBloomJoin _),
+    "q_heavy_hitters" -> (HeavyHitters.qHeavyHitters _),
     // F. LLM-data-pipeline: dedup
     "q_dedup_exact" -> (DedupOps.qDedupExact _),
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
@@ -562,6 +564,14 @@ object SparkEntry {
            round(avg(n) OVER (PARTITION BY user_id ORDER BY d - DATE '1970-01-01'
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM daily ORDER BY user_id, day""",
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey
+                         AND o.o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_unpivot" ->
       """WITH t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
          u AS (SELECT DISTINCT user_id FROM events),

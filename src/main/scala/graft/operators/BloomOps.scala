@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter join pruning — ship a fixed-size membership sketch of the
+  * small side's keys to the big side's scan, so rows that cannot join are
+  * dropped BEFORE the shuffle. This is the manual form of what Spark's
+  * `InjectRuntimeFilter` does for eligible plans: at 100 TB the win is
+  * shuffle bytes — a 1%-selective dimension filter prunes ~99% of the
+  * fact-side exchange for the cost of one broadcast-sized bitmap.
+  *
+  * Built on Catalyst's own sketch expressions (BloomFilterAggregate /
+  * BloomFilterMightContain, the codegen'd pair behind runtime row-level
+  * filtering) bridged through ColumnShim — not a Scala UDF, so the probe
+  * stays inside whole-stage codegen.
+  */
+object BloomOps {
+
+  /** Aggregate a long key column into a serialized Bloom filter
+    * (internally keyed on XxHash64, matching the probe side).
+    */
+  def bloomAgg(key: Column, estItems: Long, numBits: Long): Column =
+    ColumnShim.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnShim.expr(key))),
+        Literal(estItems), Literal(numBits)).toAggregateExpression())
+
+  /** Probe a serialized Bloom filter with a long key column. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnShim.column(
+      BloomFilterMightContain(
+        Literal(bloom, BinaryType),
+        new XxHash64(Seq(ColumnShim.expr(key)))))
+
+  /** Semi-join `big` to `smallKeys` with a Bloom pre-filter: build the
+    * sketch of the small side's keys (one fixed-size aggregation — the
+    * binary that reaches the driver is the SKETCH, a few hundred KB, not
+    * the keys), probe it in `big`'s scan stage, then run the exact semi
+    * join on the survivors to drop false positives. Result is exactly
+    * the semi join; the bloom only moves work off the shuffle.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: Column,
+      smallKeys: DataFrame, smallKey: Column): DataFrame = {
+    val nItems = math.max(smallKeys.count(), 1L)
+    // standard sizing: ~8 bits/item gives ~2% false-positive rate;
+    // capped well under BloomFilterAggregate's internal limit
+    val bits = math.min(nItems * 8, 1L << 26)
+    val bloom = smallKeys.select(bloomAgg(smallKey, nItems, bits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    big.filter(mightContain(bloom, bigKey))
+      .join(smallKeys, bigKey === smallKey, "left_semi")
+  }
+
+  /** Revenue of lineitems whose order is URGENT, with the urgent-order
+    * keyset pushed to the lineitem scan as a Bloom filter. Oracled
+    * against the plain semi-join aggregation — the sketch must not
+    * change the answer, only the plan shape.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = lineitem(spark, dir)
+    bloomSemiJoin(li, col("l_orderkey"), urgent, col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+}
