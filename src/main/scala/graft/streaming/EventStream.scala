@@ -48,6 +48,24 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-window approximate distinct resources — the streaming form of
+    * [[graft.operators.ThreatOps.qResourceAccessApprox]]'s HLL swap. The
+    * HyperLogLog++ buffer is a fixed-size MERGEABLE sketch, so the
+    * streaming state per open window is constant (vs an exact distinct,
+    * whose per-window state grows with cardinality — unbounded on a
+    * 100 TB/day log). Watermark closes windows and drops their sketches.
+    */
+  def approxDistinctResources(events: DataFrame): DataFrame =
+    events
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("resource"), 0.02).as("approx_resources"),
+        count(lit(1)).as("n_accesses"))
+      .select(col("w.start").as("window_start"),
+        col("approx_resources"), col("n_accesses"))
+
   /** After-hours activity alerts: any event landing before 08:00 or after
     * 18:59 local (UTC session) is flagged immediately — the streaming twin
     * of the reference's after-hours detection (neo4j_analysis.py:6-35).

@@ -63,6 +63,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("approxDistinctResources: per-window sketch counts match exact on small sets") {
+    val s = spark
+    import s.implicits._
+    // (event_id, ts, props) — the resource rides in the JSON payload as
+    // in the batch table; HLL at rsd=0.02 is exact at these cardinalities
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val df = mem.toDF().toDF("event_id", "ts", "props")
+    val q = EventStream.approxDistinctResources(df)
+      .writeStream.format("memory").queryName("adr").outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts(10), """{"k":"a"}"""), (2L, ts(20), """{"k":"b"}"""),
+        (3L, ts(30), """{"k":"a"}"""), (4L, ts(40), null),
+        (5L, ts(70), """{"k":"a"}"""), (6L, ts(80), """{"k":"c"}"""),
+        (7L, ts(90), """{"x":"no-k"}"""))
+      q.processAllAvailable()
+      val rows = spark.table("adr").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getLong(1), r.getLong(2))).toSet
+      // window 1: {a,b} over 3 accesses; window 2: {a,c} over 2 (null and
+      // missing-key rows never reach the sketch)
+      assert(rows === Set((1440L, 2L, 3L), (1500L, 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("afterHoursAlerts flags only <08:00 or >18:59 events") {
     val s = spark
     import s.implicits._
