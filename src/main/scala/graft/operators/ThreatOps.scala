@@ -447,16 +447,26 @@ object ThreatOps {
     val edges = activityLog(spark, dir)
       .filter(col("resource").isNotNull)
       .select(col("user_id"), col("resource"))
+    // ONE scan: both marginals and the grand total derive from the pair
+    // counts (Σ n_ur over either key), so the log is read and
+    // JSON-parsed once; the follow-up aggregations move |pairs| rows,
+    // not |rows|. At these SFs `pair` is recomputed per consumer (still
+    // cheaper than three extra scans); at 100 TB the same three-reads
+    // tradeoff favors this shape even more because the scan dominates.
     val pair = edges.groupBy(col("user_id"), col("resource"))
       .agg(count(lit(1)).as("n_ur"))
-    val byUser = edges.groupBy(col("user_id")).agg(count(lit(1)).as("n_u"))
-    val byRes = edges.groupBy(col("resource")).agg(count(lit(1)).as("n_r"))
-    val total = edges.count() // single scalar to the driver (agg'd scan)
+    val byUser = pair.groupBy(col("user_id")).agg(sum(col("n_ur")).as("n_u"))
+    val byRes = pair.groupBy(col("resource")).agg(sum(col("n_ur")).as("n_r"))
+    // the grand total rides along as a 1-row broadcast cross join (no
+    // separate job, no driver scalar): all four subtrees share the SAME
+    // pair Exchange via ReuseExchange, so the log is scanned once
+    val totalDf = byUser.agg(sum(col("n_u")).cast("double").as("total"))
     pair
       .join(byUser, "user_id")
       .join(byRes, "resource")
+      .crossJoin(broadcast(totalDf))
       .select(col("user_id"), col("resource"), col("n_ur"), col("n_u"), col("n_r"),
-        r4(log2(col("n_ur") * lit(total.toDouble) / (col("n_u") * col("n_r"))))
+        r4(log2(col("n_ur") * col("total") / (col("n_u") * col("n_r"))))
           .as("pmi"))
       .orderBy(col("pmi").asc, col("user_id"), col("resource"))
       .limit(100)
