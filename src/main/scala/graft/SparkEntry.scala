@@ -60,6 +60,7 @@ object SparkEntry {
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
     "q_exists_agg" -> (RelationalOps.qExistsAgg _),
+    "q_top_per_group" -> (RelationalOps.qTopPerGroup _),
     "q_unpivot" -> (RelationalOps.qUnpivot _),
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
     "q_bloom_join" -> (BloomOps.qBloomJoin _),
@@ -572,6 +573,16 @@ object SparkEntry {
                        WHERE o.o_orderkey = l.l_orderkey
                          AND o.o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_top_per_group" ->
+      """WITH br AS (SELECT user_id, json_extract_string(props,'$.k') AS resource,
+             count(*) AS n
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT user_id, rk, resource, n FROM (
+           SELECT user_id, resource, n, CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY n DESC, resource ASC) AS BIGINT) AS rk
+           FROM br)
+         WHERE rk <= 3 ORDER BY user_id, rk""",
     "q_unpivot" ->
       """WITH t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
          u AS (SELECT DISTINCT user_id FROM events),

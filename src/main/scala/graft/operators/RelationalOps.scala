@@ -498,6 +498,28 @@ object RelationalOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Top-k per group (k=3): each user's three most-accessed resources,
+    * via rank-over-partition with a deterministic (count DESC, resource
+    * ASC) tiebreak. ONE shuffle on user_id after the (user, resource)
+    * pre-aggregation — the "top pages per user / top talkers per host"
+    * pattern; never a per-group sort of raw events, so group size only
+    * enters through the distinct-resource count.
+    */
+  def qTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val byRes = events(spark, dir)
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull)
+      .groupBy(col("user_id"), col("resource"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("resource").asc)
+    byRes
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("resource"), col("n"))
+      .orderBy(col("user_id"), col("rk"))
+  }
+
   /** Unpivot (melt): the wide per-user activity matrix back to long
     * (user_id, event_type, n) form — the inverse of [[qPivot]] and the
     * standard wide→long reshaping every feature store needs. Spark's

@@ -11,9 +11,11 @@ class PlanAuditSpec extends SparkSpec {
   // predicate); q_zscore/q_ensemble cross-join ONE broadcast row of
   // global stats onto the feature matrix. Both build sides are O(1)-to-
   // O(probes) regardless of corpus size.
+  // q_rare_access_pmi cross-joins ONE broadcast row (the corpus total)
+  // onto the pair counts — same O(1) build-side shape.
   private val nestedLoopAllowed =
     Set("q_ann_brute", "q_zscore_anomaly", "q_ensemble_vote", "q_anomaly_report",
-      "q_tfidf", "q_bm25")
+      "q_tfidf", "q_bm25", "q_rare_access_pmi")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
