@@ -34,8 +34,20 @@ object HeavyHitters {
     */
   private[graft] def spaceSaving(it: Iterator[String], capacity: Int)
       : Iterator[(String, Long, Long)] = {
-    require(capacity >= 1, "capacity must be >= 1")
     val est = new java.util.HashMap[String, Array[Long]](capacity * 2)
+    spaceSavingUpdate(est, it, capacity)
+    import scala.jdk.CollectionConverters._
+    est.entrySet().iterator().asScala
+      .map(kv => (kv.getKey, kv.getValue()(0), kv.getValue()(1)))
+  }
+
+  /** Fold a stream of items into an EXISTING summary map (item →
+    * [est, err]) — the resumable form the streaming processor feeds its
+    * per-shard state through; [[spaceSaving]] is the empty-state wrapper.
+    */
+  private[graft] def spaceSavingUpdate(est: java.util.HashMap[String, Array[Long]],
+      it: Iterator[String], capacity: Int): Unit = {
+    require(capacity >= 1, "capacity must be >= 1")
     it.foreach { item =>
       val cur = est.get(item)
       if (cur != null) cur(0) += 1
@@ -54,9 +66,6 @@ object HeavyHitters {
         est.put(item, Array(minVal + 1, minVal))
       }
     }
-    import scala.jdk.CollectionConverters._
-    est.entrySet().iterator().asScala
-      .map(kv => (kv.getKey, kv.getValue()(0), kv.getValue()(1)))
   }
 
   /** Distributed heavy hitters over one string key column: per-partition

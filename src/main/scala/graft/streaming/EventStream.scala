@@ -19,6 +19,19 @@ case class Session(user_id: Long, session_start: Timestamp,
 /** In-flight session state kept per user between micro-batches. */
 case class SessionState(start: Long, last: Long, n: Long)
 
+/** One tracked item of a per-shard Space-Saving summary, emitted after
+  * every micro-batch; `n_seen` is the shard's total item count (its max
+  * per shard identifies the newest snapshot downstream).
+  */
+case class ShardTopK(shard: Long, item: String, est: Long, err: Long,
+                     n_seen: Long)
+
+/** Serialized Space-Saving summary kept per shard between micro-batches
+  * (parallel arrays — a stable product encoding for the state store).
+  */
+case class TopKState(items: Array[String], est: Array[Long],
+                     err: Array[Long], seen: Long)
+
 /** Structured Streaming twin of the batch pipeline (SURVEY.md §2.G).
   *
   * The reference detects threats by re-running Cypher queries over a
@@ -302,6 +315,68 @@ object EventStream {
         state.clear()
         Iterator.single(toSession(userId, s))
       } else Iterator.empty
+    }
+  }
+
+  /** Streaming heavy hitters: the continuous form of
+    * [[graft.operators.HeavyHitters]]'s batch sketch. Resources are
+    * sharded by hash (state distributes across executors exactly like
+    * the batch kernel's partitions); each shard folds its slice through
+    * a capacity-bounded Space-Saving summary held in a ValueState, and
+    * emits its full summary snapshot after every micro-batch. Downstream
+    * merge = the same groupBy-item sum as the batch path, so the
+    * streaming estimates inherit the same ±n/capacity contract. State is
+    * O(shards × capacity) FOREVER — no watermark needed, which is the
+    * point: exact streaming top-k state grows with key cardinality.
+    * TimeMode.None: pure data-driven state, no timers.
+    */
+  def topResourcesStream(events: DataFrame, shards: Int = 8,
+      capacity: Int = 64): Dataset[ShardTopK] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull)
+      .select(col("resource")).as[String]
+      .groupByKey(r => math.floorMod(r.hashCode, shards).toLong)
+      .transformWithState(new TopKProcessor(capacity), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Per-shard Space-Saving state machine for [[topResourcesStream]]:
+    * rehydrate the summary map, fold the batch through the SHARED batch
+    * kernel ([[graft.operators.HeavyHitters.spaceSavingUpdate]]), persist,
+    * snapshot.
+    */
+  private[graft] class TopKProcessor(capacity: Int)
+      extends StatefulProcessor[Long, String, ShardTopK] {
+    @transient private var state: ValueState[TopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TopKState]("topk",
+        org.apache.spark.sql.Encoders.product[TopKState], TTLConfig.NONE)
+
+    override def handleInputRows(shard: Long, batch: Iterator[String],
+        timerValues: TimerValues): Iterator[ShardTopK] = {
+      val est = new java.util.HashMap[String, Array[Long]](capacity * 2)
+      var seen = 0L
+      if (state.exists()) {
+        val s = state.get()
+        seen = s.seen
+        var i = 0
+        while (i < s.items.length) {
+          est.put(s.items(i), Array(s.est(i), s.err(i))); i += 1
+        }
+      }
+      var n = 0L
+      graft.operators.HeavyHitters.spaceSavingUpdate(est,
+        batch.map { r => n += 1; r }, capacity)
+      seen += n
+      import scala.jdk.CollectionConverters._
+      val entries = est.entrySet().asScala.toArray
+      state.update(TopKState(entries.map(_.getKey),
+        entries.map(_.getValue()(0)), entries.map(_.getValue()(1)), seen))
+      entries.iterator.map(kv =>
+        ShardTopK(shard, kv.getKey, kv.getValue()(0), kv.getValue()(1), seen))
     }
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{Event, EventStream, Session, SessionState}
+import graft.streaming.{Event, EventStream, Session, SessionState, ShardTopK}
 import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -151,6 +151,45 @@ class EventStreamSpec extends SparkSpec {
       q.stop()
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("topResourcesStream: sharded Space-Saving state merges to exact counts") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val df = mem.toDF().toDF("event_id", "ts", "props")
+    // capacity far above cardinality: the sketch must be exact across
+    // micro-batches (state carries batch-1 counts into batch 2)
+    val q = EventStream.topResourcesStream(df, shards = 4, capacity = 64)
+      .writeStream.format("memory").queryName("hh_tws").outputMode("append").start()
+    def p(r: String) = s"""{"k":"$r"}"""
+    try {
+      mem.addData((1L, ts(1), p("a")), (2L, ts(2), p("a")), (3L, ts(3), p("b")),
+        (4L, ts(4), null))
+      q.processAllAvailable()
+      mem.addData((5L, ts(5), p("a")), (6L, ts(6), p("c")), (7L, ts(7), p("b")))
+      q.processAllAvailable()
+      val all = spark.table("hh_tws").as[ShardTopK].collect()
+      // newest snapshot per shard = rows at that shard's max n_seen
+      val latest = all.groupBy(_.shard).values.flatMap { rows =>
+        val top = rows.map(_.n_seen).max
+        rows.filter(_.n_seen == top)
+      }.toSeq
+      val merged = latest.groupBy(_.item).view
+        .mapValues(_.map(_.est).sum).toMap
+      assert(merged === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      assert(latest.forall(_.err == 0L), "no evictions below capacity")
+      assert(latest.map(r => r.shard -> r.n_seen).toMap.values.sum === 6L)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(pv) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", pv)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
