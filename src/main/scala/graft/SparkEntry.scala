@@ -61,6 +61,7 @@ object SparkEntry {
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
     "q_exists_agg" -> (RelationalOps.qExistsAgg _),
     "q_top_per_group" -> (RelationalOps.qTopPerGroup _),
+    "q_full_outer" -> (RelationalOps.qFullOuter _),
     "q_unpivot" -> (RelationalOps.qUnpivot _),
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
     "q_bloom_join" -> (BloomOps.qBloomJoin _),
@@ -91,6 +92,8 @@ object SparkEntry {
     "q_repetition" -> (TextOps.qRepetition _),
     "q_corpus_filter" -> (TextOps.qCorpusFilter _),
     "q_redact" -> (TextOps.qRedact _),
+    "q_vocab" -> (TextOps.qVocab _),
+    "q_det_sample" -> (TextOps.qDetSample _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -573,6 +576,33 @@ object SparkEntry {
                        WHERE o.o_orderkey = l.l_orderkey
                          AND o.o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_full_outer" ->
+      """WITH s AS (SELECT user_id, count(*) AS n_signups FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+         e AS (SELECT user_id, count(*) AS n_errors FROM events
+             WHERE event_type = 'error' GROUP BY 1)
+         SELECT coalesce(s.user_id, e.user_id) AS user_id,
+           CAST(coalesce(n_signups, 0) AS BIGINT) AS n_signups,
+           CAST(coalesce(n_errors, 0) AS BIGINT) AS n_errors,
+           CASE WHEN s.user_id IS NULL THEN 'error_only'
+                WHEN e.user_id IS NULL THEN 'signup_only'
+                ELSE 'both' END AS tag
+         FROM s FULL OUTER JOIN e ON s.user_id = e.user_id
+         ORDER BY user_id""",
+    "q_vocab" ->
+      s"""WITH t AS (SELECT doc_id, unnest(t) AS term
+            FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2)
+          SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+    "q_det_sample" ->
+      """SELECT doc_id, lang, n_chars, rk FROM (
+           SELECT doc_id, lang, n_chars, CAST(row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR || '#graft-sample-42') ASC,
+               doc_id ASC) AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY lang, rk""",
     "q_top_per_group" ->
       """WITH br AS (SELECT user_id, json_extract_string(props,'$.k') AS resource,
              count(*) AS n

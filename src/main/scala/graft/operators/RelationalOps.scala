@@ -498,6 +498,30 @@ object RelationalOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** FULL OUTER join: per-user signup counts vs error counts, keeping
+    * users present on EITHER side (the reconciliation join — "which
+    * accounts appear in system A, B, or both"). Both inputs pre-aggregate
+    * to one row per key before joining, so the join moves |users| rows,
+    * and the tag column makes the three populations explicit.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def perUser(t: String, as: String) = events(spark, dir)
+      .filter(col("event_type") === t)
+      .groupBy(col("user_id").as(s"${as}_uid"))
+      .agg(count(lit(1)).as(as))
+    val s = perUser("signup", "n_signups")
+    val e = perUser("error", "n_errors")
+    s.join(e, col("n_signups_uid") === col("n_errors_uid"), "full_outer")
+      .select(
+        coalesce(col("n_signups_uid"), col("n_errors_uid")).as("user_id"),
+        coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        when(col("n_signups_uid").isNull, lit("error_only"))
+          .when(col("n_errors_uid").isNull, lit("signup_only"))
+          .otherwise(lit("both")).as("tag"))
+      .orderBy(col("user_id"))
+  }
+
   /** Top-k per group (k=3): each user's three most-accessed resources,
     * via rank-over-partition with a deterministic (count DESC, resource
     * ASC) tiebreak. ONE shuffle on user_id after the (user, resource)

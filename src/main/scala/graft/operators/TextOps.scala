@@ -289,6 +289,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary statistics: document frequency and total term
+    * frequency of every term, top-50 — the global term dictionary every
+    * tokenizer/vocab build starts from. Derived FROM the shared (doc,
+    * term) tf aggregation (no second tokenization pass); the term-keyed
+    * rollup shuffles |vocab| rows, not |tokens|.
+    */
+  def qVocab(spark: SparkSession, dir: String): DataFrame =
+    termFreq(spark, dir)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(50)
+
+  /** Deterministic pseudo-random per-language sample (top-20 docs per
+    * language by md5(doc_id ⊕ seed) order): reservoir-style fixed-size
+    * sampling made REPRODUCIBLE across engines and partitionings — the
+    * corpus-subsetting primitive where "same input ⇒ same sample" is a
+    * requirement (eval sets, ablations). One window over the language
+    * partition; the hash order is uncorrelated with any data column.
+    */
+  def qDetSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(concat(col("doc_id").cast("string"), lit("#graft-sample-42")))
+          .as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** PII patterns shared by the redactor and its oracle/spec. Kept to
     * constructs with IDENTICAL semantics in Java regex and RE2 (DuckDB):
     * explicit classes, bounded repeats, ASCII \b word boundaries — no

@@ -251,6 +251,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(e.agg(sum("order_count")).head.getLong(0) <= o.count())
   }
 
+  test("qFullOuter: three tags partition the union of both user sets") {
+    val fo = RelationalOps.qFullOuter(spark, sf).cache()
+    def users(t: String) = Tables.events(spark, sf)
+      .filter(col("event_type") === t).select("user_id").distinct()
+    val su = users("signup").count()
+    val eu = users("error").count()
+    val union = users("signup").union(users("error")).distinct().count()
+    assert(fo.count() === union)
+    val byTag = fo.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag.getOrElse("both", 0L) === su + eu - union)
+    assert(byTag.getOrElse("signup_only", 0L) === union - eu)
+    assert(byTag.getOrElse("error_only", 0L) === union - su)
+    // zero-filled counts agree with the tag
+    assert(fo.filter(col("tag") === "error_only" && col("n_signups") =!= 0)
+      .count() === 0)
+    assert(fo.filter(col("n_signups") === 0 && col("n_errors") === 0)
+      .count() === 0)
+    fo.unpersist()
+  }
+
   test("qUnpivot round-trips qPivot: full matrix, per-user sums = activity totals") {
     val long = RelationalOps.qUnpivot(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()

@@ -250,6 +250,28 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("qVocab: df bounded by corpus size, total_tf >= df, df-descending") {
+    val v = TextOps.qVocab(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(v.count() > 0 && v.count() <= 50)
+    assert(v.filter(col("df") > nDocs || col("total_tf") < col("df"))
+      .count() === 0)
+    val dfs = v.select("df").collect().map(_.getLong(0))
+    assert(dfs.sameElements(dfs.sortBy(-_)), "must be df-descending")
+    v.unpersist()
+  }
+
+  test("qDetSample: <=20 per language, contiguous ranks, run-to-run identical") {
+    val a = TextOps.qDetSample(spark, sf).collect()
+    val b = TextOps.qDetSample(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "deterministic sample must be reproducible")
+    val perLang = a.groupBy(_.getString(1))
+    perLang.values.foreach { rows =>
+      assert(rows.length <= 20)
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
   test("qRedact: masked corpus re-scan finds zero residual PII") {
     val r = TextOps.qRedact(spark, sf).cache()
     assert(r.count() === Tables.documents(spark, sf).count())
