@@ -38,23 +38,34 @@ object BloomOps {
         Literal(bloom, BinaryType),
         new XxHash64(Seq(ColumnShim.expr(key)))))
 
-  /** Semi-join `big` to `smallKeys` with a Bloom pre-filter: build the
-    * sketch of the small side's keys (one fixed-size aggregation — the
-    * binary that reaches the driver is the SKETCH, a few hundred KB, not
-    * the keys), probe it in `big`'s scan stage, then run the exact semi
-    * join on the survivors to drop false positives. Result is exactly
-    * the semi join; the bloom only moves work off the shuffle.
+  /** Semi-join `big` to `smallKeys` with a Bloom pre-filter: ONE
+    * aggregation job computes the key count AND the fixed-size sketch
+    * together (the binary that reaches the driver is the SKETCH —
+    * `numBits/8` bytes — not the keys), the probe runs in `big`'s scan
+    * stage, then the exact semi join on the survivors drops false
+    * positives. Result is exactly the semi join; the bloom only moves
+    * work off the shuffle.
+    *
+    * Saturation guard: a Bloom filter under ~8 bits/item stops pruning
+    * (FP rate → 1), so if the counted keys exceed `numBits / 8` the
+    * probe is SKIPPED and the plain semi join runs — paying one wasted
+    * sketch build, never a per-row probe that filters nothing. Size
+    * `numBits` to the expected dim-side cardinality (the default 2^23
+    * bits = 1 MiB serves up to ~1M keys; Spark's own runtime filters cap
+    * at 2^26 for the same reason — beyond that, ship no bloom).
     */
   def bloomSemiJoin(big: DataFrame, bigKey: Column,
-      smallKeys: DataFrame, smallKey: Column): DataFrame = {
-    val nItems = math.max(smallKeys.count(), 1L)
-    // standard sizing: ~8 bits/item gives ~2% false-positive rate;
-    // capped well under BloomFilterAggregate's internal limit
-    val bits = math.min(nItems * 8, 1L << 26)
-    val bloom = smallKeys.select(bloomAgg(smallKey, nItems, bits).as("bf"))
-      .head.getAs[Array[Byte]](0)
-    big.filter(mightContain(bloom, bigKey))
-      .join(smallKeys, bigKey === smallKey, "left_semi")
+      smallKeys: DataFrame, smallKey: Column,
+      numBits: Long = 1L << 23): DataFrame = {
+    val row = smallKeys
+      .agg(count(smallKey).as("n"), bloomAgg(smallKey, numBits / 8, numBits).as("bf"))
+      .head
+    val nItems = row.getLong(0)
+    val pruned =
+      if (nItems <= numBits / 8 && !row.isNullAt(1))
+        big.filter(mightContain(row.getAs[Array[Byte]](1), bigKey))
+      else big
+    pruned.join(smallKeys, bigKey === smallKey, "left_semi")
   }
 
   /** Revenue of lineitems whose order is URGENT, with the urgent-order

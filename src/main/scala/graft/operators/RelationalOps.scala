@@ -362,13 +362,20 @@ object RelationalOps {
     * explicitly there is no discovery pass; conditional aggregation in
     * one shuffle.
     */
-  def qPivot(spark: SparkSession, dir: String): DataFrame =
+  /** Unordered pivot body shared by [[qPivot]] and [[qUnpivot]]:
+    * the melt must build on the matrix BEFORE the presentation sort, or
+    * the pivot's rangepartitioning Exchange + Sort run (and are thrown
+    * away) below the Expand.
+    */
+  private def pivotWide(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0, EventTypes)
-      .orderBy(col("user_id"))
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    pivotWide(spark, dir).orderBy(col("user_id"))
 
   /** Gap sessionization via the built-in `session_window` aggregate — the
     * declarative twin of [[qSessionize]]'s lag-gap formulation (and of the
@@ -552,7 +559,7 @@ object RelationalOps {
     * at 100 TB the Expand streams, nothing is materialized wide.
     */
   def qUnpivot(spark: SparkSession, dir: String): DataFrame =
-    qPivot(spark, dir)
+    pivotWide(spark, dir)
       .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
         "event_type", "n")
       .orderBy(col("user_id"), col("event_type"))

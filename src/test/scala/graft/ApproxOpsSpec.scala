@@ -84,6 +84,21 @@ class ApproxOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), "bloom probe must be in-plan")
   }
 
+  test("bloomSemiJoin saturation fallback: undersized sketch skips the probe") {
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, sf)
+    // 64 bits supports 8 keys; urgent has far more -> must fall back
+    assert(urgent.count() > 8)
+    val fallback = BloomOps.bloomSemiJoin(li, col("l_orderkey"), urgent,
+      col("o_orderkey"), numBits = 64)
+    val exact = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
+      "left_semi")
+    assert(fallback.count() === exact.count())
+    assert(!fallback.queryExecution.executedPlan.toString.contains("might_contain"),
+      "a saturated bloom must not be probed")
+  }
+
   test("bloom pre-filter passes all true matches (no false negatives)") {
     val urgent = Tables.orders(spark, sf)
       .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
