@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (DedupOps.qDedupSimhashPairs _),
     "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
     "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
+    "q_decontaminate" -> (DedupOps.qDecontaminate _),
     // F. similarity search
     "q_embed_neardup" -> (SimilarityOps.qEmbedNeardup _),
     "q_ann_brute" -> (SimilarityOps.qAnnBrute _),
@@ -589,6 +590,24 @@ object SparkEntry {
                 ELSE 'both' END AS tag
          FROM s FULL OUTER JOIN e ON s.user_id = e.user_id
          ORDER BY user_id""",
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+             THEN list_transform(generate_series(1, len(t)-4),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+             ELSE []::VARCHAR[] END) AS sh FROM t),
+         hs AS (SELECT doc_id,
+             list_transform(sh, x -> ('0x' || substr(md5(x),1,8))::BIGINT) AS hs
+           FROM sh),
+         ce AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 20 <> 0),
+         ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 20 = 0),
+         sc AS (SELECT doc_id, count(*) AS n_shared FROM ce
+             WHERE h IN (SELECT h FROM ev) GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(sc.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(sc.n_shared, 0) > 0 AS BIGINT) AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
     "q_vocab" ->
       s"""WITH t AS (SELECT doc_id, unnest(t) AS term
             FROM (SELECT doc_id, $tokSql AS t FROM documents)),

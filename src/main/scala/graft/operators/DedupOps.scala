@@ -131,6 +131,31 @@ object DedupOps {
     * candidate generation; at corpus scale the bucket key would be a
     * coarse fingerprint (see [[qFingerprint]]'s output) instead.
     */
+  /** Benchmark decontamination: flag corpus documents that share ANY
+    * word 5-shingle with the held-out evaluation set (here a
+    * deterministic doc_id stand-in; in production the benchmark suite) —
+    * the standard n-gram-collision test-set-leakage check every training
+    * corpus runs before a model sees it. Eval shingles are a SMALL
+    * distinct hash set → broadcast; the corpus side stays narrow
+    * (doc_id, hash) and aggregates per doc. Contamination evidence
+    * (`n_shared`) survives for audit; 0 = clean.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % 20 === 0
+    val docs = spread(spark, documents(spark, dir))
+    val corpusH = docs.filter(!isEval)
+      .select(col("doc_id"), explode(ShingleHash32(col("text"), 5)).as("h"))
+    val evalH = docs.filter(isEval)
+      .select(explode(ShingleHash32(col("text"), 5)).as("h")).distinct()
+    val shared = corpusH.join(broadcast(evalH), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -153,4 +153,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(split.count() === 0)
     cl.unpersist()
   }
+
+  test("qDecontaminate flags exactly the docs sharing a 5-shingle with the eval set") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    Seq(
+      // doc_id % 20 == 0 -> eval set
+      (20L, "en", 11L, "a b c d e f"),
+      (40L, "en", 11L, "q r s t u v"),
+      (1L, "en", 11L, "a b c d e x"),   // shares "a b c d e"       -> 1
+      (2L, "en", 11L, "z y x w v u"),   // clean                    -> 0
+      (3L, "en", 13L, "b c d e f g h"), // shares "b c d e f"       -> 1
+      (4L, "en", 11L, "q r s t u v"))   // both eval-40 shingles    -> 2
+      .toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.DedupOps.qDecontaminate(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 1L, 1L), (4L, 2L, 1L)))
+  }
 }
