@@ -100,4 +100,20 @@ object LogSources {
 
   def readEventsOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventsJsonSchema).orc(path)
+
+  /** Range-clustered parquet sink: repartitionByRange + in-partition sort
+    * on the key, so each output file covers a DISJOINT key range (the
+    * spec asserts it). Parquet stores per-column min/max in every
+    * row-group footer; with disjoint file ranges a key-predicate scan
+    * skips every non-matching file outright — the single-key form of the
+    * Z-order/liquid-clustering layout, and the cheap complement to
+    * [[writeBucketed]] when the reader is a RANGE predicate (time spans,
+    * id ranges) rather than an equi-join.
+    */
+  def writeRangeClustered(df: DataFrame, keyCol: String, files: Int,
+      path: String): Unit =
+    df.repartitionByRange(files, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite")
+      .parquet(path)
 }

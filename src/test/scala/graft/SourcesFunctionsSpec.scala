@@ -71,6 +71,26 @@ class SourcesFunctionsSpec extends SparkSpec {
       s"expected column pruning to 2 columns:\n$scan")
   }
 
+  test("writeRangeClustered: every output file covers a disjoint key range") {
+    val out = tmpDir("rangeclust") + "/events"
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    LogSources.writeRangeClustered(ev, "user_id", files = 4, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === ev.count())
+    // per-file (min, max) of the cluster key must not overlap: that is
+    // what lets parquet footer min/max stats skip whole files on a
+    // user_id predicate
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "need multiple files to demonstrate layout")
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"file ranges overlap: $ranges")
+    }
+  }
+
   test("writeBucketed produces a shuffle-free bucketed aggregation") {
     spark.sql("DROP TABLE IF EXISTS events_bucketed")
     // a previously-crashed run can leave the managed location behind
