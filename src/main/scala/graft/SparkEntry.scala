@@ -31,6 +31,7 @@ object SparkEntry {
     "q_event_transitions" -> (ThreatOps.qEventTransitions _),
     "q_rare_access_pmi" -> (ThreatOps.qRareAccessPmi _),
     "q_ewma_drift" -> (ThreatOps.qEwmaDrift _),
+    "q_sketch_rollup" -> (ThreatOps.qSketchRollup _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
     // E. relational core

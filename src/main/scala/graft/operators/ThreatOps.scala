@@ -409,6 +409,31 @@ object ThreatOps {
       .orderBy(col("user_id"))
   }
 
+  /** Sketch rollup — the PRECOMPUTE-then-MERGE form of approximate
+    * distinct counting: per-day HLL sketches (DataSketches
+    * `hll_sketch_agg`, lgK=12 ⇒ ~2 KB each) are built once, then
+    * `hll_union_agg` re-aggregates them to ANY coarser span without
+    * touching raw data. At 100 TB this is the difference between a
+    * nightly incremental sketch append and re-scanning the log for every
+    * "distinct users last N days" ask; the union is associative, so
+    * daily partials compose into weeks/months/arbitrary ranges. Emits
+    * per-day estimates plus the all-days union ('ALL' row).
+    */
+  def qSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+    val perDay = daily.select(
+      date_format(col("d"), "yyyy-MM-dd").as("day"),
+      hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
+    val overall = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"),
+      sum(col("n_events")).as("n_events"))
+      .select(lit("ALL").as("day"), col("est_users"), col("n_events"))
+    perDay.unionByName(overall).orderBy(col("day"))
+  }
+
   /** Behavioral sequence mining: the global next-event transition matrix
     * (Markov bigrams). lag() over each user's time-ordered stream pairs
     * every event with its predecessor — ONE window shuffle on user_id,

@@ -141,6 +141,28 @@ class ThreatOpsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("qSketchRollup: sketch estimates track exact distincts; union row present") {
+    val r = ThreatOps.qSketchRollup(spark, sf).cache()
+    val exact = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("exact"))
+    // HLL lgK=12 keeps relative error ~1.6%; allow 5% slack + small-count floor
+    val offBand = r.filter(col("day") =!= "ALL").join(exact, "day")
+      .filter(abs(col("est_users") - col("exact")) >
+        greatest(col("exact") * 0.05, lit(2.0)))
+    assert(offBand.count() === 0)
+    val all = r.filter(col("day") === "ALL").collect()
+    assert(all.length === 1)
+    val exactAll = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(math.abs(all(0).getLong(1) - exactAll) <= math.max(exactAll * 0.05, 2.0))
+    // event mass conserves: ALL row equals the sum of the daily rows
+    val dailySum = r.filter(col("day") =!= "ALL")
+      .agg(sum("n_events")).head.getLong(0)
+    assert(all(0).getLong(2) === dailySum)
+    r.unpersist()
+  }
+
   test("qEventTransitions: bigram mass = N - #users, per-source probs sum to 1") {
     val tr = ThreatOps.qEventTransitions(spark, sf).cache()
     val n = Tables.events(spark, sf).count()
