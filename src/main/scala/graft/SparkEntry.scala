@@ -116,18 +116,27 @@ object SparkEntry {
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokSql = "regexp_split_to_array(trim(text), '\\s+')"
-  private val shingleSql =
-    s"""list_distinct(CASE WHEN len(t) >= 3
-        THEN list_transform(generate_series(1, len(t)-2),
-             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+  /** Distinct word k-shingles of a token array `t` (mirror of
+    * ShingleHash32's shingling) — k-parameterized so every oracle shares
+    * ONE definition.
+    */
+  private def shingleSqlK(k: Int): String = {
+    val terms = (0 until k).map(j => s"t[i+$j]").mkString(", ")
+    s"""list_distinct(CASE WHEN len(t) >= $k
+        THEN list_transform(generate_series(1, len(t)-${k - 1}),
+             i -> concat_ws(' ', $terms))
         ELSE []::VARCHAR[] END)"""
+  }
+  private val shingleSql = shingleSqlK(3)
+  /** 32-bit md5-prefix hash lambda body (mirror of TextFunctions.hash32). */
+  private val hash32Sql = "('0x' || substr(md5(x),1,8))::BIGINT"
   private val docShinglesSql =
     s"""SELECT doc_id, lang, n_chars, $shingleSql AS sh
         FROM (SELECT doc_id, lang, n_chars, $tokSql AS t FROM documents)"""
   /** Shingles + 32-bit md5-prefix hashes (mirror of TextFunctions.hash32). */
   private val hashedShinglesSql =
     s"""SELECT doc_id, lang, n_chars, sh,
-          list_transform(sh, x -> ('0x' || substr(md5(x),1,8))::BIGINT) AS hs
+          list_transform(sh, x -> $hash32Sql) AS hs
         FROM ($docShinglesSql)"""
   import graft.functions.TextFunctions.{permA, permB, MinhashPrime => MP}
   private def minhashSql(j: Int): String =
@@ -592,14 +601,10 @@ object SparkEntry {
          FROM s FULL OUTER JOIN e ON s.user_id = e.user_id
          ORDER BY user_id""",
     "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-             FROM documents),
-         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
-             THEN list_transform(generate_series(1, len(t)-4),
-               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
-             ELSE []::VARCHAR[] END) AS sh FROM t),
+      s"""WITH t AS (SELECT doc_id, $tokSql AS t FROM documents),
+         sh AS (SELECT doc_id, ${shingleSqlK(5)} AS sh FROM t),
          hs AS (SELECT doc_id,
-             list_transform(sh, x -> ('0x' || substr(md5(x),1,8))::BIGINT) AS hs
+             list_transform(sh, x -> $hash32Sql) AS hs
            FROM sh),
          ce AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 20 <> 0),
          ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 20 = 0),

@@ -86,8 +86,11 @@ class SourcesFunctionsSpec extends SparkSpec {
       .agg(min("user_id").as("lo"), max("user_id").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(ranges.length > 1, "need multiple files to demonstrate layout")
+    // STRICT inequality: RangePartitioner never splits one key across
+    // partitions, so adjacent files must not even share a boundary key —
+    // a shared key would force a point predicate to read both files
     ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
-      assert(hiA <= loB, s"file ranges overlap: $ranges")
+      assert(hiA < loB, s"file ranges overlap or share a key: $ranges")
     }
   }
 
