@@ -38,6 +38,36 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spaceSaving holds the Metwally invariants on random streams") {
+    for (_ <- 1 to 200) {
+      val cap = 1 + rnd.nextInt(16)
+      val n = rnd.nextInt(400)
+      // zipf-ish: small alphabets make hot keys, large make churn
+      val alphabet = 1 + rnd.nextInt(40)
+      val stream = Seq.fill(n)(s"k${rnd.nextInt(alphabet)}")
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.operators.HeavyHitters.spaceSaving(stream.iterator, cap).toSeq
+      // summary size bounded by capacity
+      assert(got.size <= cap)
+      // total estimated mass equals the stream length (Space-Saving
+      // conserves counts: every arrival increments exactly one counter)
+      assert(got.map(_._2).sum === n.toLong)
+      got.foreach { case (item, est, err) =>
+        val truth = exact.getOrElse(item, 0L)
+        assert(est >= truth, s"undercount for $item (cap=$cap)")
+        assert(est - truth <= err, s"overcount beyond err for $item (cap=$cap)")
+        assert(err <= n / cap,
+          s"err ${err} above n/cap bound ${n / cap} (cap=$cap n=$n)")
+      }
+      // guarantee: every item with true count > n/cap is tracked
+      val threshold = if (cap == 0) 0 else n / cap
+      exact.filter(_._2 > threshold).keys.foreach { hot =>
+        assert(got.exists(_._1 == hot),
+          s"heavy item $hot (count ${exact(hot)} > $threshold) untracked (cap=$cap)")
+      }
+    }
+  }
+
   test("LongCountMap increments/drains like a reference HashMap across growth") {
     for (trial <- 1 to 50) {
       val m = new java.util.HashMap[Long, Long]()
