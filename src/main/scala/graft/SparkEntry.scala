@@ -32,6 +32,7 @@ object SparkEntry {
     "q_rare_access_pmi" -> (ThreatOps.qRareAccessPmi _),
     "q_ewma_drift" -> (ThreatOps.qEwmaDrift _),
     "q_sketch_rollup" -> (ThreatOps.qSketchRollup _),
+    "q_sketch_setops" -> (ThreatOps.qSketchSetops _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
     // E. relational core

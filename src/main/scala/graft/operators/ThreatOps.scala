@@ -434,6 +434,32 @@ object ThreatOps {
     perDay.unionByName(overall).orderBy(col("day"))
   }
 
+  /** Approximate SET ALGEBRA on sketches — the capability HLL lacks:
+    * DataSketches Theta sketches support intersection and difference, so
+    * "users who clicked AND purchased" (the exact [[RelationalOps
+    * .qSetOps]] INTERSECT/EXCEPT) is answered from two fixed-size
+    * sketches WITHOUT a distinct-shuffle of either population. At 100 TB
+    * the two sketches are built in one scan each (map-side partial
+    * union), and any cross-population question — including ones not
+    * anticipated when the sketches were persisted — costs driver-side
+    * set algebra on KBs. One-row output; spec bounds error vs exact.
+    */
+  def qSketchSetops(spark: SparkSession, dir: String): DataFrame = {
+    def sketchOf(t: String) = events(spark, dir)
+      .filter(col("event_type") === t)
+      .agg(theta_sketch_agg(col("user_id")).as(s"sk_$t"))
+    sketchOf("click").crossJoin(sketchOf("purchase"))
+      .select(
+        theta_sketch_estimate(col("sk_click")).as("est_click"),
+        theta_sketch_estimate(col("sk_purchase")).as("est_purchase"),
+        theta_sketch_estimate(theta_union(col("sk_click"), col("sk_purchase")))
+          .as("est_union"),
+        theta_sketch_estimate(theta_intersection(col("sk_click"), col("sk_purchase")))
+          .as("est_both"),
+        theta_sketch_estimate(theta_difference(col("sk_click"), col("sk_purchase")))
+          .as("est_click_only"))
+  }
+
   /** Behavioral sequence mining: the global next-event transition matrix
     * (Markov bigrams). lag() over each user's time-ordered stream pairs
     * every event with its predecessor — ONE window shuffle on user_id,

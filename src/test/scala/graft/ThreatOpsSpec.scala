@@ -163,6 +163,30 @@ class ThreatOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("qSketchSetops: theta set algebra tracks the exact populations") {
+    val rows = ThreatOps.qSketchSetops(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    def num(f: String): Double = r.getAs[Any](f) match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case o => fail(s"unexpected estimate type for $f: $o")
+    }
+    def users(t: String) = Tables.events(spark, sf)
+      .filter(col("event_type") === t).select("user_id").distinct()
+    val c = users("click").count()
+    val p = users("purchase").count()
+    val both = users("click").intersect(users("purchase")).count()
+    val union = users("click").union(users("purchase")).distinct().count()
+    def ok(est: Double, exact: Long) =
+      math.abs(est - exact) <= math.max(exact * 0.05, 2.0)
+    assert(ok(num("est_click"), c))
+    assert(ok(num("est_purchase"), p))
+    assert(ok(num("est_union"), union))
+    assert(ok(num("est_both"), both))
+    assert(ok(num("est_click_only"), c - both))
+  }
+
   test("qEventTransitions: bigram mass = N - #users, per-source probs sum to 1") {
     val tr = ThreatOps.qEventTransitions(spark, sf).cache()
     val n = Tables.events(spark, sf).count()
