@@ -66,6 +66,14 @@ object SparkEntry {
     "q_full_outer" -> (RelationalOps.qFullOuter _),
     "q_unpivot" -> (RelationalOps.qUnpivot _),
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
+    "q7_volume" -> (RelationalOps.q7Volume _),
+    "q10_returns" -> (RelationalOps.q10Returns _),
+    "q13_distribution" -> (RelationalOps.q13Distribution _),
+    "q15_top_supplier" -> (RelationalOps.q15TopSupplier _),
+    "q17_small_qty" -> (RelationalOps.q17SmallQty _),
+    "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
+    "q19_disjunct" -> (RelationalOps.q19Disjunct _),
+    "q22_dormant" -> (RelationalOps.q22Dormant _),
     "q_bloom_join" -> (BloomOps.qBloomJoin _),
     "q_heavy_hitters" -> (HeavyHitters.qHeavyHitters _),
     // F. LLM-data-pipeline: dedup
@@ -654,6 +662,84 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""",
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+             OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+           AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE AS revenue,
+           c_acctbal, n_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q13_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_thresh
+               FROM lineitem
+               JOIN part ON p_partkey = l_partkey
+               WHERE p_brand = 'Brand#12'
+               GROUP BY 1) t ON t.pk = l_partkey
+         WHERE p_brand = 'Brand#12' AND l_quantity < qty_thresh""",
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(total_qty, 2) AS total_qty
+         FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+               FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+         JOIN orders ON o_orderkey = big.l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q19_disjunct" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)""",
+    "q22_dormant" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_event_transitions" ->
       """WITH b AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS from_type, event_type AS to_type FROM events),

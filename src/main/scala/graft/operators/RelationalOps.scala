@@ -584,4 +584,214 @@ object RelationalOps {
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""")
   }
+
+  /** TPC-H Q7-style bilateral trade volume: revenue shipped between a
+    * supplier nation and a customer nation, both directions, per ship
+    * year. The nation table is broadcast onto BOTH supplier and customer
+    * (a 25-row dim twice — two independent broadcast joins, no shuffle);
+    * the only big-big meet is lineitem⋈orders on orderkey. The
+    * disjunctive nation-pair predicate lands AFTER both nations are
+    * attached — on the already-joined row, a cheap codegen filter, never
+    * a join condition that would force a nested loop.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .filter(col("supp_nation").isin("NATION_13", "NATION_19"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("cust_nation").isin("NATION_13", "NATION_19"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val li = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(r2(sum(col("volume"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue
+    * lost to returns in one quarter. The quarter predicate prunes the
+    * orders scan; lineitem⋈orders is the one shuffle join (returnflag
+    * filter pushed into the lineitem scan); customer and nation attach
+    * to the small aggregated result — customer joins post-aggregation on
+    * ≤|customers-in-quarter| rows, never against raw lineitem.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    // Exact-decimal revenue: price (2 dp) × (1 − discount) (2 dp) is an
+    // exact 4-dp decimal, and this particular sum lands ON a half-cent
+    // boundary at sf0.01 — double accumulation order would flip the 2-dp
+    // rounding between engines. Decimal sum → decimal round → double is
+    // bit-identical under any partitioning.
+    val li = lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))).as("rev"))
+    val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
+    perCust
+      .join(customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly k qualifying orders. LEFT OUTER join so
+    * zero-order customers survive into the k=0 bucket; the non-URGENT
+    * predicate lives in the JOIN CONDITION (filtering before the join
+    * would also drop the customers it should merely zero). Two
+    * aggregations: per-customer count (shuffle on custkey), then the
+    * tiny distribution rollup (shuffle on k — dozens of keys).
+    */
+  def q13Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-style top supplier: supplier(s) achieving the maximum
+    * quarterly revenue. Per-supplier aggregation (one shuffle), then the
+    * global max is a ONE-ROW aggregate broadcast back as a join filter —
+    * never a global sort, never a window over the whole frame. Revenue is
+    * rounded BEFORE the max-compare so the equality join is float-safe
+    * cross-engine.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_revenue") === col("max_rev"))
+      .join(broadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lines ordering less than 20%
+    * of their part's average quantity, for one brand. The correlated
+    * scalar subquery of the reference formulation is DECORRELATED into a
+    * per-part aggregate joined back on partkey — one extra shuffle
+    * instead of a per-row subquery; the brand filter broadcasts a tiny
+    * partkey list into both lineitem scans. Quantities are integral
+    * doubles so avg is exact and the `<` boundary is engine-stable.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = part(spark, dir)
+      .filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
+    val pavg = lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+    lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(pavg), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds 300, with their customer. The qualifying-orderkey set comes
+    * from ONE aggregation over lineitem (map-side partial sums make the
+    * shuffle carry per-order partials, not rows); it is tiny (high
+    * threshold) and broadcasts into orders; customer attaches to the
+    * filtered result. Lineitem is scanned once, never joined to itself.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), r2(col("o_totalprice")).as("o_totalprice"),
+        r2(col("total_qty")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three (brand, size,
+    * quantity) OR-blocks over lineitem⋈part. The partkey equi-join is
+    * the join condition; the whole disjunction is a post-join codegen
+    * filter — Catalyst additionally derives the brand-IN and size-range
+    * implied predicates and pushes them into the part scan, so the
+    * broadcast side is pre-shrunk. One scan, one broadcast join, one
+    * scalar aggregate.
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size").between(1, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 35)))
+      .agg(r2(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22-style dormant-account report: customers with
+    * above-average balances who have placed NO order since a cutoff —
+    * the lapsed-high-value-customer query. The global positive-balance
+    * average is a one-row aggregate broadcast as a cross join (scalar
+    * subquery decorrelation); "no recent order" is a LEFT ANTI join
+    * against the date-pruned orders scan (only custkeys shuffle);
+    * the final nation rollup is tiny.
+    */
+  def q22Dormant(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), r2(sum(col("c_acctbal"))).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
 }

