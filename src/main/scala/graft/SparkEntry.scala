@@ -32,6 +32,10 @@ object SparkEntry {
     "q_rare_access_pmi" -> (ThreatOps.qRareAccessPmi _),
     "q_ewma_drift" -> (ThreatOps.qEwmaDrift _),
     "q_sketch_rollup" -> (ThreatOps.qSketchRollup _),
+    "q_cusum_drift" -> (ThreatOps.qCusumDrift _),
+    "q_seasonal_baseline" -> (ThreatOps.qSeasonalBaseline _),
+    "q_pagerank" -> (ThreatOps.qPagerank _),
+    "q_knn_triangles" -> (ThreatOps.qKnnTriangles _),
     "q_sketch_setops" -> (ThreatOps.qSketchSetops _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
@@ -772,6 +776,76 @@ object SparkEntry {
            ON b.user_id = a.user_id AND b.d >= a.d - 7 AND b.d < a.d
          GROUP BY a.user_id, a.d, a.n
          ORDER BY a.user_id, day""",
+    "q_cusum_drift" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*)::DOUBLE AS n
+           FROM events GROUP BY 1, 2),
+         stats AS (SELECT user_id, count(*) AS c,
+             sum(n) / count(*) AS mean,
+             sum(n * n) / count(*) - (sum(n) / count(*)) * (sum(n) / count(*)) AS variance
+           FROM daily GROUP BY 1),
+         cus AS (SELECT d.user_id, d.d, s.c,
+             sum(CASE WHEN s.variance > 0 THEN (d.n - s.mean) / sqrt(s.variance) ELSE 0 END)
+               OVER (PARTITION BY d.user_id ORDER BY d.d) AS cusum
+           FROM daily d JOIN stats s USING(user_id)),
+         pk AS (SELECT user_id, d, c, abs(cusum) AS ac,
+             row_number() OVER (PARTITION BY user_id ORDER BY abs(cusum) DESC, d) AS rk
+           FROM cus)
+         SELECT user_id, strftime(d, '%Y-%m-%d') AS changepoint_day,
+           round(ac, 4) AS peak_cusum, c AS n_days
+         FROM pk WHERE rk = 1 ORDER BY user_id""",
+    "q_seasonal_baseline" ->
+      """WITH cells AS (SELECT user_id, isodow(ts)-1 AS day_of_week,
+             EXTRACT(hour FROM ts) AS hour_of_day, count(*) AS n
+           FROM events GROUP BY 1, 2, 3),
+         tot AS (SELECT user_id, sum(n) AS total FROM cells GROUP BY 1)
+         SELECT c.user_id, day_of_week, hour_of_day, CAST(n AS BIGINT) AS n,
+           round(total / 168.0, 4) AS expected,
+           round((n - total / 168.0) / sqrt(total / 168.0), 4) AS z
+         FROM cells c JOIN tot t ON c.user_id = t.user_id
+         ORDER BY z DESC, c.user_id, day_of_week, hour_of_day LIMIT 50""",
+    "q_pagerank" ->
+      """WITH ur AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS u,
+             'r' || json_extract_string(props,'$.k') AS r
+           FROM events
+           WHERE user_id IS NOT NULL AND json_extract_string(props,'$.k') IS NOT NULL),
+         e AS (SELECT u AS src, r AS dst FROM ur UNION ALL SELECT r, u FROM ur),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+         r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+         r1 AS (SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(r0.rank / deg.d) AS rank
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY 1),
+         r2 AS (SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(r1.rank / deg.d) AS rank
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY 1),
+         r3 AS (SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(r2.rank / deg.d) AS rank
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY 1)
+         SELECT node,
+           CASE WHEN node LIKE 'u%' THEN 'user' ELSE 'resource' END AS kind,
+           round(rank * 1000, 4) AS rank_x1000
+         FROM r3 ORDER BY node""",
+    "q_knn_triangles" ->
+      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+           FROM events
+           WHERE json_extract_string(props,'$.k') IS NOT NULL AND user_id IS NOT NULL),
+         pc AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS c
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         dirp AS (SELECT ua AS u, ub AS v, c FROM pc
+           UNION ALL SELECT ub, ua, c FROM pc),
+         knn AS (SELECT u, v FROM (
+             SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY c DESC, v) AS rk
+             FROM dirp) WHERE rk <= 3),
+         und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+           JOIN und e2 ON e1.b = e2.a
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT user_id, count(*) AS n_triangles FROM (
+           SELECT x AS user_id FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+         GROUP BY 1 ORDER BY n_triangles DESC, user_id""",
     "q_redact" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,

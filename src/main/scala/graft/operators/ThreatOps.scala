@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral threat analytics — the Spark-first re-expression of the
@@ -212,7 +213,17 @@ object ThreatOps {
     * co-accessed a dropped resource (standard bipartite-projection
     * practice). The oracle-checked entry runs uncapped.
     */
-  def coaccessPairs(spark: SparkSession, dir: String, maxDegree: Int): DataFrame = {
+  def coaccessPairs(spark: SparkSession, dir: String, maxDegree: Int): DataFrame =
+    coaccessPairFrame(spark, dir, maxDegree)
+      .orderBy(col("shared_resources").desc, col("user_a"), col("user_b"))
+      .limit(100)
+
+  /** The full (unordered, unlimited) co-access pair frame — the edge list
+    * of the user-user projected graph. Shared by [[coaccessPairs]] (top-k
+    * presentation) and [[qKnnTriangles]] (graph construction input).
+    */
+  private[operators] def coaccessPairFrame(
+      spark: SparkSession, dir: String, maxDegree: Int): DataFrame = {
     val s = spark
     import s.implicits._
     // NULL user_id rows carry no pair signal (collect_set would drop them
@@ -279,8 +290,6 @@ object ThreatOps {
       .select(shiftright(col("pk"), 32).as("user_a"),
         col("pk").bitwiseAND(lit(0xffffffffL)).as("user_b"),
         col("shared_resources"))
-      .orderBy(col("shared_resources").desc, col("user_a"), col("user_b"))
-      .limit(100)
   }
 
   /** Event-type totals via [[SkewOps.saltedCountSum]]: the salted
@@ -557,6 +566,139 @@ object ThreatOps {
         col("n"), r4(col("wsum") / col("wnorm")).as("ewma7"),
         r4(col("n") / (col("wsum") / col("wnorm"))).as("drift"))
       .orderBy(col("user_id"), col("day"))
+  }
+
+  /** CUSUM changepoint score per user: standardized daily-activity
+    * deviations accumulated in day order; the peak |cusum| marks the most
+    * likely behavior-change point (Page 1954's cumulative-sum chart, the
+    * drift detector that catches SLOW shifts EWMA's short memory forgets).
+    *
+    * Engine-exactness: mean/variance come from integer sums (exact in
+    * doubles), so every per-day deviation is bit-identical across
+    * engines; the running sum is a WINDOW cumsum — summation order is
+    * the day order on both sides, so even the float accumulation is
+    * bit-identical, and the argmax day needs no rounding tolerance.
+    * One shuffle on user_id; windows and stats share the partitioning.
+    */
+  def qCusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val stats = daily.groupBy(col("user_id").as("su"))
+      .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"),
+        count(lit(1)).as("c"))
+      .select(col("su"), col("c"),
+        (col("s") / col("c")).as("mean"),
+        (col("ss") / col("c") - (col("s") / col("c")) * (col("s") / col("c"))).as("variance"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val cusum = daily
+      .join(stats, col("user_id") === col("su"))
+      .withColumn("dev",
+        when(col("variance") > 0, (col("n") - col("mean")) / sqrt(col("variance")))
+          .otherwise(lit(0.0)))
+      .withColumn("cusum", sum(col("dev")).over(byDay))
+    val peak = Window.partitionBy(col("user_id"))
+      .orderBy(abs(col("cusum")).desc, col("d"))
+    cusum
+      .withColumn("rk", row_number().over(peak))
+      .filter(col("rk") === 1)
+      .select(col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("changepoint_day"),
+        r4(abs(col("cusum"))).as("peak_cusum"),
+        col("c").as("n_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Seasonal-baseline anomaly cells: each (user, weekday, hour) activity
+    * count vs the user's uniform 168-cell expectation, scored with a
+    * Poisson z `(obs − exp)/√exp` — the hour-of-week seasonal profile
+    * behind "this user is active at a time they never are". Top-50
+    * hottest cells. One aggregation on (user, dow, hour) then a tiny
+    * per-user total joined back — both shuffles on user-prefixed keys.
+    */
+  def qSeasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .groupBy(col("user_id"), dayOfWeek.cast("long").as("day_of_week"),
+        hourOfDay.cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("user_id").as("tu"))
+      .agg(sum(col("n")).as("total"))
+    cells.join(totals, col("user_id") === col("tu"))
+      .select(col("user_id"), col("day_of_week"), col("hour_of_day"), col("n"),
+        r4(col("total") / 168.0).as("expected"),
+        r4((col("n") - col("total") / 168.0) / sqrt(col("total") / 168.0)).as("z"))
+      .orderBy(col("z").desc, col("user_id"), col("day_of_week"), col("hour_of_day"))
+      .limit(50)
+  }
+
+  /** PageRank over the bipartite user↔resource access graph, 3 fixed
+    * iterations, damping 0.85 — the graph-centrality upgrade of
+    * [[qDegreeCentrality]] (a resource matters more when important users
+    * touch it, recursively). Spark-first Pregel shape: the edge list is
+    * the only big frame; each iteration is one join (edges ⋈ ranks on
+    * src, co-partitioned after the first shuffle) + one aggregation on
+    * dst. Degrees attach ONCE outside the loop. No vertex mutation, no
+    * graph store — at 100 TB the edge list partitions on src and every
+    * iteration reuses that exchange. Undirected (both edge directions
+    * present), so no dangling-mass correction is needed.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ur = activityLog(spark, dir)
+      .filter(col("resource").isNotNull && col("user_id").isNotNull)
+      .select(concat(lit("u"), col("user_id")).as("u"),
+        concat(lit("r"), col("resource")).as("r"))
+      .distinct()
+    val edges = ur.select(col("u").as("src"), col("r").as("dst"))
+      .unionAll(ur.select(col("r").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = deg.count() // one scalar to the driver: the node count
+    val contribs = edges.join(deg, "src") // degrees attach once
+    var ranks = deg.select(col("src").as("node"), (lit(1.0) / n).as("rank"))
+    for (_ <- 1 to 3)
+      ranks = contribs
+        .join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) / n + lit(0.85) * sum(col("rank") / col("d"))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    ranks
+      .select(col("node"),
+        when(col("node").startsWith("u"), "user").otherwise("resource").as("kind"),
+        r4(col("rank") * 1000).as("rank_x1000"))
+      .orderBy(col("node"))
+  }
+
+  /** Triangle census of the k-nearest-neighbor co-access graph: each user
+    * keeps edges to their 3 strongest co-access partners (by shared
+    * resources — the kNN sparsification that keeps the graph bounded even
+    * where raw co-access is near-complete), edges are symmetrized, and
+    * triangles counted by the ordered two-path join. Per-user triangle
+    * participation = local clustering signal (insider cliques). The pair
+    * frame reuses [[coaccessPairFrame]]'s bounded fold; the kNN rank is a
+    * per-user window over ≤|users| rows; the triangle join degree is
+    * capped by k on every vertex, so fan-out is O(k²·|users|), never
+    * O(edges²).
+    */
+  def qKnnTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coaccessPairFrame(spark, dir, maxDegree = Int.MaxValue)
+    val directed = pairs.select(col("user_a").as("u"), col("user_b").as("v"), col("shared_resources"))
+      .unionAll(pairs.select(col("user_b").as("u"), col("user_a").as("v"), col("shared_resources")))
+    val byStrength = Window.partitionBy(col("u"))
+      .orderBy(col("shared_resources").desc, col("v"))
+    val knn = directed
+      .withColumn("rk", row_number().over(byStrength))
+      .filter(col("rk") <= 3)
+    val und = knn
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("user_id"))
   }
 }
 

@@ -259,4 +259,57 @@ class ThreatOpsSpec extends SparkSpec {
       .filter(col("shared_resources") > col("sr_full"))
     assert(inflated.count() === 0)
   }
+
+  test("qCusumDrift: one row per active user, peak is a true window maximum") {
+    val df = ThreatOps.qCusumDrift(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() === users)
+    assert(df.filter(col("peak_cusum") < 0).count() === 0)
+    // n_days reconciles with a direct distinct-day recount
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(countDistinct(to_date(col("ts"))).as("dd"))
+    val bad = df.join(direct, "user_id").filter(col("n_days") =!= col("dd"))
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
+  test("qSeasonalBaseline: valid cells, descending z, expected = total/168") {
+    val rows = ThreatOps.qSeasonalBaseline(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val zs = rows.map(_.getAs[Double]("z"))
+    assert(zs.sameElements(zs.sortBy(-(_: Double))))
+    rows.foreach { r =>
+      val dow = r.getAs[Long]("day_of_week"); val h = r.getAs[Long]("hour_of_day")
+      assert(dow >= 0 && dow <= 6 && h >= 0 && h <= 23)
+      assert(r.getAs[Double]("expected") > 0)
+    }
+  }
+
+  test("qPagerank: ranks form a probability distribution over all graph nodes") {
+    val df = ThreatOps.qPagerank(spark, sf).cache()
+    val log = Tables.events(spark, sf)
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull && col("user_id").isNotNull)
+    val nUsers = log.select("user_id").distinct().count()
+    val nRes = log.select("resource").distinct().count()
+    assert(df.count() === nUsers + nRes)
+    assert(df.filter(col("kind") === "user").count() === nUsers)
+    // total rank mass ~ 1 (x1000 scale, rounded per node to 4dp)
+    val mass = df.agg(sum("rank_x1000")).head.getDouble(0)
+    assert(math.abs(mass - 1000.0) < 0.1, s"rank mass $mass")
+    // every rank at least the damping floor (1-d)/N
+    val floor = 0.15 / (nUsers + nRes) * 1000
+    assert(df.filter(col("rank_x1000") < floor * 0.999).count() === 0)
+    df.unpersist()
+  }
+
+  test("qKnnTriangles: participation mass is divisible by 3 and users are real") {
+    val df = ThreatOps.qKnnTriangles(spark, sf).cache()
+    assert(df.count() > 0)
+    val mass = df.agg(sum("n_triangles")).head.getLong(0)
+    assert(mass % 3 === 0, s"3 users per triangle, got mass $mass")
+    val known = Tables.events(spark, sf).select("user_id").distinct()
+    assert(df.join(known, Seq("user_id"), "left_anti").count() === 0)
+    df.unpersist()
+  }
 }
