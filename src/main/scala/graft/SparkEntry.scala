@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (DedupOps.qDedupSimhashPairs _),
     "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
     "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
+    "q_containment" -> (DedupOps.qContainment _),
     "q_decontaminate" -> (DedupOps.qDecontaminate _),
     // F. similarity search
     "q_embed_neardup" -> (SimilarityOps.qEmbedNeardup _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_redact" -> (TextOps.qRedact _),
     "q_vocab" -> (TextOps.qVocab _),
     "q_det_sample" -> (TextOps.qDetSample _),
+    "q_cooccurrence" -> (TextOps.qCooccurrence _),
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
@@ -633,6 +635,22 @@ object SparkEntry {
           tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2)
           SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
           FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+    "q_cooccurrence" ->
+      s"""WITH tok AS (SELECT $tokSql AS t FROM documents),
+          ps AS (
+            SELECT unnest(list_transform(generate_series(1, len(t)-1),
+              i -> {'wa': t[i], 'wb': t[i+1]})) AS p FROM tok
+            UNION ALL
+            SELECT unnest(list_transform(generate_series(1, len(t)-2),
+              i -> {'wa': t[i], 'wb': t[i+2]})) AS p FROM tok),
+          pc AS (SELECT p.wa AS wa, p.wb AS wb, count(*) AS c FROM ps GROUP BY 1, 2),
+          la AS (SELECT wa, sum(c)::BIGINT AS ca FROM pc GROUP BY 1),
+          ra AS (SELECT wb, sum(c)::BIGINT AS cb FROM pc GROUP BY 1),
+          t2 AS (SELECT sum(c)::DOUBLE AS total FROM pc)
+          SELECT pc.wa, pc.wb, pc.c,
+            round(log2(pc.c * total / (ca * cb)), 4) AS pmi
+          FROM pc JOIN la USING (wa) JOIN ra USING (wb) CROSS JOIN t2
+          ORDER BY pmi DESC, pc.wa, pc.wb LIMIT 100""",
     "q_det_sample" ->
       """SELECT doc_id, lang, n_chars, rk FROM (
            SELECT doc_id, lang, n_chars, CAST(row_number() OVER (
@@ -957,6 +975,22 @@ object SparkEntry {
           FROM s a JOIN s b
             ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
           ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "q_containment" ->
+      s"""WITH h AS (SELECT doc_id, list_distinct(hs) AS h
+            FROM ($hashedShinglesSql) WHERE len(hs) > 0),
+          anch AS (SELECT doc_id, unnest(list_sort(h)[1:${DedupOps.ContainmentAnchors}]) AS a FROM h),
+          post AS (SELECT doc_id, unnest(h) AS hh FROM h),
+          cand AS (SELECT least(x.doc_id, y.doc_id) AS doc_a,
+              greatest(x.doc_id, y.doc_id) AS doc_b
+            FROM anch x JOIN post y ON x.a = y.hh AND x.doc_id <> y.doc_id
+            GROUP BY 1, 2),
+          ver AS (SELECT doc_a, doc_b,
+              round(len(list_intersect(ha.h, hb.h))::DOUBLE / len(ha.h), 4) AS c_ab,
+              round(len(list_intersect(ha.h, hb.h))::DOUBLE / len(hb.h), 4) AS c_ba
+            FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
+          SELECT doc_a, doc_b, c_ab, c_ba FROM ver
+          WHERE greatest(c_ab, c_ba) >= ${DedupOps.ContainmentMin}
+          ORDER BY greatest(c_ab, c_ba) DESC, doc_a, doc_b""",
     "q_embed_stats" ->
       s"""WITH n AS ($embNormSql)
           SELECT CAST(label AS BIGINT) AS label, count(*) AS n,

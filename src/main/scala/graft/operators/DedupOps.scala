@@ -278,4 +278,48 @@ object DedupOps {
         s"exceeds the cap; raise MaxRounds or check the edge set")
     labels
   }
+
+  /** Bottom-k anchor count and containment threshold for [[qContainment]]. */
+  val ContainmentAnchors = 5
+  val ContainmentMin = 0.5
+
+  /** ASYMMETRIC near-dup detection: shingle containment
+    * `C(A,B) = |A∩B| / |A|` — catches a document EMBEDDED in a larger one
+    * (quote, concatenation, boilerplate wrapper), which Jaccard dilutes
+    * below any usable threshold when sizes differ (J ≤ |A|/|B|). The
+    * MinHash-LSH candidates ([[qDedupMinhashPairs]]) inherit that
+    * dilution, so containment needs its own candidate generator, and it
+    * must be ASYMMETRIC like the measure: each doc's k smallest shingle
+    * hashes (bottom-k anchors) probe an inverted index of ALL shingle
+    * hashes. If A ⊆ B then every anchor of A appears in B — candidate
+    * recall for true containment is guaranteed, unlike anchor-vs-anchor
+    * (B's own minima may all lie in its non-shared bulk). Fan-out is
+    * k·df(anchor); a planet-hot boilerplate shingle would get the same
+    * df cap as hot co-access resources. Exact set arithmetic verifies.
+    */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("h"))
+      .filter(size(col("h")) > 0)
+    val anch = d.select(col("doc_id"),
+      explode(slice(array_sort(col("h")), 1, ContainmentAnchors)).as("a"))
+    val postings = d.select(col("doc_id"), explode(col("h")).as("hh"))
+    val cands = anch.as("x").join(postings.as("y"),
+        col("x.a") === col("y.hh") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    cands
+      .join(d.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("double").as("inter"),
+        size(col("ha")).cast("double").as("na"),
+        size(col("hb")).cast("double").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        r4(col("inter") / col("na")).as("c_ab"),
+        r4(col("inter") / col("nb")).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= ContainmentMin)
+      .orderBy(greatest(col("c_ab"), col("c_ba")).desc, col("doc_a"), col("doc_b"))
+  }
 }

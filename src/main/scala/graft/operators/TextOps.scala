@@ -356,4 +356,38 @@ object TextOps {
       .select(col("doc_id") +: counts :+ redact(col("text")).as("redacted"): _*)
       .orderBy(col("doc_id"))
   }
+
+  /** Word co-occurrence PMI over a ±2 skip-gram window — the
+    * word2vec/GloVe preprocessing primitive (count pairs, weigh by
+    * pointwise mutual information). Pair generation is IN-ROW: two
+    * shifted `zip_with`s emit (wᵢ, wᵢ₊₁) and (wᵢ, wᵢ₊₂) per document in
+    * one narrow projection — no positional self-join, so nothing
+    * token-level ever shuffles; only (wa, wb) pair partials do (map-side
+    * combined, key space = vocab², tiny next to the corpus). Marginals
+    * and the total derive FROM the pair counts (two re-aggregations of
+    * the small pair frame + a 1-row broadcast), the same shape as
+    * q_rare_access_pmi. Top-100 most-associated pairs.
+    */
+  def qCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    def shifted(dist: Int): Column =
+      when(size(t) >= dist + 1,
+        zip_with(slice(t, lit(1), size(t) - dist), slice(t, lit(dist + 1), size(t) - dist),
+          (x, y) => struct(x.as("wa"), y.as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+    val pairs = spread(spark, documents(spark, dir))
+      .select(explode(concat(shifted(1), shifted(2))).as("p"))
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("c"))
+    val la = pairs.groupBy(col("wa").as("ma")).agg(sum("c").as("ca"))
+    val ra = pairs.groupBy(col("wb").as("mb")).agg(sum("c").as("cb"))
+    val tot = pairs.agg(sum("c").cast("double").as("total"))
+    pairs.join(la, col("wa") === col("ma"))
+      .join(ra, col("wb") === col("mb"))
+      .join(broadcast(tot))
+      .select(col("wa"), col("wb"), col("c"),
+        r4(log2(col("c") * col("total") / (col("ca") * col("cb")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(100)
+  }
 }

@@ -172,4 +172,41 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 1L, 1L), (4L, 2L, 1L)))
   }
+
+  test("qContainment finds every exact-duplicate pair at full containment") {
+    val df = DedupOps.qContainment(spark, sf).cache()
+    // all reported pairs clear the threshold
+    assert(df.filter(greatest(col("c_ab"), col("c_ba")) < DedupOps.ContainmentMin)
+      .count() === 0)
+    // exact text duplicates share ALL shingles → bottom-k anchors
+    // necessarily collide, so each dup pair must be reported at 1.0
+    val byText = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val missed = byText.join(
+      df.filter(col("c_ab") === 1.0 && col("c_ba") === 1.0),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0)
+    df.unpersist()
+  }
+
+  test("qContainment detects a doc embedded in a larger one that Jaccard would dilute") {
+    val s = spark; import s.implicits._
+    val tmp = s"/tmp/graft-containment-${System.nanoTime()}"
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    Seq((1L, "en", small.length.toLong, small), (2L, "en", big.length.toLong, big))
+      .toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = DedupOps.qContainment(spark, tmp).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Double]("c_ab") === 1.0)  // small fully contained
+    assert(r.getAs[Double]("c_ba") < 0.1)    // Jaccard-style view is diluted
+  }
 }

@@ -14,10 +14,12 @@ class PlanAuditSpec extends SparkSpec {
   // q_rare_access_pmi cross-joins ONE broadcast row (the corpus total)
   // onto the pair counts — same O(1) build-side shape.
   // q_sketch_setops joins two ONE-ROW sketch aggregates; q22_dormant
-  // cross-joins the ONE-ROW global average balance onto customer.
+  // cross-joins the ONE-ROW global average balance onto customer;
+  // q_cooccurrence broadcasts the ONE-ROW pair-count total.
   private val nestedLoopAllowed =
     Set("q_ann_brute", "q_zscore_anomaly", "q_ensemble_vote", "q_anomaly_report",
-      "q_tfidf", "q_bm25", "q_rare_access_pmi", "q_sketch_setops", "q22_dormant")
+      "q_tfidf", "q_bm25", "q_rare_access_pmi", "q_sketch_setops", "q22_dormant",
+      "q_cooccurrence")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

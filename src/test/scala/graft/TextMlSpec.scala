@@ -282,4 +282,31 @@ class TextMlSpec extends SparkSpec {
     assert(residual === 0, "redacted text must not match any PII pattern")
     r.unpersist()
   }
+
+  test("qCooccurrence: pair counts and PMI agree with a hand-computed corpus") {
+    val s = spark; import s.implicits._
+    val tmp = s"/tmp/graft-cooc-${System.nanoTime()}"
+    // "a b a b": d1 pairs (a,b),(b,a),(a,b) + skip2 (a,a),(b,b)
+    // "c c":     one pair (c,c)
+    Seq((1L, "en", 7L, "a b a b"), (2L, "en", 3L, "c c"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qCooccurrence(spark, tmp).collect()
+      .map(r => ((r.getAs[String]("wa"), r.getAs[String]("wb")), r.getAs[Long]("c")))
+      .toMap
+    assert(got === Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("a", "a") -> 1L,
+      ("b", "b") -> 1L, ("c", "c") -> 1L))
+    // (c,c): pmi = log2(1 * 6 / (1 * 1)) = log2(6)
+    val ccPmi = TextOps.qCooccurrence(spark, tmp)
+      .filter(col("wa") === "c").head.getAs[Double]("pmi")
+    assert(math.abs(ccPmi - math.log(6.0) / math.log(2.0)) < 1e-3)
+  }
+
+  test("qCooccurrence on the corpus: descending PMI, positive counts") {
+    val rows = TextOps.qCooccurrence(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.sameElements(pmis.sortBy(-(_: Double))))
+    assert(rows.forall(_.getAs[Long]("c") >= 1))
+  }
 }
