@@ -32,6 +32,12 @@ case class ShardTopK(shard: Long, item: String, est: Long, err: Long,
 case class TopKState(items: Array[String], est: Array[Long],
                      err: Array[Long], seen: Long)
 
+/** Streaming-CUSUM drift alert for one user after a micro-batch. */
+case class DriftAlert(user_id: Long, n_obs: Long, mean: Double, cusum: Double)
+
+/** Per-user Welford + CUSUM accumulator kept between micro-batches. */
+case class DriftState(n: Long, mean: Double, m2: Double, cusum: Double)
+
 /** Structured Streaming twin of the batch pipeline (SURVEY.md §2.G).
   *
   * The reference detects threats by re-running Cypher queries over a
@@ -174,6 +180,82 @@ object EventStream {
         col("error_ts") <= col("purchase_ts") + expr("INTERVAL 10 MINUTES"))
       .select(col("user_id"), col("error_id"), col("error_ts"),
         col("purchase_id"), col("purchase_ts"))
+  }
+
+  /** ORPHAN errors — the LEFT OUTER twin of [[purchaseLinkedErrors]]:
+    * errors with NO same-user purchase in the preceding 10 minutes.
+    * A streaming outer join cannot know "no match" until the watermark
+    * proves no matching purchase can still arrive, so the null-side rows
+    * emit when `max(event time) − 2 h` passes the error's join bound —
+    * the unmatched detection is as late as the watermark, by design.
+    * State stays bounded exactly as in the inner join.
+    */
+  def orphanErrors(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("error_ts"),
+        col("user_id"))
+      .withWatermark("error_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user"))
+      .withWatermark("purchase_ts", "2 hours")
+    errors.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("error_ts") >= col("purchase_ts") &&
+          col("error_ts") <= col("purchase_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .filter(col("purchase_id").isNull)
+      .select(col("user_id"), col("error_id"), col("error_ts"))
+  }
+
+  /** Streaming CUSUM drift detector — the continuous twin of
+    * [[graft.operators.ThreatOps.qCusumDrift]]: each user's event values
+    * update a Welford running mean/variance; every value is standardized
+    * against the baseline-SO-FAR (before it joins the baseline) and the
+    * deviations accumulate. After a micro-batch, a user whose |cusum|
+    * clears the threshold emits an alert. State is 4 numbers per user —
+    * O(|users|) forever, no watermark needed (TimeMode.None); the
+    * processor sorts each batch's rows by event time so replay/overlap
+    * feeding produces identical accumulation (same contract as
+    * sessionizeUser).
+    */
+  def driftAlerts(events: Dataset[Event], minObs: Int = 10,
+      threshold: Double = 3.0): Dataset[DriftAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new DriftProcessor(minObs, threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-user Welford+CUSUM state machine for [[driftAlerts]]. */
+  private[graft] class DriftProcessor(minObs: Int, threshold: Double)
+      extends StatefulProcessor[Long, Event, DriftAlert] {
+    @transient private var state: ValueState[DriftState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DriftState]("drift",
+        org.apache.spark.sql.Encoders.product[DriftState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, batch: Iterator[Event],
+        timerValues: TimerValues): Iterator[DriftAlert] = {
+      var st = if (state.exists()) state.get() else DriftState(0L, 0.0, 0.0, 0.0)
+      // deterministic within-batch order (micro-batches deliver unsorted)
+      for (e <- batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))) {
+        if (st.n >= minObs && st.m2 > 0) {
+          val dev = (e.value - st.mean) / math.sqrt(st.m2 / st.n)
+          st = st.copy(cusum = st.cusum + dev)
+        }
+        val n1 = st.n + 1
+        val delta = e.value - st.mean
+        val mean1 = st.mean + delta / n1
+        st = DriftState(n1, mean1, st.m2 + delta * (e.value - mean1), st.cusum)
+      }
+      state.update(st)
+      if (st.n >= minObs && math.abs(st.cusum) >= threshold)
+        Iterator.single(DriftAlert(userId, st.n, st.mean, st.cusum))
+      else Iterator.empty
+    }
   }
 
   /** Stateful gap sessionization: a >30-minute silence per user closes the

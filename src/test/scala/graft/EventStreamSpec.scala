@@ -215,6 +215,78 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("orphanErrors emits only watermark-proven unmatched errors") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.orphanErrors(mem.toDF())
+      .writeStream.format("memory").queryName("orphans").outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1, 0, 7, "purchase"),
+        ev(2, 5, 7, "error"),   // purchase 5 min before, same user → matched
+        ev(3, 5, 8, "error"))   // no purchase for user 8 → orphan
+      q.processAllAvailable()
+      // nothing can emit yet: watermark hasn't passed the join bound
+      assert(spark.table("orphans").count() === 0)
+      // push BOTH side watermarks far past error_ts + interval (2h delay
+      // + slack). The advancing events must survive the side filters —
+      // a non-error/non-purchase event never reaches a watermark node.
+      mem.addData(ev(9, 300, 9, "purchase"), ev(10, 300, 9, "error"))
+      q.processAllAvailable()
+      // eviction applies the new watermark in the NEXT micro-batch
+      mem.addData(ev(11, 301, 9, "purchase"), ev(12, 301, 9, "error"))
+      q.processAllAvailable()
+      val rows = spark.table("orphans").select("user_id", "error_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((8L, 3L)))
+    } finally q.stop()
+  }
+
+  test("driftAlerts: stable stream stays silent, a level shift fires and matches Welford by hand") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.driftAlerts(mem.toDS(), minObs = 4, threshold = 3.0)
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      // user 7: alternating baseline (variance > 0), then a level shift;
+      // user 8: same baseline, no shift — must stay silent
+      val base7 = Seq(10.0, 12.0, 10.0, 12.0).zipWithIndex.map { case (v, i) =>
+        Event(i + 1, ts(i), 7, "m", v) }
+      val base8 = Seq(10.0, 12.0, 10.0, 12.0).zipWithIndex.map { case (v, i) =>
+        Event(100 + i, ts(i), 8, "m", v) }
+      mem.addData(base7 ++ base8: _*)
+      q.processAllAvailable()
+      assert(spark.table("drift").count() === 0) // cusum still ~0
+      val shift = (0 until 4).map(i => Event(10 + i, ts(10 + i), 7, "m", 20.0))
+      val calm = (0 until 4).map(i => Event(110 + i, ts(10 + i), 8, "m", 10.0 + 2 * (i % 2)))
+      mem.addData(shift ++ calm: _*)
+      q.processAllAvailable()
+      val alerts = spark.table("drift").as[graft.streaming.DriftAlert].collect()
+      assert(alerts.map(_.user_id).toSet === Set(7L))
+      // replicate the accumulation by hand (same order, same formulas)
+      var (n, mean, m2, cusum) = (0L, 0.0, 0.0, 0.0)
+      for (v <- Seq(10.0, 12.0, 10.0, 12.0, 20.0, 20.0, 20.0, 20.0)) {
+        if (n >= 4 && m2 > 0) cusum += (v - mean) / math.sqrt(m2 / n)
+        n += 1; val d = v - mean; mean += d / n; m2 += d * (v - mean)
+      }
+      val a = alerts.head
+      assert(a.n_obs === n && math.abs(a.cusum - cusum) < 1e-9 &&
+        math.abs(a.mean - mean) < 1e-9)
+      assert(math.abs(cusum) >= 3.0)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupEvents drops replayed event_ids within the watermark") {
     val s = spark
     import s.implicits._
