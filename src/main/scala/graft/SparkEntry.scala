@@ -62,6 +62,8 @@ object SparkEntry {
     "q_interval_join" -> (RelationalOps.qIntervalJoin _),
     "q_daily_change" -> (RelationalOps.qDailyChange _),
     "q_histogram" -> (RelationalOps.qHistogram _),
+    "q_ntile" -> (RelationalOps.qNtile _),
+    "q_gap_fill" -> (RelationalOps.qGapFill _),
     "q_set_ops" -> (RelationalOps.qSetOps _),
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
@@ -89,6 +91,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
     "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     "q_containment" -> (DedupOps.qContainment _),
+    "q_edit_distance" -> (DedupOps.qEditDistance _),
     "q_decontaminate" -> (DedupOps.qDecontaminate _),
     // F. similarity search
     "q_embed_neardup" -> (SimilarityOps.qEmbedNeardup _),
@@ -233,6 +236,24 @@ object SparkEntry {
          THEN list_transform(generate_series(1, len(t)-1),
               i -> concat_ws(' ', t[i], t[i+1]))
          ELSE []::VARCHAR[] END))"""
+
+  /** SimHash band-blocked verified pairs as a CTE block (expects `fp`
+    * = simhashSql in scope; yields `sp(doc_a, doc_b, hamming)`) — shared
+    * by the simhash-pairs oracle and the edit-distance oracle. */
+  private val simhashPairsSql = {
+    val bands = (0 until DedupOps.SimhashBands).map { b =>
+      val shift = b * DedupOps.SimhashBandBits
+      val mask = (1L << DedupOps.SimhashBandBits) - 1
+      s"'$b:' || ((simhash >> $shift) & $mask)::VARCHAR"
+    }.mkString(", ")
+    s"""banded AS (SELECT doc_id, simhash, unnest([$bands]) AS band FROM fp),
+        sp AS (SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id)
+          WHERE hamming <= ${DedupOps.HammingMax})"""
+  }
 
   /** MinHash-LSH verified candidate pairs (mirror of
     * DedupOps.qDedupMinhashPairs) — shared by the pairs oracle and the
@@ -794,6 +815,27 @@ object SparkEntry {
            ON b.user_id = a.user_id AND b.d >= a.d - 7 AND b.d < a.d
          GROUP BY a.user_id, a.d, a.n
          ORDER BY a.user_id, day""",
+    "q_ntile" ->
+      """WITH d AS (SELECT event_type, value,
+           ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+           FROM events)
+         SELECT event_type, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+           round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+           round(avg(value), 4) AS avg_v
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spine AS (SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+           FROM (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1))
+         SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+           coalesce(dd.n, 0) AS n,
+           CASE WHEN dd.n IS NULL THEN 1 ELSE 0 END::BIGINT AS gap,
+           sum(coalesce(dd.n, 0)) OVER (PARTITION BY s.user_id ORDER BY s.d)::BIGINT
+             AS running_total
+         FROM spine s LEFT JOIN daily dd ON s.user_id = dd.user_id AND s.d = dd.d
+         ORDER BY s.user_id, day""",
     "q_cusum_drift" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*)::DOUBLE AS n
            FROM events GROUP BY 1, 2),
@@ -942,22 +984,22 @@ object SparkEntry {
       s"""WITH fp AS ($simhashSql)
           SELECT doc_id, simhash, simhash >> 44 AS bucket16
           FROM fp ORDER BY doc_id""",
-    "q_dedup_simhash_pairs" -> {
-      val bands = (0 until DedupOps.SimhashBands).map { b =>
-        val shift = b * DedupOps.SimhashBandBits
-        val mask = (1L << DedupOps.SimhashBandBits) - 1
-        s"'$b:' || ((simhash >> $shift) & $mask)::VARCHAR"
-      }.mkString(", ")
+    "q_dedup_simhash_pairs" ->
       s"""WITH fp AS ($simhashSql),
-          banded AS (SELECT doc_id, simhash, unnest([$bands]) AS band FROM fp)
-          SELECT doc_a, doc_b, hamming FROM (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.doc_id < b.doc_id)
-          WHERE hamming <= ${DedupOps.HammingMax}
-          ORDER BY hamming, doc_a, doc_b"""
-    },
+          $simhashPairsSql
+          SELECT doc_a, doc_b, hamming FROM sp
+          ORDER BY hamming, doc_a, doc_b""",
+    "q_edit_distance" ->
+      s"""WITH fp AS ($simhashSql),
+          $simhashPairsSql
+          SELECT doc_a, doc_b, hamming,
+            levenshtein(da.text, db.text)::BIGINT AS edit_distance,
+            round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+              / greatest(len(da.text), len(db.text)), 4) AS similarity
+          FROM sp
+          JOIN documents da ON da.doc_id = doc_a
+          JOIN documents db ON db.doc_id = doc_b
+          ORDER BY edit_distance, doc_a, doc_b LIMIT 50""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($minhashPairsSql),
           $clusterCompSql

@@ -279,6 +279,30 @@ object DedupOps {
     labels
   }
 
+  /** Edit-distance verification of the SimHash candidate pairs: exact
+    * Levenshtein distance (codegen'd built-in, O(len²) per pair) over the
+    * ALREADY-BLOCKED candidate set — the character-level ground truth the
+    * bit-level hamming only approximates. Never run over raw pairs: the
+    * band join bounds the quadratic work to candidates, then the top-50
+    * closest pairs surface. Distance is normalized by the longer text
+    * (1 − d/max(len)) for a scale-free similarity.
+    */
+  def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    qDedupSimhashPairs(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("len").as("la")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("len").as("lb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"),
+        r4(lit(1.0) - levenshtein(col("ta"), col("tb"))
+          .cast("double") / greatest(col("la"), col("lb"))).as("similarity"))
+      .orderBy(col("edit_distance"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
   /** Bottom-k anchor count and containment threshold for [[qContainment]]. */
   val ContainmentAnchors = 5
   val ContainmentMin = 0.5

@@ -585,6 +585,55 @@ object RelationalOps {
          ORDER BY status, priority""")
   }
 
+  /** Decile statistics of event values per type via `ntile` — the
+    * SQL-standard equal-frequency binning behind score calibration and
+    * threshold picking. One window shuffle on event_type (the ORDER BY
+    * carries an event_id tiebreak so tile boundaries are deterministic),
+    * then a tiny (type × 10) aggregation. At scale the per-type sort is
+    * the cost — exactly what approx_percentile replaces when ±ε is
+    * acceptable (q_percentiles_approx); this is the exact path.
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), r4(min(col("value"))).as("min_v"),
+        r4(max(col("value"))).as("max_v"), r4(avg(col("value"))).as("avg_v"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  /** Calendar gap-fill (time-series densification): expand each user's
+    * active-day span to EVERY calendar day via an in-row `sequence` +
+    * explode — the date spine is generated from the user's own (min, max)
+    * aggregate, so no driver-side calendar table and no cross join — then
+    * left-join the real daily counts back, zero-fill, and run the
+    * cumulative total. Missing days are flagged (`gap`) — the
+    * prerequisite for any honest moving average / drift stat (q_ewma,
+    * q_cusum operate on active days; this is the densified twin).
+    * Spine size is Σ per-user span — linear, partitioned by user.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNull, 1L).otherwise(0L).as("gap"))
+      .withColumn("running_total", sum(col("n")).over(byDay))
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("gap"), col("running_total"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** TPC-H Q7-style bilateral trade volume: revenue shipped between a
     * supplier nation and a customer nation, both directions, per ship
     * year. The nation table is broadcast onto BOTH supplier and customer

@@ -173,6 +173,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 1L, 1L), (4L, 2L, 1L)))
   }
 
+  test("qEditDistance: exact-dup candidates at distance 0, similarity consistent") {
+    val df = DedupOps.qEditDistance(spark, sf).cache()
+    assert(df.count() > 0)
+    // every pair came from the hamming-verified candidate set
+    assert(df.filter(col("hamming") > DedupOps.HammingMax).count() === 0)
+    // distance-0 pairs must report similarity exactly 1
+    assert(df.filter(col("edit_distance") === 0 && col("similarity") =!= 1.0)
+      .count() === 0)
+    // spot-check one pair against a direct levenshtein recompute
+    val top = df.head
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(top.getAs[Long]("doc_a"), top.getAs[Long]("doc_b")))
+      .orderBy(col("doc_id")).collect().map(_.getAs[String]("text"))
+    val direct = Tables.documents(spark, sf).sparkSession.range(1)
+      .select(levenshtein(lit(texts(0)), lit(texts(1))).cast("long"))
+      .head.getLong(0)
+    assert(top.getAs[Long]("edit_distance") === direct)
+    df.unpersist()
+  }
+
   test("qContainment finds every exact-duplicate pair at full containment") {
     val df = DedupOps.qContainment(spark, sf).cache()
     // all reported pairs clear the threshold

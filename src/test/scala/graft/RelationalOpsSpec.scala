@@ -302,6 +302,43 @@ class RelationalOpsSpec extends SparkSpec {
     gs.unpersist()
   }
 
+  test("qNtile: 10 balanced monotone deciles per event type, mass conserved") {
+    val rows = RelationalOps.qNtile(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val total = Tables.events(spark, sf).count()
+    assert(byType.values.map(_.map(_.getAs[Long]("n")).sum).sum === total)
+    byType.foreach { case (_, ds) =>
+      assert(ds.map(_.getAs[Long]("decile")).sorted.toSeq === (1L to 10L))
+      // equal-frequency: sizes differ by at most 1
+      val sizes = ds.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1)
+      // value ranges are monotone across deciles
+      val ordered = ds.sortBy(_.getAs[Long]("decile"))
+      ordered.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_v") <= hi.getAs[Double]("min_v") + 1e-9)
+      case _ => }
+    }
+  }
+
+  test("qGapFill: spine covers the full span, zero-filled gaps, conserved totals") {
+    val df = RelationalOps.qGapFill(spark, sf).cache()
+    // gap rows carry n = 0
+    assert(df.filter(col("gap") === 1 && col("n") =!= 0).count() === 0)
+    // per user: last running_total equals the user's event count
+    val last = df.groupBy(col("user_id")).agg(max(col("running_total")).as("rt"))
+    val direct = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(last.join(direct, "user_id").filter(col("rt") =!= col("cnt")).count() === 0)
+    // spine length = span days per user
+    val spanDays = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1).as("span"))
+    val rowsPer = df.groupBy(col("user_id")).agg(count(lit(1)).as("rows"))
+    assert(rowsPer.join(spanDays, "user_id")
+      .filter(col("rows") =!= col("span")).count() === 0)
+    df.unpersist()
+  }
+
   test("q7Volume: only the two declared nation pairs, years within the ship window") {
     val rows = RelationalOps.q7Volume(spark, sf).collect()
     assert(rows.nonEmpty)
