@@ -322,9 +322,13 @@ object DedupOps {
     * df cap as hot co-access resources. Exact set arithmetic verifies.
     */
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
-    val d = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("h"))
-      .filter(size(col("h")) > 0)
+    // Pinned: the shingle-hash frame is consumed FOUR times (anchors,
+    // postings, both verify joins) — shingling the corpus once, not 4×.
+    val d = graft.Memo.cached("containmentShingles", spark, dir) {
+      spread(spark, documents(spark, dir))
+        .select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("h"))
+        .filter(size(col("h")) > 0)
+    }
     val anch = d.select(col("doc_id"),
       explode(slice(array_sort(col("h")), 1, ContainmentAnchors)).as("a"))
     val postings = d.select(col("doc_id"), explode(col("h")).as("hh"))

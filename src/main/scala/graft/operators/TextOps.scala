@@ -375,10 +375,15 @@ object TextOps {
         zip_with(slice(t, lit(1), size(t) - dist), slice(t, lit(dist + 1), size(t) - dist),
           (x, y) => struct(x.as("wa"), y.as("wb"))))
         .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
-    val pairs = spread(spark, documents(spark, dir))
-      .select(explode(concat(shifted(1), shifted(2))).as("p"))
-      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
-      .agg(count(lit(1)).as("c"))
+    // Pinned: the pair aggregation feeds FOUR consumers below (pairs,
+    // both marginals, the total) — uncached, each re-runs the explode +
+    // count over the corpus.
+    val pairs = graft.Memo.cached("coocPairs", spark, dir) {
+      spread(spark, documents(spark, dir))
+        .select(explode(concat(shifted(1), shifted(2))).as("p"))
+        .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .agg(count(lit(1)).as("c"))
+    }
     val la = pairs.groupBy(col("wa").as("ma")).agg(sum("c").as("ca"))
     val ra = pairs.groupBy(col("wb").as("mb")).agg(sum("c").as("cb"))
     val tot = pairs.agg(sum("c").cast("double").as("total"))

@@ -223,6 +223,15 @@ object ThreatOps {
     * presentation) and [[qKnnTriangles]] (graph construction input).
     */
   private[operators] def coaccessPairFrame(
+      spark: SparkSession, dir: String, maxDegree: Int): DataFrame =
+    // Pinned per (session, dir, cap): the pair fold is the expensive half
+    // of both consumers (top-k pairs, kNN triangle census) — one copy
+    // serves both in the same session.
+    graft.Memo.cached(s"coaccessPairFrame:$maxDegree", spark, dir) {
+      coaccessPairFrameUncached(spark, dir, maxDegree)
+    }
+
+  private def coaccessPairFrameUncached(
       spark: SparkSession, dir: String, maxDegree: Int): DataFrame = {
     val s = spark
     import s.implicits._
@@ -643,16 +652,25 @@ object ThreatOps {
     * present), so no dangling-mass correction is needed.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val ur = activityLog(spark, dir)
-      .filter(col("resource").isNotNull && col("user_id").isNotNull)
-      .select(concat(lit("u"), col("user_id")).as("u"),
-        concat(lit("r"), col("resource")).as("r"))
-      .distinct()
-    val edges = ur.select(col("u").as("src"), col("r").as("dst"))
-      .unionAll(ur.select(col("r").as("src"), col("u").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // The loop-invariant graph structure (edges + degrees) is PINNED:
+    // without it each of the 3 iterations re-derives the distinct edge
+    // list from the raw log (17 parquet scans in the un-cached plan) —
+    // the iterative-algorithm equivalent of GraphX materializing its
+    // edge RDD. One cache keyed by (session, dir); Memo dedups across
+    // queries and unpersists deterministically.
+    val contribs = graft.Memo.cached("pagerankContribs", spark, dir) {
+      val ur = activityLog(spark, dir)
+        .filter(col("resource").isNotNull && col("user_id").isNotNull)
+        .select(concat(lit("u"), col("user_id")).as("u"),
+          concat(lit("r"), col("resource")).as("r"))
+        .distinct()
+      val edges = ur.select(col("u").as("src"), col("r").as("dst"))
+        .unionAll(ur.select(col("r").as("src"), col("u").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      edges.join(deg, "src") // degrees attach once
+    }
+    val deg = contribs.select(col("src"), col("d")).distinct()
     val n = deg.count() // one scalar to the driver: the node count
-    val contribs = edges.join(deg, "src") // degrees attach once
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / n).as("rank"))
     for (_ <- 1 to 3)
       ranks = contribs
@@ -687,9 +705,13 @@ object ThreatOps {
     val knn = directed
       .withColumn("rk", row_number().over(byStrength))
       .filter(col("rk") <= 3)
-    val und = knn
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .distinct()
+    // Pinned: the kNN edge set is self-joined THREE times below —
+    // uncached, each side re-runs the per-user rank window over the full
+    // directed pair frame.
+    val und = graft.Memo.cached("knnEdges", spark, dir) {
+      knn.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")).distinct()
+    }
     val tri = und.as("e1")
       .join(und.as("e2"), col("e1.b") === col("e2.a"))
       .join(und.as("e3"),
