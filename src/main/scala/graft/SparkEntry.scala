@@ -64,6 +64,7 @@ object SparkEntry {
     "q_histogram" -> (RelationalOps.qHistogram _),
     "q_ntile" -> (RelationalOps.qNtile _),
     "q_gap_fill" -> (RelationalOps.qGapFill _),
+    "q_time_rollup" -> (RelationalOps.qTimeRollup _),
     "q_set_ops" -> (RelationalOps.qSetOps _),
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_ann_lsh" -> (SimilarityOps.qAnnLsh _),
     "q_ann_ivf" -> (SimilarityOps.qAnnIvf _),
     "q_embed_stats" -> (SimilarityOps.qEmbedStats _),
+    "q_pq_codes" -> (SimilarityOps.qPqCodes _),
     // F. text analysis
     "q_lang_id" -> (TextOps.qLangId _),
     "q_quality_score" -> (TextOps.qQualityScore _),
@@ -815,6 +817,22 @@ object SparkEntry {
            ON b.user_id = a.user_id AND b.d >= a.d - 7 AND b.d < a.d
          GROUP BY a.user_id, a.d, a.n
          ORDER BY a.user_id, day""",
+    "q_time_rollup" ->
+      """SELECT
+           CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                WHEN GROUPING(w) = 0 THEN 'week' ELSE 'all' END AS grain,
+           coalesce(
+             CASE WHEN GROUPING(h) = 0 THEN strftime(h, '%Y-%m-%d %H:00') END,
+             CASE WHEN GROUPING(d) = 0 THEN strftime(d, '%Y-%m-%d') END,
+             CASE WHEN GROUPING(w) = 0 THEN strftime(w, '%Y-%m-%d') END,
+             'ALL') AS bucket,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                      date_trunc('week', ts) AS w, value
+               FROM events)
+         GROUP BY GROUPING SETS ((h), (d), (w), ())
+         ORDER BY grain, bucket""",
     "q_ntile" ->
       """WITH d AS (SELECT event_type, value,
            ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile

@@ -634,6 +634,33 @@ object RelationalOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Multi-grain time rollup: hour / day / week / grand totals of the
+    * event stream in ONE pass — GROUPING SETS over three date_trunc
+    * expressions, so the scan and partial aggregation happen once and
+    * the Expand emits one row per grain (4× the distinct buckets, not
+    * 4× the rows). The OLAP "time cube" every dashboard needs without
+    * re-scanning per grain; at 100 TB the single scan is the win.
+    */
+  def qTimeRollup(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events_tr")
+    spark.sql(
+      """SELECT
+           CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                WHEN grouping(w) = 0 THEN 'week' ELSE 'all' END AS grain,
+           coalesce(
+             CASE WHEN grouping(h) = 0 THEN date_format(h, 'yyyy-MM-dd HH:00') END,
+             CASE WHEN grouping(d) = 0 THEN date_format(d, 'yyyy-MM-dd') END,
+             CASE WHEN grouping(w) = 0 THEN date_format(w, 'yyyy-MM-dd') END,
+             'ALL') AS bucket,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                      date_trunc('week', ts) AS w, value
+               FROM events_tr)
+         GROUP BY GROUPING SETS ((h), (d), (w), ())
+         ORDER BY grain, bucket""")
+  }
+
   /** TPC-H Q7-style bilateral trade volume: revenue shipped between a
     * supplier nation and a customer nation, both directions, per ship
     * year. The nation table is broadcast onto BOTH supplier and customer

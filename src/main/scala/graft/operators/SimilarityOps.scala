@@ -183,4 +183,56 @@ object SimilarityOps {
         r4(max(col("norm"))).as("max_norm"))
       .orderBy(col("label"))
   }
+
+  /** Product-quantization geometry: subvector count × dims, codebook
+    * size. 64 float32 → 4 one-byte codes = 64× compression. */
+  val PqSub = 4
+  val PqDims = 16
+  val PqK = 16
+
+  /** Product quantization (Jégou 2011): split each embedding into
+    * [[PqSub]] subvectors, learn a seeded KMeans codebook per subspace,
+    * emit the per-vector code word + exact reconstruction error — the
+    * compressed-index path that makes billion-vector ANN fit in RAM
+    * (IVF picks the lists, PQ shrinks what's inside them). Codebooks are
+    * fit on a bounded deterministic id-range sample (same contract as
+    * [[qAnnIvf]]'s coarse quantizer); assignment + error are narrow
+    * projections against literal centroids — scan-speed at any corpus
+    * size, nothing but the tiny models on the driver.
+    */
+  def qPqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("pq_codes", spark, dir) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = embeddings(spark, dir)
+        .select(col("vec_id") +: (0 until PqSub).map(s =>
+          toDouble(slice(col("embedding"), s * PqDims + 1, PqDims)).as(s"sub_$s")): _*)
+      val sample = e.filter(col("vec_id") < 2000)
+      val codebooks = (0 until PqSub).map { s =>
+        new KMeans().setK(PqK).setSeed(42 + s)
+          .setFeaturesCol("fv").setPredictionCol("code")
+          .fit(sample.select(array_to_vector(col(s"sub_$s")).as("fv")))
+          .clusterCenters.map(_.toArray)
+      }
+      def dist2(vec: Column, c: Array[Double]): Column = {
+        val cc = array(c.map(lit): _*)
+        dotProd(vec, vec) - lit(2.0) * dotProd(vec, cc) + lit(c.map(x => x * x).sum)
+      }
+      // nearest code per subspace: argmin over the 16 literal centroids,
+      // evaluated as one sorted struct array (codegen'd dotProd inside)
+      def bestCode(vec: Column, cents: Array[Array[Double]]): Column =
+        array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+          struct(dist2(vec, c).as("d"), lit(i.toLong).as("i"))
+        }: _*)).getItem(0)
+      val coded = e.select(
+        col("vec_id") +: (0 until PqSub).map(s =>
+          bestCode(col(s"sub_$s"), codebooks(s)).as(s"best_$s")): _*)
+      coded.select(
+        col("vec_id") +:
+          (0 until PqSub).map(s => col(s"best_$s").getField("i").as(s"code_$s")) :+
+          // clamp: an exact centroid hit can go -1e-16 in float arithmetic
+          r4(greatest(lit(0.0), (0 until PqSub).map(s => col(s"best_$s").getField("d"))
+            .reduce(_ + _))).as("recon_err"): _*)
+        .orderBy(col("vec_id"))
+    }
 }

@@ -462,6 +462,55 @@ object EventStream {
     }
   }
 
+  /** CDC keep-last-write upsert sink: maintains a compacted parquet
+    * snapshot of the newest event per (user, resource) — the streaming
+    * twin of [[graft.operators.RelationalOps.qLatestSnapshot]], i.e. a
+    * MERGE INTO without a transactional table format. The snapshot is
+    * hash-bucketed on the key; each micro-batch (1) reduces itself to
+    * newest-per-key, (2) reads back ONLY the buckets it touches,
+    * (3) re-deduplicates old∪new, (4) dynamic-partition-OVERWRITES just
+    * those buckets — a Hudi-style copy-on-write upsert where work scales
+    * with touched buckets, not snapshot size. `localCheckpoint(eager)`
+    * materializes the merge BEFORE the overwrite so the job never reads
+    * the files it is replacing. Replayed batches rewrite identical
+    * content — idempotent. (With Delta/Iceberg available this becomes
+    * one MERGE INTO; the bucket math is what those formats do inside.)
+    */
+  def sinkCdcUpsert(events: DataFrame, path: String, checkpoint: String,
+      buckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("resource", get_json_object(col("props"), "$.k"))
+      .filter(col("resource").isNotNull)
+      .select(col("user_id"), col("resource"), col("ts"), col("event_id"),
+        col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.{Window => W}
+        val newestFirst = W.partitionBy(col("user_id"), col("resource"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def latest(df: DataFrame): DataFrame = df
+          .withColumn("rn", row_number().over(newestFirst))
+          .filter(col("rn") === 1).drop("rn")
+        val newest = latest(batch)
+          .withColumn("bucket", pmod(hash(col("user_id"), col("resource")), lit(buckets)))
+        val touched = newest.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ `buckets` small ints
+        val existing =
+          try spark.read.parquet(path).filter(col("bucket").isin(touched: _*))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            newest.limit(0) } // first batch: no snapshot yet
+        val merged = latest(existing.unionByName(newest))
+          .localCheckpoint(true) // materialize before overwriting the source
+        merged.write.mode("overwrite")
+          .partitionBy("bucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(path)
+      }
+      .start()
+
   /** Production sink for the windowed-counts stream: foreachBatch +
     * dynamic partition overwrite into parquet partitioned by
     * (window_date, window_ts). The partition key is the WINDOW itself:

@@ -173,6 +173,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 1L, 1L), (4L, 2L, 1L)))
   }
 
+  test("qPqCodes: valid code range, one row per vector, reconstruction beats random") {
+    val df = SimilarityOps.qPqCodes(spark, sf).cache()
+    assert(df.count() === Tables.embeddings(spark, sf).count())
+    for (s <- 0 until SimilarityOps.PqSub) {
+      assert(df.filter(col(s"code_$s") < 0 ||
+        col(s"code_$s") >= SimilarityOps.PqK).count() === 0)
+    }
+    assert(df.filter(col("recon_err") < 0).count() === 0)
+    // compression sanity: mean reconstruction error is well below the
+    // mean squared norm (a codebook that ignored the data would not be)
+    val meanErr = df.agg(avg("recon_err")).head.getDouble(0)
+    val meanSq = Tables.embeddings(spark, sf)
+      .select(graft.functions.VectorExpressions
+        .dotProd(graft.functions.TextFunctions.toDouble(col("embedding")),
+          graft.functions.TextFunctions.toDouble(col("embedding"))).as("sq"))
+      .agg(avg("sq")).head.getDouble(0)
+    assert(meanErr < meanSq * 0.9, s"meanErr=$meanErr meanSq=$meanSq")
+    df.unpersist()
+  }
+
   test("qEditDistance: exact-dup candidates at distance 0, similarity consistent") {
     val df = DedupOps.qEditDistance(spark, sf).cache()
     assert(df.count() > 0)

@@ -287,6 +287,32 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("sinkCdcUpsert maintains newest-per-key across batches, updates and replays") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft-cdc-${System.nanoTime()}"
+    val mem = MemoryStream[org.apache.spark.sql.Row](spark)(
+      org.apache.spark.sql.Encoders.row(Tables.events(spark, sf).schema))
+    // drive with the raw events schema (ts, props JSON payload)
+    def raw(id: Long, minutes: Long, user: Long, res: Int, value: Double) =
+      org.apache.spark.sql.Row(id, ts(minutes), user, "login", value, s"""{"k": $res}""")
+    val q = EventStream.sinkCdcUpsert(mem.toDF(), s"$dir/snap", s"$dir/ck")
+    try {
+      mem.addData(raw(1, 0, 7, 100, 1.0), raw(2, 10, 7, 100, 2.0), raw(3, 0, 8, 200, 3.0))
+      q.processAllAvailable()
+      // batch 2: update user 7's key, replay event 3, add a new key
+      mem.addData(raw(4, 20, 7, 100, 4.0), raw(3, 0, 8, 200, 3.0), raw(5, 5, 9, 300, 5.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$dir/snap")
+        .select("user_id", "resource", "event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(snap === Set(
+        (7L, "100", 4L, 4.0),  // updated to the newest write
+        (8L, "200", 3L, 3.0),  // replay did not duplicate
+        (9L, "300", 5L, 5.0)))
+    } finally q.stop()
+  }
+
   test("dedupEvents drops replayed event_ids within the watermark") {
     val s = spark
     import s.implicits._

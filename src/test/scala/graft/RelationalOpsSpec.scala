@@ -302,6 +302,24 @@ class RelationalOpsSpec extends SparkSpec {
     gs.unpersist()
   }
 
+  test("qTimeRollup: every grain conserves the event count, buckets nest") {
+    val df = RelationalOps.qTimeRollup(spark, sf).cache()
+    val total = Tables.events(spark, sf).count()
+    for (g <- Seq("hour", "day", "week")) {
+      assert(df.filter(col("grain") === g).agg(sum("n")).head.getLong(0) === total, g)
+    }
+    val all = df.filter(col("grain") === "all").collect()
+    assert(all.length === 1 && all(0).getAs[Long]("n") === total)
+    assert(all(0).getAs[String]("bucket") === "ALL")
+    // hours nest into days: hourly buckets per day sum to that day's n
+    val hourToDay = df.filter(col("grain") === "hour")
+      .groupBy(substring(col("bucket"), 1, 10).as("d")).agg(sum("n").as("hn"))
+    val days = df.filter(col("grain") === "day")
+      .select(col("bucket").as("d"), col("n"))
+    assert(hourToDay.join(days, "d").filter(col("hn") =!= col("n")).count() === 0)
+    df.unpersist()
+  }
+
   test("qNtile: 10 balanced monotone deciles per event type, mass conserved") {
     val rows = RelationalOps.qNtile(spark, sf).collect()
     val byType = rows.groupBy(_.getAs[String]("event_type"))
