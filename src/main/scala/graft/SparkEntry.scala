@@ -65,6 +65,7 @@ object SparkEntry {
     "q_ntile" -> (RelationalOps.qNtile _),
     "q_gap_fill" -> (RelationalOps.qGapFill _),
     "q_time_rollup" -> (RelationalOps.qTimeRollup _),
+    "q_dq_checks" -> (RelationalOps.qDqChecks _),
     "q_set_ops" -> (RelationalOps.qSetOps _),
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
@@ -817,6 +818,39 @@ object SparkEntry {
            ON b.user_id = a.user_id AND b.d >= a.d - 7 AND b.d < a.d
          GROUP BY a.user_id, a.d, a.n
          ORDER BY a.user_id, day""",
+    "q_dq_checks" ->
+      """SELECT * FROM (
+         SELECT 'events_rowcount' AS check_name,
+           round(count(*)::DOUBLE, 4) AS metric,
+           (count(*) > 0)::BIGINT AS passed FROM events
+         UNION ALL
+         SELECT 'events_user_null_rate',
+           round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4),
+           (sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) <= 0.01)::BIGINT
+           FROM events
+         UNION ALL
+         SELECT 'events_event_id_dups',
+           round((count(*) - count(DISTINCT event_id))::DOUBLE, 4),
+           (count(*) - count(DISTINCT event_id) = 0)::BIGINT FROM events
+         UNION ALL
+         SELECT 'events_value_negative',
+           round(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::DOUBLE, 4),
+           (sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0)::BIGINT FROM events
+         UNION ALL
+         SELECT 'events_span_days',
+           round((max(ts::DATE) - min(ts::DATE))::DOUBLE, 4),
+           (max(ts::DATE) - min(ts::DATE) >= 7)::BIGINT FROM events
+         UNION ALL
+         SELECT 'lineitem_orderkey_ri',
+           round(count(*)::DOUBLE, 4), (count(*) = 0)::BIGINT
+           FROM (SELECT DISTINCT l_orderkey FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         UNION ALL
+         SELECT 'orders_custkey_ri',
+           round(count(*)::DOUBLE, 4), (count(*) = 0)::BIGINT
+           FROM (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+         ORDER BY check_name""",
     "q_time_rollup" ->
       """SELECT
            CASE WHEN GROUPING(h) = 0 THEN 'hour'

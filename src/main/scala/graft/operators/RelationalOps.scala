@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -659,6 +659,48 @@ object RelationalOps {
                FROM events_tr)
          GROUP BY GROUPING SETS ((h), (d), (w), ())
          ORDER BY grain, bucket""")
+  }
+
+  /** Declarative data-quality suite (Deequ-style): completeness,
+    * uniqueness, range, span and referential-integrity checks evaluated
+    * as a UNION of tiny aggregates — each check is one scan-shaped
+    * aggregation (or an anti-join count for RI), so the whole suite
+    * costs a handful of map-side-combined passes and emits one row per
+    * check with the observed metric and a pass verdict. The gate a
+    * 100 TB ingest runs BEFORE publishing a partition.
+    */
+  def qDqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    def check(name: String, metricDf: DataFrame, pass: Column => Column): DataFrame =
+      metricDf.select(lit(name).as("check_name"), r4(col("metric")).as("metric"),
+        pass(col("metric")).cast("long").as("passed"))
+    val rowcount = check("events_rowcount",
+      e.agg(count(lit(1)).cast("double").as("metric")), _ > 0)
+    val nullRate = check("events_user_null_rate",
+      e.agg((sum(when(col("user_id").isNull, 1).otherwise(0)).cast("double")
+        / count(lit(1))).as("metric")), _ <= 0.01)
+    val dupIds = check("events_event_id_dups",
+      e.agg((count(lit(1)) - countDistinct(col("event_id"))).cast("double").as("metric")),
+      _ === 0)
+    val negValues = check("events_value_negative",
+      e.agg(sum(when(col("value") < 0, 1).otherwise(0)).cast("double").as("metric")),
+      _ === 0)
+    val span = check("events_span_days",
+      e.agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("metric")), _ >= 7)
+    val liRi = check("lineitem_orderkey_ri",
+      lineitem(spark, dir).select(col("l_orderkey")).distinct()
+        .join(orders(spark, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast("double").as("metric")), _ === 0)
+    val ordRi = check("orders_custkey_ri",
+      orders(spark, dir).select(col("o_custkey")).distinct()
+        .join(customer(spark, dir).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).cast("double").as("metric")), _ === 0)
+    Seq(rowcount, nullRate, dupIds, negValues, span, liRi, ordRi)
+      .reduce(_ unionByName _)
+      .orderBy(col("check_name"))
   }
 
   /** TPC-H Q7-style bilateral trade volume: revenue shipped between a

@@ -302,6 +302,39 @@ class RelationalOpsSpec extends SparkSpec {
     gs.unpersist()
   }
 
+  test("qDqChecks passes on the clean fixture and fails the right checks on poisoned data") {
+    val clean = RelationalOps.qDqChecks(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("passed")).toMap
+    assert(clean.size === 7 && clean.values.forall(_ === 1L), s"clean fixture: $clean")
+
+    // poisoned fixture: duplicate event_id, negative value, orphan
+    // lineitem order key, orphan order cust key, 2-day span
+    val s = spark; import s.implicits._
+    val tmp = s"/tmp/graft-dq-${System.nanoTime()}"
+    // ts as raw NANOS longs — the shape Tables.events expects on disk
+    val day = 86400L * 1000000000L
+    Seq(
+      (1L, day, 7L, "login", 1.0, """{"k": 1}"""),
+      (1L, 3 * day, 8L, "login", -2.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    Seq((10L, 99L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((11L, 1.0)).toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, "x")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val bad = RelationalOps.qDqChecks(spark, tmp).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("passed")).toMap
+    assert(bad("events_rowcount") === 1L)
+    assert(bad("events_user_null_rate") === 1L)
+    assert(bad("events_event_id_dups") === 0L)
+    assert(bad("events_value_negative") === 0L)
+    assert(bad("events_span_days") === 0L)
+    assert(bad("lineitem_orderkey_ri") === 0L)
+    assert(bad("orders_custkey_ri") === 0L)
+  }
+
   test("qTimeRollup: every grain conserves the event count, buckets nest") {
     val df = RelationalOps.qTimeRollup(spark, sf).cache()
     val total = Tables.events(spark, sf).count()
