@@ -184,23 +184,30 @@ object DedupOps {
     * fingerprint per doc instead of 12 minhashes, cheaper to compute and
     * store; recall is band-blocking-bounded rather than LSH-tunable.
     */
-  def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(spark, dir)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimhashBands).map(b =>
-        concat(lit(s"$b:"),
-          shiftright(col("simhash"), b * SimhashBandBits)
-            .bitwiseAND(lit((1L << SimhashBandBits) - 1)).cast("string"))): _*))
-        .as("band"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= HammingMax)
+  def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-  }
+
+  /** Unordered verified SimHash pairs, pinned per (session, dir): the
+    * band self-join + distinct is the expensive half of both consumers
+    * (the pairs query, the edit-distance verification). */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("simhashPairs", spark, dir) {
+      val sig = simhashSig(spark, dir)
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimhashBands).map(b =>
+          concat(lit(s"$b:"),
+            shiftright(col("simhash"), b * SimhashBandBits)
+              .bitwiseAND(lit((1L << SimhashBandBits) - 1)).cast("string"))): _*))
+          .as("band"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HammingMax)
+    }
 
   /** Jaccard threshold above which a verified candidate pair is an edge
     * of the near-duplicate graph ([[qDedupClusters]]). */
@@ -290,15 +297,21 @@ object DedupOps {
   def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    qDedupSimhashPairs(spark, dir)
+    simhashPairs(spark, dir)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
         col("len").as("la")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
         col("len").as("lb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("hamming"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"),
-        r4(lit(1.0) - levenshtein(col("ta"), col("tb"))
-          .cast("double") / greatest(col("la"), col("lb"))).as("similarity"))
+      // The candidate frame is KB-sized, so AQE's size-based coalescing
+      // would run every O(len²) distance on ONE task — pin the width to
+      // the session parallelism before the expensive projection (CPU
+      // cost here scales with rows·len², not bytes).
+      .repartition(spark.sparkContext.defaultParallelism)
+      // named column so the O(len²) distance is evaluated ONCE per pair
+      .withColumn("edit_distance", levenshtein(col("ta"), col("tb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_distance"),
+        r4(lit(1.0) - col("edit_distance").cast("double")
+          / greatest(col("la"), col("lb"))).as("similarity"))
       .orderBy(col("edit_distance"), col("doc_a"), col("doc_b"))
       .limit(50)
   }
