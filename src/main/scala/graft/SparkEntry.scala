@@ -66,6 +66,8 @@ object SparkEntry {
     "q_gap_fill" -> (RelationalOps.qGapFill _),
     "q_time_rollup" -> (RelationalOps.qTimeRollup _),
     "q_dq_checks" -> (RelationalOps.qDqChecks _),
+    "q_rank_fns" -> (RelationalOps.qRankFns _),
+    "q_purchase_gaps" -> (RelationalOps.qPurchaseGaps _),
     "q_set_ops" -> (RelationalOps.qSetOps _),
     "q_min_by_group" -> (RelationalOps.qMinByGroup _),
     "q_moving_avg" -> (RelationalOps.qMovingAvg _),
@@ -818,6 +820,30 @@ object SparkEntry {
            ON b.user_id = a.user_id AND b.d >= a.d - 7 AND b.d < a.d
          GROUP BY a.user_id, a.d, a.n
          ORDER BY a.user_id, day""",
+    "q_rank_fns" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id,
+           round(value, 4) AS value, CAST(rnk AS BIGINT) AS rnk,
+           CAST(dense_rnk AS BIGINT) AS dense_rnk,
+           round(pct_rank, 4) AS pct_rank, round(cume, 4) AS cume
+         FROM (
+           SELECT event_type, event_id, value,
+             rank() OVER w AS rnk, dense_rank() OVER w AS dense_rnk,
+             percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume,
+             row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
+         WHERE rn <= 5 ORDER BY event_type, rn""",
+    "q_purchase_gaps" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+             floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
+               - floor(epoch(ts))::BIGINT AS gap_s
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id, count(*) AS n_purchases,
+           count(gap_s) AS n_gaps,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           max(gap_s) AS max_gap_s, min(gap_s) AS min_gap_s
+         FROM p GROUP BY user_id ORDER BY user_id""",
     "q_dq_checks" ->
       """SELECT * FROM (
          SELECT 'events_rowcount' AS check_name,

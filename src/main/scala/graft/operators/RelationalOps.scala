@@ -661,6 +661,52 @@ object RelationalOps {
          ORDER BY grain, bucket""")
   }
 
+  /** The full rank-function family in one pass: rank, dense_rank,
+    * percent_rank, cume_dist over the same per-type value ordering —
+    * they share ONE window sort (Catalyst evaluates all four in a single
+    * Window operator), so adding functions costs nothing beyond the
+    * per-type shuffle the first one pays. Top-5 per type by value.
+    */
+  def qRankFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", r4(percent_rank().over(w)))
+      .withColumn("cume", r4(cume_dist().over(w)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("rn").cast("long").as("rn"), col("event_id"),
+        r4(col("value")).as("value"), col("rnk"), col("dense_rnk"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** Inter-purchase gap analysis: per user, the gap to the NEXT purchase
+    * via `lead` over the purchase sub-stream, rolled up to per-user
+    * cadence stats — the repeat-behavior primitive behind churn and
+    * frequency models. The purchase filter prunes the scan BEFORE the
+    * window shuffle; one window + one aggregation, both keyed by user.
+    */
+  def qPurchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        unix_timestamp(lead(col("ts"), 1).over(byTs)) - unix_timestamp(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("gap_s")).as("n_gaps"),
+        r4(avg(col("gap_s"))).as("avg_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        min(col("gap_s")).as("min_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
   /** Declarative data-quality suite (Deequ-style): completeness,
     * uniqueness, range, span and referential-integrity checks evaluated
     * as a UNION of tiny aggregates — each check is one scan-shaped

@@ -302,6 +302,33 @@ class RelationalOpsSpec extends SparkSpec {
     gs.unpersist()
   }
 
+  test("qRankFns: rank family internally consistent on every emitted row") {
+    val rows = RelationalOps.qRankFns(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rn, rnk, dense) =
+        (r.getAs[Long]("rn"), r.getAs[Long]("rnk"), r.getAs[Long]("dense_rnk"))
+      assert(rnk <= rn)          // rank never exceeds row_number
+      assert(dense <= rnk)       // dense_rank never exceeds rank
+      val pct = r.getAs[Double]("pct_rank"); val cume = r.getAs[Double]("cume")
+      assert(pct >= 0 && pct <= 1 && cume > 0 && cume <= 1)
+      assert(pct <= cume + 1e-9) // percent_rank < cume_dist always
+    }
+  }
+
+  test("qPurchaseGaps: gap count is purchases-1, bounds ordered") {
+    val df = RelationalOps.qPurchaseGaps(spark, sf).cache()
+    assert(df.filter(col("n_gaps") =!= col("n_purchases") - 1).count() === 0)
+    assert(df.filter(col("n_gaps") > 0 &&
+      (col("min_gap_s") > col("max_gap_s") ||
+       col("avg_gap_s") < col("min_gap_s") - 1e-9 ||
+       col("avg_gap_s") > col("max_gap_s") + 1e-9)).count() === 0)
+    val users = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(df.count() === users)
+    df.unpersist()
+  }
+
   test("qDqChecks passes on the clean fixture and fails the right checks on poisoned data") {
     val clean = RelationalOps.qDqChecks(spark, sf).collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("passed")).toMap
