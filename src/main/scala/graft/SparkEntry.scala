@@ -34,6 +34,7 @@ object SparkEntry {
     "q_sketch_rollup" -> (ThreatOps.qSketchRollup _),
     "q_cusum_drift" -> (ThreatOps.qCusumDrift _),
     "q_seasonal_baseline" -> (ThreatOps.qSeasonalBaseline _),
+    "q_autocorr" -> (ThreatOps.qAutocorr _),
     "q_pagerank" -> (ThreatOps.qPagerank _),
     "q_knn_triangles" -> (ThreatOps.qKnnTriangles _),
     "q_sketch_setops" -> (ThreatOps.qSketchSetops _),
@@ -76,13 +77,23 @@ object SparkEntry {
     "q_full_outer" -> (RelationalOps.qFullOuter _),
     "q_unpivot" -> (RelationalOps.qUnpivot _),
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
+    "q_weekly_retention" -> (RelationalOps.qWeeklyRetention _),
+    "q_rfm" -> (RelationalOps.qRfm _),
+    "q6_forecast" -> (RelationalOps.q6Forecast _),
     "q7_volume" -> (RelationalOps.q7Volume _),
+    "q8_marketshare" -> (RelationalOps.q8MarketShare _),
+    "q9_profit" -> (RelationalOps.q9Profit _),
     "q10_returns" -> (RelationalOps.q10Returns _),
+    "q11_important" -> (RelationalOps.q11Important _),
+    "q12_priority" -> (RelationalOps.q12Priority _),
     "q13_distribution" -> (RelationalOps.q13Distribution _),
     "q15_top_supplier" -> (RelationalOps.q15TopSupplier _),
+    "q16_supplier_cnt" -> (RelationalOps.q16SupplierCnt _),
     "q17_small_qty" -> (RelationalOps.q17SmallQty _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q19_disjunct" -> (RelationalOps.q19Disjunct _),
+    "q20_promotion" -> (RelationalOps.q20Promotion _),
+    "q21_waiting" -> (RelationalOps.q21Waiting _),
     "q22_dormant" -> (RelationalOps.q22Dormant _),
     "q_bloom_join" -> (BloomOps.qBloomJoin _),
     "q_heavy_hitters" -> (HeavyHitters.qHeavyHitters _),
@@ -102,6 +113,7 @@ object SparkEntry {
     "q_ann_brute" -> (SimilarityOps.qAnnBrute _),
     "q_ann_lsh" -> (SimilarityOps.qAnnLsh _),
     "q_ann_ivf" -> (SimilarityOps.qAnnIvf _),
+    "q_ann_ivfpq" -> (SimilarityOps.qAnnIvfPq _),
     "q_embed_stats" -> (SimilarityOps.qEmbedStats _),
     "q_pq_codes" -> (SimilarityOps.qPqCodes _),
     // F. text analysis
@@ -117,6 +129,7 @@ object SparkEntry {
     "q_corpus_filter" -> (TextOps.qCorpusFilter _),
     "q_redact" -> (TextOps.qRedact _),
     "q_vocab" -> (TextOps.qVocab _),
+    "q_unigram_surprisal" -> (TextOps.qUnigramSurprisal _),
     "q_det_sample" -> (TextOps.qDetSample _),
     "q_cooccurrence" -> (TextOps.qCooccurrence _),
     // F. multimodal plumbing
@@ -125,6 +138,7 @@ object SparkEntry {
     // D. anomaly detection
     "q_zscore_anomaly" -> (MLOps.qZscoreAnomaly _),
     "q_quantile_outlier" -> (MLOps.qQuantileOutlier _),
+    "q_mad_outlier" -> (MLOps.qMadOutlier _),
     "q_eval_metrics" -> (MLOps.qEvalMetrics _),
     "q_kmeans_anomaly" -> (MLOps.qKmeansAnomaly _),
     "q_pca_project" -> (MLOps.qPcaProject _),
@@ -661,6 +675,19 @@ object SparkEntry {
           tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2)
           SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
           FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+    "q_unigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest(t) AS term
+            FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          ctf AS (SELECT term AS cterm, CAST(sum(tf) AS BIGINT) AS ctf
+                  FROM tf GROUP BY 1),
+          norm AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_tokens,
+                     CAST(count(*) AS BIGINT) AS v_size FROM ctf)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            round(sum(-tf * ln((ctf + 1.0)/(t_tokens + v_size)))/sum(tf), 4)
+              AS surprisal
+          FROM tf JOIN ctf ON term = cterm CROSS JOIN norm
+          GROUP BY doc_id ORDER BY doc_id""",
     "q_cooccurrence" ->
       s"""WITH tok AS (SELECT $tokSql AS t FROM documents),
           ps AS (
@@ -710,6 +737,139 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""",
+    "q_autocorr" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type, lag, a.c AS x, b.c AS y
+           FROM daily a
+           CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+           JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - CAST(lag AS INTEGER)),
+         stats AS (
+           SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM pairs GROUP BY 1, 2)
+         SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                 AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                          * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+           END AS acf
+         FROM stats ORDER BY event_type, lag""",
+    "q_mad_outlier" ->
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         med AS (SELECT event_type AS met, quantile_cont(value, 0.5) AS med
+                 FROM ev GROUP BY 1),
+         dev AS (SELECT event_type, abs(value - med) AS adev, med
+                 FROM ev JOIN med ON event_type = met),
+         mad AS (SELECT event_type AS aet, quantile_cont(adev, 0.5) AS mad
+                 FROM dev GROUP BY 1)
+         SELECT event_type, round(any_value(med), 4) AS median_value,
+           round(any_value(mad), 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev JOIN mad ON event_type = aet
+         GROUP BY event_type ORDER BY event_type""",
+    "q_weekly_retention" ->
+      """WITH fw AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY 1),
+         cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+                FROM fw GROUP BY 1),
+         aw AS (SELECT DISTINCT user_id AS au, date_trunc('week', ts) AS w
+                FROM events),
+         cells AS (
+           SELECT cohort, date_diff('day', cohort, w) // 7 AS week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+           FROM aw JOIN fw ON au = user_id
+           GROUP BY 1, 2)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset, active_users, cohort_size,
+           round(active_users::DOUBLE / cohort_size::DOUBLE, 4) AS retention
+         FROM cells JOIN cs USING (cohort)
+         ORDER BY cohort_week, week_offset""",
+    "q_rfm" ->
+      """WITH purch AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         rfm AS (
+           SELECT user_id, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 2) AS monetary
+           FROM purch GROUP BY 1),
+         scored AS (
+           SELECT user_id,
+             CAST(date_diff('day', last_ts, (SELECT max(ts) FROM purch)) AS BIGINT) AS recency_days,
+             frequency, monetary FROM rfm)
+         SELECT user_id, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+             || CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS VARCHAR)
+             || CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS VARCHAR) AS segment
+         FROM scored ORDER BY user_id""",
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)), 2)::DOUBLE AS revenue,
+           count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q8_marketshare" ->
+      """SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0::DECIMAL(12,2) END)::DOUBLE
+                 / sum(volume)::DOUBLE, 4) AS mkt_share
+         FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                 l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2)) AS volume,
+                 sn.n_name AS supp_nation
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation cn ON c_nationkey = cn.n_nationkey
+               JOIN region ON cn.n_regionkey = r_regionkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation sn ON s_nationkey = sn.n_nationkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                 AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01')
+         GROUP BY o_year ORDER BY o_year""",
+    "q9_profit" ->
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
+             - 0.6::DECIMAL(2,1) * p_retailprice::DECIMAL(12,2) * l_quantity::DECIMAL(4,0)), 2)::DOUBLE AS profit
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_type = 'STANDARD'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q11_important" ->
+      """WITH pv AS (
+           SELECT l_partkey,
+             sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS val_dec
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_regionkey = 3
+           GROUP BY 1)
+         SELECT l_partkey AS p_partkey, round(val_dec, 2)::DOUBLE AS value
+         FROM pv
+         WHERE val_dec::DOUBLE > (SELECT sum(val_dec)::DOUBLE * 0.0008 FROM pv)
+         ORDER BY value DESC, p_partkey""",
+    "q12_priority" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
@@ -754,6 +914,47 @@ object SparkEntry {
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
          ORDER BY s_suppkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+           AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_promotion" ->
+      """WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+         li AS (SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+                FROM lineitem JOIN promo ON l_partkey = p_partkey),
+         shipped96 AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS q96
+                       FROM li WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                       GROUP BY 1, 2),
+         tot AS (SELECT l_partkey AS pk, sum(l_quantity) AS qall FROM li GROUP BY 1),
+         qual AS (SELECT DISTINCT l_suppkey FROM shipped96
+                  JOIN tot ON l_partkey = pk WHERE q96 > qall * 0.06)
+         SELECT s_suppkey, s_name
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_regionkey = 2 AND s_suppkey IN (SELECT l_suppkey FROM qual)
+         ORDER BY s_suppkey""",
+    "q21_waiting" ->
+      """WITH per_order AS (
+           SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+                                 THEN l_suppkey END) AS n_late,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+                      THEN l_suppkey END) AS late_supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, numwait FROM (
+           SELECT late_supp, count(*) AS numwait
+           FROM per_order WHERE n_supp >= 2 AND n_late = 1
+           GROUP BY 1) w
+         JOIN supplier ON late_supp = s_suppkey
+         ORDER BY numwait DESC, s_suppkey LIMIT 20""",
     "q17_small_qty" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
          FROM lineitem

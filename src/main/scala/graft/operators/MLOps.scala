@@ -383,4 +383,34 @@ object MLOps {
           col("prediction").cast("int") + 1)).as("prob"))
       .orderBy("vec_id")
   }
+
+  /** Robust per-type value outliers via median absolute deviation — the
+    * heavy-tail-proof alternative to [[qZscoreAnomaly]] (one planted
+    * extreme value shifts a mean and explodes a stddev, but moves neither
+    * median). Two exact-percentile aggregations (median, then median of
+    * |v − median|), each a single event_type-keyed shuffle with the tiny
+    * per-type result broadcast back; the outlier gate is the standard
+    * 3σ-equivalent `|v − med| > 3 × 1.4826 × MAD`. Exact percentile keeps
+    * the oracle bit-identical (DuckDB quantile_cont interpolates the same
+    * way); at 100 TB the swap is approx_percentile, same shape
+    * (q_percentiles_approx demonstrates the bound).
+    */
+  def qMadOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val med = ev.groupBy(col("event_type").as("met"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), col("event_type") === col("met"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type").as("aet"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), col("event_type") === col("aet"))
+      .groupBy(col("event_type"))
+      .agg(r4(first(col("med"))).as("median_value"),
+        r4(first(col("mad"))).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -958,4 +958,314 @@ object RelationalOps {
       .agg(count(lit(1)).as("numcust"), r2(sum(col("c_acctbal"))).as("totacctbal"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Exact-decimal `extendedprice × (1 − discount)` term: price (2 dp) and
+    * discount (2 dp) are exact decimals, so the 4-dp product — and any sum
+    * of it — is bit-identical under every partitioning and engine. The
+    * double path would land sums on half-cent rounding boundaries.
+    */
+  private def revDec: Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+
+  /** TPC-H Q6-style forecast-revenue-change: one filtered scalar aggregate
+    * over lineitem, no join at all. The whole point is pushdown: the date
+    * range, discount band, and quantity cap all reach the parquet scan as
+    * PushedFilters, so at 100 TB the scan skips row groups on footer
+    * stats and the aggregate sees only qualifying pages. Discount values
+    * are 2-dp-exact doubles, so the BETWEEN boundaries are engine-stable.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(4,2)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8-style national market share: the fraction of ASIA-region
+    * promo-part revenue supplied by NATION_7, per order year. Every
+    * dimension (region→nation→customer key set, promo part keys, supplier
+    * nation names) broadcasts; the only shuffle join is lineitem⋈orders on
+    * orderkey. The share is a conditional-sum ÷ total-sum over the SAME
+    * aggregated row — one pass, no self-join of the aggregate. Sums are
+    * exact decimals cast to double before the division so the 4-dp
+    * rounding is engine-stable.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNationKeys = nation(spark, dir)
+      .join(broadcast(region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val asiaCust = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(asiaNationKeys), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_year"))
+    val promoParts = part(spark, dir).filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val suppNation = supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revDec.as("volume"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_7", col("volume"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(col("volume")).cast("double"), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-style product-type profit by nation and year. The synthetic
+    * schema has no partsupp/ps_supplycost, so cost is the stand-in
+    * `0.6 × p_retailprice × l_quantity` — the SHAPE is what matters: a
+    * five-table star join where every dimension (part subset with its
+    * price, supplier→nation) broadcasts and the single shuffle join is
+    * lineitem⋈orders, followed by a tiny (nation × year) aggregate. All
+    * profit arithmetic is exact decimal (2-dp prices, 2-dp discounts,
+    * integral quantities), so the per-group sums hash identically.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val stdParts = part(spark, dir).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount = revDec -
+      lit(0.6).cast("decimal(2,1)") * col("p_retailprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(4,0)")
+    lineitem(spark, dir)
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("n_name").as("nation"), amount.as("amount"))
+      .join(orders(spark, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(round(sum(col("amount")), 2).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-style important-part concentration: parts whose
+    * EUROPE-supplied revenue exceeds a fraction of the total (no partsupp
+    * table, so lineitem revenue plays ps_supplycost×availqty). The scalar
+    * threshold comes from re-aggregating the SMALL per-part frame — the
+    * big input is scanned once; the one-row total broadcasts back as a
+    * cross-join filter, the Q11 HAVING-scalar-subquery decorrelation.
+    * Per-part sums are exact decimals; both the value and the threshold
+    * are cast to double before the compare so the boundary is
+    * engine-stable.
+    */
+  def q11Important(spark: SparkSession, dir: String): DataFrame = {
+    val eurSupp = supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation(spark, dir).filter(col("n_regionkey") === 3)
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), revDec.as("rev"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev")).as("val_dec"))
+    val thresh = perPart
+      .agg((sum(col("val_dec")).cast("double") * 0.0008).as("thresh"))
+    perPart.join(broadcast(thresh))
+      .filter(col("val_dec").cast("double") > col("thresh"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("val_dec"), 2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12-style late-shipment priority split (no l_shipmode column;
+    * l_returnflag plays the mode axis): for lines shipped >90 days after
+    * their order date during 1996, how many belonged to high- vs
+    * low-priority orders. The ship-year range prunes the lineitem scan;
+    * the date-lag predicate needs both sides so it runs post-join; counts
+    * are conditional sums in ONE aggregate — the classic
+    * shuffle-join + pivot-free conditional-count shape.
+    */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q16-style supplier-relationship count: distinct suppliers per
+    * (brand, type, size) bucket, excluding one brand, one type, and the
+    * "complaint" suppliers (negative balance stands in for the comment
+    * LIKE). The distinct (partkey, suppkey) projection reconstructs
+    * partsupp from lineitem in one shuffle — but only AFTER the broadcast
+    * part filter prunes it, so the dedup shuffle carries the qualifying
+    * slice, not the full fact table. Exclusion is a broadcast LEFT ANTI
+    * (never NOT IN's null traps); the final count-distinct groups on the
+    * tiny (brand, type, size) space.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val parts = part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaints = supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20-style excess-shipment suppliers (no partsupp/availqty:
+    * "held excess stock" becomes "shipped >6% of a promo part's all-time
+    * volume in 1996 alone"). Both aggregates come off ONE broadcast-pruned
+    * lineitem slice, join partkey-to-partkey (co-partitioned shuffle), and
+    * the qualifying supplier keys collapse to a distinct set that
+    * semi-joins the supplier dimension — the nested-IN-subquery chain of
+    * the reference formulation, decorrelated into aggregates + semi join.
+    * Quantity sums are integral doubles (exact), so the 0.06 threshold
+    * compare is engine-stable.
+    */
+  def q20Promotion(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = part(spark, dir).filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val li = lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_shipdate"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+    val shipped96 = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q96"))
+    val total = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("qall"))
+    val qualSupp = shipped96.join(total, col("l_partkey") === col("pk"))
+      .filter(col("q96") > col("qall") * 0.06)
+      .select(col("l_suppkey")).distinct()
+    supplier(spark, dir).select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(broadcast(nation(spark, dir).filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(qualSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21-style suppliers-who-kept-orders-waiting: for finished
+    * orders with ≥2 suppliers, count per supplier the orders where it was
+    * the ONLY supplier shipping late (>100 days after the order date —
+    * the schema has no commit/receipt dates). The reference's
+    * EXISTS/NOT-EXISTS self-join pair is re-expressed as ONE per-order
+    * aggregate: distinct-supplier count, distinct-LATE-supplier count, and
+    * (when exactly one) that supplier's key via max(when(late, supp)) —
+    * the join and the aggregate share the orderkey partitioning, so
+    * lineitem is scanned once and never self-joined. numwait counts
+    * qualifying ORDERS (distinct, not raw late lines).
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val isLate = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS")
+    val perOrder = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders(spark, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(isLate, col("l_suppkey"))).as("n_late"),
+        max(when(isLate, col("l_suppkey"))).as("late_supp"))
+    perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Weekly cohort retention: users grouped by first-activity week, and
+    * for each (cohort, weeks-since) cell the share still active — the
+    * product-analytics triangle chart. Three aggregations, all keyed by
+    * user or cohort: first-week per user (one shuffle), the distinct
+    * (user, active-week) grid (pre-shrunk BEFORE the cohort join so the
+    * join carries user-weeks, not raw events), and the final tiny
+    * (cohort, offset) count-distinct. Offsets are exact integer day
+    * differences ÷ 7 (both engines truncate weeks to Monday, so the
+    * difference is always a multiple of 7). Retention divides two exact
+    * longs → engine-stable 4-dp double.
+    */
+  def qWeeklyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val firstWeek = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val cohortSize = firstWeek.groupBy(col("cohort").as("cs_cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val activeWeeks = events(spark, dir)
+      .select(col("user_id").as("au"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    activeWeeks
+      .join(firstWeek, col("au") === col("user_id"))
+      .withColumn("week_offset", (datediff(col("w"), col("cohort")) / 7).cast("long"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(cohortSize), col("cohort") === col("cs_cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size").cast("double"), 4)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** RFM segmentation: per purchasing user, recency (days since the
+    * corpus's last purchase), frequency, and monetary value, each bucketed
+    * into quintiles — the classic customer-value grid. One user-keyed
+    * aggregation builds the metric frame; the global max-timestamp is a
+    * one-row broadcast. Scores use ntile(5) with a full deterministic
+    * ORDER BY (metric, then user_id) so bucket boundaries are
+    * engine-stable; higher bucket = higher metric, so r_score 1 = most
+    * recent. The global ntile sorts |users| rows on one node — exact
+    * quantile semantics demand it; at 100 TB the swap is approx_percentile
+    * cutoffs (the q_ntile/q_percentiles_approx pair demonstrates both
+    * sides of that trade).
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val purch = events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+    val maxTs = purch.agg(max(col("ts")).as("corpus_max"))
+    val rfm = purch.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+        r2(sum(col("value"))).as("monetary"))
+      .join(broadcast(maxTs))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_ts")).cast("long"))
+    val byR = Window.orderBy(col("recency_days"), col("user_id"))
+    val byF = Window.orderBy(col("frequency"), col("user_id"))
+    val byM = Window.orderBy(col("monetary"), col("user_id"))
+    rfm
+      .withColumn("r_score", ntile(5).over(byR).cast("long"))
+      .withColumn("f_score", ntile(5).over(byF).cast("long"))
+      .withColumn("m_score", ntile(5).over(byM).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -190,6 +190,83 @@ object SimilarityOps {
   val PqDims = 16
   val PqK = 16
 
+  /** IVF + PQ asymmetric-distance search (the composed billion-vector ANN
+    * architecture: IVF picks which inverted lists to visit, PQ makes the
+    * in-list scan read 4 bytes per vector instead of 256): probes search
+    * their `nprobe` closest lists, rank candidates by PQ asymmetric
+    * distance (per-probe lookup table of probe-subvector→centroid
+    * distances, summed via element_at over the 4 stored codes — the ADC
+    * trick), shortlist 4×k, then re-rank ONLY the shortlist with exact
+    * cosine. At corpus scale the exact re-rank touches 4k vectors per
+    * probe no matter how big the lists are; everything upstream of it is
+    * a narrow codegen projection + one broadcast join. Seeded fits →
+    * rows-only; the spec asserts a recall floor vs [[qAnnBrute]].
+    */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("ann_ivfpq", spark, dir) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val k = 16; val nprobe = 4; val shortlist = 4 * TopK
+      val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val withSubs = base.select(col("vec_id") +: col("embedding") +:
+        (0 until PqSub).map(s =>
+          toDouble(slice(col("embedding"), s * PqDims + 1, PqDims)).as(s"sub_$s")): _*)
+      val sample = withSubs.filter(col("vec_id") < 2000)
+      // coarse quantizer (same contract as qAnnIvf) + per-subspace codebooks
+      // (same seeds as qPqCodes, so the two indexes would share storage)
+      val coarse = new KMeans().setK(k).setSeed(42)
+        .setFeaturesCol("fv").setPredictionCol("list_id")
+        .fit(sample.select(array_to_vector(toDouble(col("embedding"))).as("fv")))
+        .clusterCenters.map(_.toArray)
+      val codebooks = (0 until PqSub).map { s =>
+        new KMeans().setK(PqK).setSeed(42 + s)
+          .setFeaturesCol("fv").setPredictionCol("code")
+          .fit(sample.select(array_to_vector(col(s"sub_$s")).as("fv")))
+          .clusterCenters.map(_.toArray)
+      }
+      def dist2(vec: Column, c: Array[Double]): Column = {
+        val cc = array(c.map(lit): _*)
+        dotProd(vec, vec) - lit(2.0) * dotProd(vec, cc) + lit(c.map(x => x * x).sum)
+      }
+      def nearestLists(vec: Column, n: Int): Column =
+        slice(transform(array_sort(array(coarse.zipWithIndex.map { case (c, i) =>
+          struct(dist2(vec, c).as("d"), lit(i).as("i"))
+        }: _*)), s => s.getField("i")), 1, n)
+      def bestCode(vec: Column, cents: Array[Array[Double]]): Column =
+        array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+          struct(dist2(vec, c).as("d"), lit(i.toLong).as("i"))
+        }: _*)).getItem(0).getField("i")
+      // stored index: list id + 4 one-byte codes per vector (narrow)
+      val indexed = withSubs.select(
+        col("vec_id") +: col("embedding") +:
+          nearestLists(col("embedding"), 1).getItem(0).as("list_id") +:
+          (0 until PqSub).map(s => bestCode(col(s"sub_$s"), codebooks(s)).as(s"code_$s")): _*)
+      // per-probe ADC lookup tables: distance from the probe's subvector
+      // to each of the 16 centroids, one 16-float array per subspace
+      val probes = withSubs.filter(col("vec_id") < ProbeCount)
+        .select(col("vec_id").as("probe_id") +: col("embedding").as("probe_emb") +:
+          explode(nearestLists(col("embedding"), nprobe)).as("list_id") +:
+          (0 until PqSub).map(s =>
+            array(codebooks(s).map(c => dist2(col(s"sub_$s"), c)): _*).as(s"adc_$s")): _*)
+      val approxDist = (0 until PqSub).map(s =>
+        element_at(col(s"adc_$s"), col(s"code_$s").cast("int") + 1)).reduce(_ + _)
+      val wApprox = Window.partitionBy(col("probe_id"))
+        .orderBy(col("approx_dist").asc, col("vec_id").asc)
+      val wExact = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      indexed.join(broadcast(probes), Seq("list_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("probe_emb"), col("embedding"),
+          approxDist.as("approx_dist"))
+        .withColumn("pq_rank", row_number().over(wApprox))
+        .filter(col("pq_rank") <= shortlist)
+        .select(col("probe_id"), col("vec_id"),
+          r4(cosineSim(col("probe_emb"), col("embedding"))).as("cos"))
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter(col("rank") <= TopK)
+        .orderBy(col("probe_id"), col("rank"))
+    }
+
   /** Product quantization (Jégou 2011): split each embedding into
     * [[PqSub]] subvectors, learn a seeded KMeans codebook per subspace,
     * emit the per-vector code word + exact reconstruction error — the

@@ -302,6 +302,32 @@ object TextOps {
       .orderBy(col("df").desc, col("term").asc)
       .limit(50)
 
+  /** Per-document unigram surprisal under the corpus's own add-one-
+    * smoothed language model: mean −ln p(term) per token, where
+    * p(term) = (ctf + 1)/(T + V) — the KenLM-perplexity-filter stand-in
+    * (a doc whose words the corpus finds improbable is boilerplate,
+    * another language, or noise; CCNet/Gopher filter on exactly this
+    * signal). Everything derives from the shared (doc, term) tf frame:
+    * corpus term frequencies are a term-keyed rollup of it, the (T, V)
+    * normalizer is ONE broadcast row, and the per-doc mean is a doc-keyed
+    * aggregation — no second tokenization pass, three shuffles total.
+    * ln is irrational so the 4-dp rounding is boundary-safe.
+    */
+  def qUnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
+    val ctf = tf.groupBy(col("term").as("cterm")).agg(sum(col("tf")).as("ctf"))
+    val norm = ctf.agg(sum(col("ctf")).as("t_tokens"),
+      count(lit(1)).as("v_size"))
+    tf.join(ctf, col("term") === col("cterm"))
+      .crossJoin(broadcast(norm))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        r4(sum(-col("tf") *
+            log((col("ctf") + lit(1.0)) / (col("t_tokens") + col("v_size")))) /
+          sum(col("tf"))).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic pseudo-random per-language sample (top-20 docs per
     * language by md5(doc_id ⊕ seed) order): reservoir-style fixed-size
     * sampling made REPRODUCIBLE across engines and partitionings — the

@@ -722,6 +722,45 @@ object ThreatOps {
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("user_id"))
   }
+
+  /** Daily-activity autocorrelation per event type at calendar lags 1–7
+    * days — the periodicity detector behind weekly-rhythm baselining (a
+    * strong lag-7 ACF says "this signal has a weekly cycle; compare
+    * Mondays to Mondays", which is what [[qSeasonalBaseline]] assumes).
+    * CALENDAR lag, not row lag: the series is joined to itself on
+    * `d − lag` (gap days simply don't pair), with the 7 lags exploded on
+    * the probe side so one co-partitioned (event_type-keyed) self-join
+    * covers all of them. Pearson r comes from the six integer sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) — counts are exact longs, so
+    * both engines compute the identical double at the end, no
+    * order-dependent float accumulation anywhere.
+    */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val probe = daily
+      .select(col("event_type"), col("d"), col("c"),
+        explode(array((1 to 7).map(lit(_)): _*)).as("lag"))
+      .withColumn("d_prev", expr("date_sub(d, lag)"))
+    val base = daily.select(col("event_type").as("et2"), col("d").as("d2"),
+      col("c").as("c_prev"))
+    val stats = probe.join(base,
+        col("event_type") === col("et2") && col("d_prev") === col("d2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"), sum(col("c_prev")).as("sy"),
+        sum(col("c") * col("c_prev")).as("sxy"),
+        sum(col("c") * col("c")).as("sxx"),
+        sum(col("c_prev") * col("c_prev")).as("syy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    stats
+      .select(col("event_type"), col("lag").cast("long").as("lag"), col("n").as("n_pairs"),
+        when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 4)).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
 }
 
 /** Primitive open-addressed long→long counter for partition-local pair

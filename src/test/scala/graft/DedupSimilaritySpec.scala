@@ -88,6 +88,28 @@ class DedupSimilaritySpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("qAnnIvfPq: exact re-rank scores match brute force; recall within IVF's bound") {
+    val brute = SimilarityOps.qAnnBrute(spark, sf)
+      .select(col("probe_id"), col("vec_id"), col("cos").as("cos_b")).cache()
+    val ivf = SimilarityOps.qAnnIvf(spark, sf)
+      .select(col("probe_id"), col("vec_id")).cache()
+    val pq = SimilarityOps.qAnnIvfPq(spark, sf).cache()
+    assert(pq.count() > 0)
+    assert(pq.groupBy("probe_id").count()
+      .filter(col("count") > SimilarityOps.TopK).count() === 0)
+    // shortlist survivors are re-ranked EXACTLY: scores must equal brute
+    val joined = pq.join(brute, Seq("probe_id", "vec_id"))
+    assert(joined.filter(abs(col("cos") - col("cos_b")) > 1e-9).count() === 0)
+    // PQ only narrows WITHIN the lists IVF already chose, so its recall
+    // vs brute can't collapse below a fraction of plain IVF's (the 4x-k
+    // shortlist keeps nearly everything the codes rank plausibly)
+    val ivfRecall = ivf.join(brute, Seq("probe_id", "vec_id")).count().toDouble
+    val pqRecall = joined.count().toDouble
+    assert(pqRecall >= 0.5 * ivfRecall,
+      s"IVF+PQ recall $pqRecall collapsed vs IVF $ivfRecall")
+    brute.unpersist(); ivf.unpersist(); pq.unpersist()
+  }
+
   test("qEmbedStats: counts reconcile, norms ordered, single dimensionality") {
     val st = SimilarityOps.qEmbedStats(spark, sf).cache()
     assert(st.agg(sum("n")).head.getLong(0) ===

