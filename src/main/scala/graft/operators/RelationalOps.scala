@@ -1214,20 +1214,26 @@ object RelationalOps {
     * longs → engine-stable 4-dp double.
     */
   def qWeeklyRetention(spark: SparkSession, dir: String): DataFrame = {
-    val firstWeek = events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
-    val cohortSize = firstWeek.groupBy(col("cohort").as("cs_cohort"))
-      .agg(count(lit(1)).as("cohort_size"))
-    val activeWeeks = events(spark, dir)
-      .select(col("user_id").as("au"), date_trunc("week", col("ts")).as("w"))
+    // ONE events scan, NO self-join: the raw log collapses to the
+    // distinct (user, week) grid; each user's cohort is a min-window over
+    // the user partition of that same grid (one shuffle, no join back);
+    // the grid is already distinct so the (cohort, offset) cells are a
+    // plain count; and the cohort size is the cell's own offset-0 count,
+    // attached with a window over the TINY cells frame rather than a
+    // second pass over anything event-sized.
+    val grid = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
       .distinct()
-    activeWeeks
-      .join(firstWeek, col("au") === col("user_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val cells = grid
+      .withColumn("cohort", min(col("w")).over(byUser))
       .withColumn("week_offset", (datediff(col("w"), col("cohort")) / 7).cast("long"))
       .groupBy(col("cohort"), col("week_offset"))
-      .agg(countDistinct(col("user_id")).as("active_users"))
-      .join(broadcast(cohortSize), col("cohort") === col("cs_cohort"))
+      .agg(count(lit(1)).as("active_users"))
+    val byCohort = Window.partitionBy(col("cohort"))
+    cells
+      .withColumn("cohort_size",
+        sum(when(col("week_offset") === 0, col("active_users"))).over(byCohort))
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"), col("active_users"), col("cohort_size"),
         round(col("active_users").cast("double") / col("cohort_size").cast("double"), 4)

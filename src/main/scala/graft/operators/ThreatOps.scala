@@ -736,9 +736,16 @@ object ThreatOps {
     * order-dependent float accumulation anywhere.
     */
   def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("c"))
+    // The daily series is consumed twice (probe + base side of the lag
+    // join). PINNED because it is bounded at ANY corpus scale —
+    // |event types| × |days| rows regardless of event count — so the
+    // cache is O(KB) while the re-derivation it avoids is a full
+    // events scan + shuffle.
+    val daily = graft.Memo.cached("autocorrDaily", spark, dir) {
+      events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+    }
     val probe = daily
       .select(col("event_type"), col("d"), col("c"),
         explode(array((1 to 7).map(lit(_)): _*)).as("lag"))
