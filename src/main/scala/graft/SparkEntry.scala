@@ -79,6 +79,8 @@ object SparkEntry {
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
     "q_weekly_retention" -> (RelationalOps.qWeeklyRetention _),
     "q_rfm" -> (RelationalOps.qRfm _),
+    "q_funnel3" -> (RelationalOps.qFunnel3 _),
+    "q_assoc_rules" -> (RelationalOps.qAssocRules _),
     "q6_forecast" -> (RelationalOps.q6Forecast _),
     "q7_volume" -> (RelationalOps.q7Volume _),
     "q8_marketshare" -> (RelationalOps.q8MarketShare _),
@@ -737,6 +739,44 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""",
+    "q_funnel3" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS step_ts FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS step_ts FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts >= s1.step_ts GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS step_ts FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= s2.step_ts GROUP BY 1),
+         c AS (
+           SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+           UNION ALL
+           SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+           UNION ALL
+           SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3)
+         SELECT step, users,
+           round(users::DOUBLE /
+             coalesce(lag(users) OVER (ORDER BY step), users)::DOUBLE, 4)
+             AS conv_from_prev
+         FROM c ORDER BY step""",
+    "q_assoc_rules" ->
+      """WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+         n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM baskets),
+         supp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s
+                  FROM baskets GROUP BY 1),
+         pc AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                  CAST(count(*) AS BIGINT) AS s_ab
+                FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+                WHERE a.event_type <> b.event_type GROUP BY 1, 2)
+         SELECT ante, cons, s_ab,
+           round(s_ab::DOUBLE / n_users::DOUBLE, 4) AS support,
+           round(s_ab::DOUBLE / sa.s::DOUBLE, 4) AS confidence,
+           round((s_ab::DOUBLE / sa.s::DOUBLE) / (sb.s::DOUBLE / n_users::DOUBLE), 4) AS lift
+         FROM pc
+         JOIN supp sa ON ante = sa.event_type
+         JOIN supp sb ON cons = sb.event_type
+         CROSS JOIN n
+         ORDER BY lift DESC, ante, cons""",
     "q_autocorr" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c

@@ -1202,6 +1202,75 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** Three-step ordered funnel (signup → click → purchase, each step at or
+    * after the previous one's FIRST completion): per-step reached-user
+    * counts and step-to-step conversion — the multi-stage CEP rollup that
+    * generalizes [[graft.operators.ThreatOps]]'s two-step funnel. Each
+    * step is a user-keyed min-aggregate of one event slice joined to the
+    * previous step's frame: all joins and aggs share the user_id
+    * partitioning, so the whole pattern match costs one shuffle per step
+    * slice and the output is three rows. Conversion divides exact longs →
+    * engine-stable 4-dp doubles.
+    */
+  def qFunnel3(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def firstAtOrAfter(slice: DataFrame, prev: DataFrame): DataFrame =
+      slice.join(prev, "user_id")
+        .filter(col("ts") >= col("prev_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("step_ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("step_ts"))
+    val s2 = firstAtOrAfter(
+      ev.filter(col("event_type") === "click"),
+      s1.select(col("user_id"), col("step_ts").as("prev_ts")))
+    val s3 = firstAtOrAfter(
+      ev.filter(col("event_type") === "purchase"),
+      s2.select(col("user_id"), col("step_ts").as("prev_ts")))
+    val counts = Seq(("1_signup", s1), ("2_click", s2), ("3_purchase", s3))
+      .map { case (label, df) => df.agg(count(lit(1)).as("users"))
+        .select(lit(label).as("step"), col("users")) }
+      .reduce(_.unionAll(_))
+    val w = Window.orderBy(col("step"))
+    counts
+      .withColumn("conv_from_prev",
+        round(col("users").cast("double") /
+          coalesce(lag(col("users"), 1).over(w), col("users")).cast("double"), 4))
+      .orderBy(col("step"))
+  }
+
+  /** Association rules over per-user event-type baskets: for every
+    * ordered pair (a ⇒ b), support, confidence, and lift — market-basket
+    * mining's first mile (what any recommender / cross-sell analysis
+    * starts from). The basket grid is the distinct (user, type) frame;
+    * pair counts come from its user-keyed self-join, whose per-user
+    * fan-out is bounded by |event types|² regardless of corpus size —
+    * the join and both aggregations share the user partitioning, and the
+    * output is |types|² rows. All ratios divide exact longs.
+    */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = baskets.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val supp = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("s"))
+    val pairCounts = baskets.select(col("user_id"), col("event_type").as("ante"))
+      .join(baskets.select(col("user_id"), col("event_type").as("cons")), "user_id")
+      .filter(col("ante") =!= col("cons"))
+      .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("s_ab"))
+    pairCounts
+      .join(broadcast(supp.select(col("event_type").as("a_key"), col("s").as("s_a"))),
+        col("ante") === col("a_key"))
+      .join(broadcast(supp.select(col("event_type").as("b_key"), col("s").as("s_b"))),
+        col("cons") === col("b_key"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("ante"), col("cons"), col("s_ab"),
+        round(col("s_ab").cast("double") / col("n_users").cast("double"), 4).as("support"),
+        round(col("s_ab").cast("double") / col("s_a").cast("double"), 4).as("confidence"),
+        round((col("s_ab").cast("double") / col("s_a").cast("double")) /
+          (col("s_b").cast("double") / col("n_users").cast("double")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+  }
+
   /** Weekly cohort retention: users grouped by first-activity week, and
     * for each (cohort, weeks-since) cell the share still active — the
     * product-analytics triangle chart. Three aggregations, all keyed by

@@ -576,6 +576,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(nw.forall(_ >= 1))
   }
 
+  test("qFunnel3: monotone step counts, conversion in (0,1], step 1 conversion is 1") {
+    val rows = RelationalOps.qFunnel3(spark, sf).collect()
+    assert(rows.length === 3)
+    val users = rows.map(_.getAs[Long]("users"))
+    assert(users(0) >= users(1) && users(1) >= users(2),
+      s"funnel not monotone: ${users.toSeq}")
+    assert(rows(0).getAs[Double]("conv_from_prev") === 1.0)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("conv_from_prev")
+      assert(c > 0 && c <= 1.0)
+    }
+  }
+
+  test("qAssocRules: probabilities bounded, pair counts symmetric, lift reciprocal-consistent") {
+    val rows = RelationalOps.qAssocRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("support") > 0 && r.getAs[Double]("support") <= 1.0)
+      assert(r.getAs[Double]("confidence") > 0 && r.getAs[Double]("confidence") <= 1.0)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+    // s_ab is symmetric in (ante, cons): the ordered pair and its
+    // reverse count the same co-occurring user set
+    val byPair = rows.map(r => (r.getAs[String]("ante"), r.getAs[String]("cons")) ->
+      r.getAs[Long]("s_ab")).toMap
+    byPair.foreach { case ((a, b), n) => assert(byPair((b, a)) === n) }
+  }
+
   test("qWeeklyRetention: offset-0 retention is 1.0 and later offsets never exceed the cohort") {
     val rows = RelationalOps.qWeeklyRetention(spark, sf).collect()
     assert(rows.nonEmpty)
