@@ -38,6 +38,13 @@ case class DriftAlert(user_id: Long, n_obs: Long, mean: Double, cusum: Double)
 /** Per-user Welford + CUSUM accumulator kept between micro-batches. */
 case class DriftState(n: Long, mean: Double, m2: Double, cusum: Double)
 
+case class FunnelConversion(user_id: Long, signup_ts: Timestamp,
+    click_ts: Timestamp, purchase_ts: Timestamp)
+
+/** Per-user funnel state machine position: step reached so far (0–3) and
+  * the timestamps that completed steps 1 and 2. */
+case class FunnelState(step: Long, s1: Timestamp, s2: Timestamp)
+
 /** Structured Streaming twin of the batch pipeline (SURVEY.md §2.G).
   *
   * The reference detects threats by re-running Cypher queries over a
@@ -226,6 +233,58 @@ object EventStream {
       .groupByKey(_.user_id)
       .transformWithState(new DriftProcessor(minObs, threshold),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Continuous three-step funnel (signup → click → purchase, each step
+    * at-or-after the previous one's completion) on `transformWithState` —
+    * the streaming twin of
+    * [[graft.operators.RelationalOps.qFunnel3]]. Each user carries a
+    * 3-field state-machine position (step + two timestamps, O(|users|)
+    * bounded, TimeMode.None); a conversion emits EXACTLY ONCE, when the
+    * purchase step completes, and the terminal state suppresses
+    * re-emission forever after. Batches are sorted by event time for
+    * replay determinism; the machine consumes the first QUALIFYING event
+    * in stream order, which equals the batch twin's min-ts semantics
+    * whenever the stream is time-ordered per user.
+    */
+  def funnelConversions(events: Dataset[Event]): Dataset[FunnelConversion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Per-user signup→click→purchase state machine for
+    * [[funnelConversions]]. */
+  private[graft] class FunnelProcessor
+      extends StatefulProcessor[Long, Event, FunnelConversion] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, batch: Iterator[Event],
+        timerValues: TimerValues): Iterator[FunnelConversion] = {
+      var st = if (state.exists()) state.get() else FunnelState(0L, null, null)
+      var out: Option[FunnelConversion] = None
+      for (e <- batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+           if out.isEmpty && st.step < 3) {
+        st.step match {
+          case 0 if e.event_type == "signup" =>
+            st = FunnelState(1L, e.ts, null)
+          case 1 if e.event_type == "click" && !e.ts.before(st.s1) =>
+            st = FunnelState(2L, st.s1, e.ts)
+          case 2 if e.event_type == "purchase" && !e.ts.before(st.s2) =>
+            out = Some(FunnelConversion(userId, st.s1, st.s2, e.ts))
+            st = FunnelState(3L, st.s1, st.s2)
+          case _ => ()
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
   }
 
   /** Per-user Welford+CUSUM state machine for [[driftAlerts]]. */

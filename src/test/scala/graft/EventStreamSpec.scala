@@ -287,6 +287,47 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("funnelConversions: ordered steps convert once, wrong-order users never do") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.funnelConversions(mem.toDS())
+      .writeStream.format("memory").queryName("funnel3").outputMode("append").start()
+    try {
+      // user 1 completes across TWO micro-batches; user 2 clicks before
+      // signing up (click must not count); user 3 purchases before
+      // clicking (purchase must not count)
+      mem.addData(
+        Event(1, ts(0), 1, "signup", 0), Event(2, ts(1), 1, "click", 0),
+        Event(10, ts(0), 2, "click", 0), Event(11, ts(1), 2, "signup", 0),
+        Event(20, ts(0), 3, "signup", 0), Event(21, ts(1), 3, "purchase", 0))
+      q.processAllAvailable()
+      assert(spark.table("funnel3").count() === 0)
+      mem.addData(
+        Event(3, ts(2), 1, "purchase", 0),
+        Event(12, ts(2), 2, "purchase", 0),
+        Event(22, ts(2), 3, "click", 0),
+        // a second full pass for user 1 must NOT re-emit (terminal state)
+        Event(4, ts(3), 1, "signup", 0), Event(5, ts(4), 1, "click", 0),
+        Event(6, ts(5), 1, "purchase", 0))
+      q.processAllAvailable()
+      val conv = spark.table("funnel3")
+        .as[graft.streaming.FunnelConversion].collect()
+      assert(conv.map(_.user_id).toSeq === Seq(1L))
+      val c = conv.head
+      assert(c.signup_ts === ts(0) && c.click_ts === ts(1) && c.purchase_ts === ts(2))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sinkCdcUpsert maintains newest-per-key across batches, updates and replays") {
     val s = spark
     import s.implicits._
