@@ -81,6 +81,7 @@ object SparkEntry {
     "q_rfm" -> (RelationalOps.qRfm _),
     "q_funnel3" -> (RelationalOps.qFunnel3 _),
     "q_assoc_rules" -> (RelationalOps.qAssocRules _),
+    "q_skyline" -> (RelationalOps.qSkyline _),
     "q6_forecast" -> (RelationalOps.q6Forecast _),
     "q7_volume" -> (RelationalOps.q7Volume _),
     "q8_marketshare" -> (RelationalOps.q8MarketShare _),
@@ -739,6 +740,16 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""",
+    "q_skyline" ->
+      """WITH m AS (
+           SELECT c_custkey, c_acctbal, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1, 2)
+         SELECT c_custkey, c_acctbal, n_orders FROM m a
+         WHERE NOT EXISTS (SELECT 1 FROM m b
+           WHERE b.c_acctbal >= a.c_acctbal AND b.n_orders >= a.n_orders
+             AND (b.c_acctbal > a.c_acctbal OR b.n_orders > a.n_orders))
+         ORDER BY c_custkey""",
     "q_funnel3" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS step_ts FROM events
              WHERE event_type = 'signup' GROUP BY 1),

@@ -1271,6 +1271,51 @@ object RelationalOps {
       .orderBy(col("lift").desc, col("ante"), col("cons"))
   }
 
+  /** Skyline (Pareto frontier) of customers on (account balance, order
+    * count) — "no other customer is at least as good on both axes and
+    * strictly better on one", the multi-criteria shortlist a naive
+    * formulation computes with an O(n²) NOT-EXISTS self-join. Distributed
+    * two-phase shape instead: each partition sweeps its rows once in
+    * (balance desc, count desc) order keeping a SUPERSET of its local
+    * skyline (the union of local skylines provably contains the global
+    * one — a dominator of any row lands in the same sort-derived sweep),
+    * then the tiny candidate set refines itself with one broadcast
+    * dominance anti-join. The big frame is scanned once and never
+    * self-joined; candidates are O(frontier), not O(n). Balances are
+    * 2-dp-exact doubles and counts are longs, so dominance comparisons
+    * are engine-stable.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val metrics = customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_acctbal"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    // phase 1: partition-local sweep. Sorting by (bal desc, cnt desc)
+    // means any dominator of row r precedes r; keeping rows whose count
+    // ties-or-beats the running max is a superset of the local skyline
+    // (>= not >, so equal-point duplicates survive for the exact phase).
+    val candidates = metrics.as[(Long, Double, Long)]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy { case (_, bal, cnt) => (-bal, -cnt) }
+        var maxCnt = Long.MinValue
+        rows.iterator.filter { case (_, _, cnt) =>
+          if (cnt >= maxCnt) { maxCnt = math.max(maxCnt, cnt); true } else false
+        }
+      }
+      .toDF("c_custkey", "c_acctbal", "n_orders")
+    // phase 2: exact dominance refine on the small candidate set
+    val dominator = broadcast(candidates
+      .select(col("c_acctbal").as("d_bal"), col("n_orders").as("d_cnt")))
+    candidates.join(dominator,
+        col("d_bal") >= col("c_acctbal") && col("d_cnt") >= col("n_orders") &&
+          (col("d_bal") > col("c_acctbal") || col("d_cnt") > col("n_orders")),
+        "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
   /** Weekly cohort retention: users grouped by first-activity week, and
     * for each (cohort, weeks-since) cell the share still active — the
     * product-analytics triangle chart. Three aggregations, all keyed by

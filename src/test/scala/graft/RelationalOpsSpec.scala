@@ -604,6 +604,29 @@ class RelationalOpsSpec extends SparkSpec {
     byPair.foreach { case ((a, b), n) => assert(byPair((b, a)) === n) }
   }
 
+  test("qSkyline: frontier is mutually non-dominating and dominates every other customer") {
+    val sky = RelationalOps.qSkyline(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("c_acctbal"),
+        r.getAs[Long]("n_orders")))
+    assert(sky.nonEmpty)
+    def dominates(a: (Long, Double, Long), b: (Long, Double, Long)): Boolean =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    // minimality: no frontier point dominates another
+    for (a <- sky; b <- sky) assert(!dominates(a, b), s"$a dominates $b")
+    // completeness: every non-frontier customer is dominated by a frontier point
+    val skyKeys = sky.map(_._1).toSet
+    val all = Tables.customer(spark, sf).select(col("c_custkey"), col("c_acctbal"))
+      .join(Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_acctbal"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("c_acctbal"),
+        r.getAs[Long]("n_orders")))
+    for (p <- all if !skyKeys.contains(p._1))
+      assert(sky.exists(s => dominates(s, p)), s"$p escapes the frontier")
+  }
+
   test("qWeeklyRetention: offset-0 retention is 1.0 and later offsets never exceed the cohort") {
     val rows = RelationalOps.qWeeklyRetention(spark, sf).collect()
     assert(rows.nonEmpty)
