@@ -18,10 +18,13 @@ import org.apache.spark.sql.graftshim.FunctionShim
   *     notebook path; tests use this)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // size(array_intersect(..)) → fused IntersectSize kernel
+    ext.injectOptimizerRule(_ => graft.functions.RewriteIntersectSize)
+  }
 }
 
 object GraftFunctions {
@@ -67,9 +70,18 @@ object GraftFunctions {
         ShingleHash32(es(0), k)
       }))
 
-  /** Register on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session: SQL functions AND the optimizer
+    * rewrites (`experimentalMethods.extraOptimizations` is the live-
+    * session twin of `injectOptimizerRule`; appending twice would run the
+    * rule twice per plan — harmless but sloppy — so guard on presence).
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, i, builder) =>
       FunctionShim.register(spark, FunctionIdentifier(name), i, builder)
     }
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.contains(graft.functions.RewriteIntersectSize))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.functions.RewriteIntersectSize
+  }
 }

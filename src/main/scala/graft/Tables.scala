@@ -61,8 +61,8 @@ object Tables {
     * it: AQE on, modest shuffle parallelism (tuned per-cluster in prod),
     * UTC so timestamp-derived features match the oracle.
     */
-  def localSession(cpus: String): SparkSession =
-    SparkSession.builder()
+  def localSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -76,6 +76,11 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SQL functions + optimizer rewrites (size∘array_intersect fusion)
+    // on every session the library hands out
+    GraftFunctions.register(s)
+    s
+  }
 
   /** Apply ad-hoc `SPARK_GRAFT_CONF="k=v;k=v"` overrides (A/B harness
     * knob shared by Profile/TimeOne). A segment without '=' is reported

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // same function + optimizer-rule registration the library applies to
+    // its own sessions — the gate must verify the plans bench runs
+    GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -16,6 +16,32 @@ class KernelPropertySpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(42)
 
+  test("intersectSize kernels match the distinct-common-values reference on random arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (_ <- 1 to 300) {
+      val nx = rnd.nextInt(30); val ny = rnd.nextInt(30)
+      // small value domain forces duplicates and overlaps; ~10% nulls
+      def mk(n: Int): Array[Any] = Array.fill[Any](n)(
+        if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(12) - 6))
+      val xs = mk(nx); val ys = mk(ny)
+      // reference: array_intersect semantics — distinct elements of x
+      // present in y, null included once if null appears in BOTH
+      val ysSet = ys.toSet
+      val expected = xs.distinct.count(v => ysSet.contains(v) &&
+        (v != null || xs.contains(null) && ys.contains(null)))
+      val ints = graft.functions.GraftArrayOps.intersectSizeInt(
+        ArrayData.toArrayData(xs), ArrayData.toArrayData(ys))
+      assert(ints === expected, s"int: ${xs.toList} ∩ ${ys.toList}")
+      def widen(a: Array[Any]): Array[Any] = a.map {
+        case null => null
+        case i: Integer => java.lang.Long.valueOf(i.longValue())
+      }
+      val longs = graft.functions.GraftArrayOps.intersectSizeLong(
+        ArrayData.toArrayData(widen(xs)), ArrayData.toArrayData(widen(ys)))
+      assert(longs === expected, s"long: ${xs.toList} ∩ ${ys.toList}")
+    }
+  }
+
   test("foldPairs sums match brute force for random groups and any flushAt") {
     for (_ <- 1 to 200) {
       val nGroups = rnd.nextInt(6)

@@ -185,4 +185,26 @@ class SourcesFunctionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaApi).count() === 0)
     assert(viaApi.exceptAll(viaSql).count() === 0)
   }
+
+  test("RewriteIntersectSize: size∘array_intersect plans the fused kernel, same answers") {
+    val s = spark
+    import s.implicits._
+    // dups, disjoint, empty, and both-sides-null cases
+    val df = Seq(
+      (1, Seq[Option[Int]](Some(1), Some(2), Some(2), Some(3)),
+        Seq[Option[Int]](Some(2), Some(3), Some(3), Some(4))),
+      (2, Seq[Option[Int]](Some(1)), Seq[Option[Int]](Some(9))),
+      (3, Seq[Option[Int]](), Seq[Option[Int]](Some(1))),
+      (4, Seq[Option[Int]](Some(1), None, Some(2)), Seq[Option[Int]](None, Some(3))),
+      (5, Seq[Option[Int]](None), Seq[Option[Int]](Some(5)))
+    ).toDF("id", "a", "b")
+    // repartition keeps ConvertToLocalRelation from folding the literal
+    // frame into a pre-evaluated LocalTableScan (which would hide the
+    // expression from the physical plan entirely)
+    val out = df.repartition(2)
+      .select(col("id"), expr("size(array_intersect(a, b))").as("n"))
+    assert(out.queryExecution.executedPlan.toString.contains("intersect_size"),
+      "optimizer rule did not fire on the registered session")
+    assert(out.orderBy("id").collect().map(_.getInt(1)).toSeq === Seq(2, 0, 0, 1, 0))
+  }
 }
