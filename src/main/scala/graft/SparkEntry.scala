@@ -82,6 +82,7 @@ object SparkEntry {
     "q_funnel3" -> (RelationalOps.qFunnel3 _),
     "q_assoc_rules" -> (RelationalOps.qAssocRules _),
     "q_skyline" -> (RelationalOps.qSkyline _),
+    "q_ohlc" -> (RelationalOps.qOhlc _),
     "q6_forecast" -> (RelationalOps.q6Forecast _),
     "q7_volume" -> (RelationalOps.q7Volume _),
     "q8_marketshare" -> (RelationalOps.q8MarketShare _),
@@ -740,6 +741,18 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""",
+    "q_ohlc" ->
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, value,
+             printf('%020d-%012d', epoch_us(ts), event_id) AS k
+           FROM events WHERE value IS NOT NULL)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           min_by(value, k) AS open, max(value) AS high, min(value) AS low,
+           max_by(value, k) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 4) AS mean_value
+         FROM e GROUP BY event_type, d
+         ORDER BY event_type, day""",
     "q_skyline" ->
       """WITH m AS (
            SELECT c_custkey, c_acctbal, CAST(count(o_orderkey) AS BIGINT) AS n_orders

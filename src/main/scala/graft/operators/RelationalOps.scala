@@ -1271,6 +1271,33 @@ object RelationalOps {
       .orderBy(col("lift").desc, col("ante"), col("cons"))
   }
 
+  /** Daily OHLC (open/high/low/close) bars per event type — the
+    * time-series candlestick rollup every metrics store provides. ONE
+    * aggregation pass: open/close are min_by/max_by over a zero-padded
+    * `(micros, event_id)` string key (total order with deterministic
+    * tiebreak, identical lexicographic semantics in the oracle engine —
+    * struct ordering isn't portable), high/low/count/mean ride the same
+    * shuffle. Map-side partial aggregation applies to all six — at 100 TB
+    * the shuffle carries one row per (type, day) per mapper.
+    */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val key = format_string("%020d-%012d", unix_micros(col("ts")), col("event_id"))
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"), key.as("k"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(min_by(col("value"), col("k")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("k")).as("close"),
+        count(lit(1)).as("n_events"),
+        r4(avg(col("value"))).as("mean_value"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("mean_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Skyline (Pareto frontier) of customers on (account balance, order
     * count) — "no other customer is at least as good on both axes and
     * strictly better on one", the multi-criteria shortlist a naive

@@ -604,6 +604,22 @@ class RelationalOpsSpec extends SparkSpec {
     byPair.foreach { case ((a, b), n) => assert(byPair((b, a)) === n) }
   }
 
+  test("qOhlc: low <= open/close/mean <= high; bars tile the active days") {
+    val rows = RelationalOps.qOhlc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c, m) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Double]("mean_value"))
+      assert(l <= o && o <= h, s"open outside range: $r")
+      assert(l <= c && c <= h, s"close outside range: $r")
+      assert(l <= m + 1e-4 && m <= h + 1e-4, s"mean outside range: $r")
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    val direct = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts"))).distinct().count()
+    assert(rows.length === direct)
+  }
+
   test("qSkyline: frontier is mutually non-dominating and dominates every other customer") {
     val sky = RelationalOps.qSkyline(spark, sf).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("c_acctbal"),
