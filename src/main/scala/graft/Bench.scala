@@ -12,13 +12,15 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Warm the BENCHMARKED scale factor's tables too: queries iterate in
     // Map-hash order, so whichever runs first would otherwise absorb the
-    // whole first-touch cost of sfDir (footer reads, page-cache fill,
-    // scan codegen) in ALL THREE of its runs — observed as a 10x outlier
-    // on the first query of a round. One untimed count per table fixes it.
+    // whole first-touch cost of sfDir in ALL THREE of its runs —
+    // observed as a 10x outlier on the first query of a round. foreach
+    // (not count: Spark answers count() from row-group metadata without
+    // touching a single data page) materializes every column, so footer
+    // reads, page-cache fill, AND scan codegen all land here, untimed.
     for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
                   "nation", "region", "documents", "embeddings"))
-      try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
-    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
+      try Tables.table(spark, sfDir, t).foreach(_ => ()) catch { case _: Throwable => () }
+    try Tables.events(spark, sfDir).foreach(_ => ()) catch { case _: Throwable => () }
     // min of 3 runs per query: later runs exclude one-time codegen
     // compilation, and the min rides out GC/JIT noise (observed ±15% on
     // whole-suite totals); min is the standard steady-state estimator.

@@ -779,9 +779,10 @@ object SparkEntry {
            UNION ALL
            SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3)
          SELECT step, users,
-           round(users::DOUBLE /
-             coalesce(lag(users) OVER (ORDER BY step), users)::DOUBLE, 4)
-             AS conv_from_prev
+           CASE WHEN coalesce(lag(users) OVER (ORDER BY step), users) > 0
+                THEN round(users::DOUBLE /
+                  coalesce(lag(users) OVER (ORDER BY step), users)::DOUBLE, 4)
+           END AS conv_from_prev
          FROM c ORDER BY step""",
     "q_assoc_rules" ->
       """WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),

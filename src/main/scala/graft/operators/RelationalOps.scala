@@ -1231,10 +1231,13 @@ object RelationalOps {
         .select(lit(label).as("step"), col("users")) }
       .reduce(_.unionAll(_))
     val w = Window.orderBy(col("step"))
+    // NULL (not 0/0) when the previous step is empty: Spark's Divide
+    // yields NULL on zero denominators while IEEE engines yield NaN —
+    // making the undefined case explicit keeps both sides identical
+    val prev = coalesce(lag(col("users"), 1).over(w), col("users"))
     counts
       .withColumn("conv_from_prev",
-        round(col("users").cast("double") /
-          coalesce(lag(col("users"), 1).over(w), col("users")).cast("double"), 4))
+        when(prev > 0, round(col("users").cast("double") / prev.cast("double"), 4)))
       .orderBy(col("step"))
   }
 
@@ -1276,7 +1279,11 @@ object RelationalOps {
     * aggregation pass: open/close are min_by/max_by over a zero-padded
     * `(micros, event_id)` string key (total order with deterministic
     * tiebreak, identical lexicographic semantics in the oracle engine —
-    * struct ordering isn't portable), high/low/count/mean ride the same
+    * struct ordering isn't portable). PRECONDITIONS of that key: epoch
+    * micros ≥ 0 (a '−' sign would reverse lexicographic order among
+    * pre-1970 timestamps) and event_id < 10¹² (fits the fixed width) —
+    * both hold for any log data; widen the padding before reusing the
+    * pattern on other domains. High/low/count/mean ride the same
     * shuffle. Map-side partial aggregation applies to all six — at 100 TB
     * the shuffle carries one row per (type, day) per mapper.
     */
@@ -1324,15 +1331,20 @@ object RelationalOps {
     // means any dominator of row r precedes r; keeping rows whose count
     // ties-or-beats the running max is a superset of the local skyline
     // (>= not >, so equal-point duplicates survive for the exact phase).
-    val candidates = metrics.as[(Long, Double, Long)]
-      .mapPartitions { it =>
-        val rows = it.toArray.sortBy { case (_, bal, cnt) => (-bal, -cnt) }
-        var maxCnt = Long.MinValue
-        rows.iterator.filter { case (_, _, cnt) =>
-          if (cnt >= maxCnt) { maxCnt = math.max(maxCnt, cnt); true } else false
+    // PINNED: the candidate frame feeds BOTH sides of the dominance
+    // anti-join below — uncached, the full aggregation + sweep would run
+    // twice; the pin is O(frontier) rows.
+    val candidates = graft.Memo.cached("skylineCandidates", spark, dir) {
+      metrics.as[(Long, Double, Long)]
+        .mapPartitions { it =>
+          val rows = it.toArray.sortBy { case (_, bal, cnt) => (-bal, -cnt) }
+          var maxCnt = Long.MinValue
+          rows.iterator.filter { case (_, _, cnt) =>
+            if (cnt >= maxCnt) { maxCnt = math.max(maxCnt, cnt); true } else false
+          }
         }
-      }
-      .toDF("c_custkey", "c_acctbal", "n_orders")
+        .toDF("c_custkey", "c_acctbal", "n_orders")
+    }
     // phase 2: exact dominance refine on the small candidate set
     val dominator = broadcast(candidates
       .select(col("c_acctbal").as("d_bal"), col("n_orders").as("d_cnt")))
