@@ -134,6 +134,7 @@ object SparkEntry {
     "q_redact" -> (TextOps.qRedact _),
     "q_vocab" -> (TextOps.qVocab _),
     "q_unigram_surprisal" -> (TextOps.qUnigramSurprisal _),
+    "q_weighted_sample" -> (TextOps.qWeightedSample _),
     "q_det_sample" -> (TextOps.qDetSample _),
     "q_cooccurrence" -> (TextOps.qCooccurrence _),
     // F. multimodal plumbing
@@ -679,6 +680,15 @@ object SparkEntry {
           tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2)
           SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
           FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+    "q_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars,
+             (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                '#graft-wsample-42')), 1, 8)) AS BIGINT) + 1) / 4294967296.0 AS u
+           FROM documents WHERE n_chars > 0)
+         SELECT doc_id, lang, n_chars,
+           round(pow(u, 1.0 / n_chars), 9) AS sample_key
+         FROM d ORDER BY sample_key DESC, doc_id LIMIT 20""",
     "q_unigram_surprisal" ->
       s"""WITH t AS (SELECT doc_id, unnest(t) AS term
             FROM (SELECT doc_id, $tokSql AS t FROM documents)),

@@ -328,6 +328,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis–
+    * Spirakis 2006): each doc draws u ∈ (0,1] from its md5 (seeded,
+    * engine-portable) and ranks by u^(1/w) with w = n_chars — longer
+    * documents proportionally likelier, the quality/length-weighted
+    * corpus subsetting the uniform [[qDetSample]] can't express. Top-k
+    * by a sort key IS the distributed algorithm: Spark plans
+    * TakeOrderedAndProject (per-partition top-k, merge k·partitions at
+    * the driver), one narrow pass, no global sort shuffle. The key is
+    * rounded to 9 dp before ranking so last-ulp libm pow differences
+    * between engines can't reorder the boundary (doc_id breaks in-bucket
+    * ties identically on both sides).
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#graft-wsample-42"))), 1, 8), 16, 10).cast("long") + 1) / lit(4294967296.0)
+    documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(pow(u, lit(1.0) / col("n_chars")), 9).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Deterministic pseudo-random per-language sample (top-20 docs per
     * language by md5(doc_id ⊕ seed) order): reservoir-style fixed-size
     * sampling made REPRODUCIBLE across engines and partitionings — the

@@ -325,6 +325,26 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("qWeightedSample: keys in (0,1], deterministic, and length-biased vs the corpus") {
+    val rows = TextOps.qWeightedSample(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val k = r.getAs[Double]("sample_key")
+      assert(k > 0 && k <= 1.0)
+    }
+    // same input, same seed ⇒ same sample (reproducibility contract)
+    val again = TextOps.qWeightedSample(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ===
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+    // w = n_chars must bias the sample toward longer docs (fixed seed,
+    // fixed corpus: this is a deterministic assertion, not a flaky one)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars").toDouble).sum / rows.length
+    val corpusMean = Tables.documents(spark, sf).filter(col("n_chars") > 0)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample not length-biased: $sampleMean vs $corpusMean")
+  }
+
   test("qMadOutlier: MAD is robust — outlier flags bounded and stats sane") {
     val rows = MLOps.qMadOutlier(spark, sf).collect()
     assert(rows.nonEmpty)
