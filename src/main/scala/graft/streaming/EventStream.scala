@@ -74,6 +74,30 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** 1-hour tumbling OHLC bars per event type — the streaming twin of
+    * [[graft.operators.RelationalOps.qOhlc]]. min_by/max_by are
+    * declarative aggregates (partial-mergeable), so each open window's
+    * state is six scalars per (window, type) no matter how many events
+    * land in it; the same portable zero-padded `(micros, event_id)` key
+    * makes open/close deterministic under replay and identical to the
+    * batch bars over the same data. Watermark evicts closed windows.
+    */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val key = format_string("%020d-%012d", unix_micros(col("ts")), col("event_id"))
+    events
+      .filter(col("value").isNotNull)
+      .withColumn("k", key)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(min_by(col("value"), col("k")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("k")).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
   /** Per-window approximate distinct resources — the streaming form of
     * [[graft.operators.ThreatOps.qResourceAccessApprox]]'s HLL swap. The
     * HyperLogLog++ buffer is a fixed-size MERGEABLE sketch, so the

