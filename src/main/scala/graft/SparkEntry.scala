@@ -83,6 +83,9 @@ object SparkEntry {
     "q_assoc_rules" -> (RelationalOps.qAssocRules _),
     "q_skyline" -> (RelationalOps.qSkyline _),
     "q_ohlc" -> (RelationalOps.qOhlc _),
+    "q_twap" -> (RelationalOps.qTwap _),
+    "q_coaccess_jaccard" -> (ThreatOps.qCoaccessJaccard _),
+    "q_burstiness" -> (ThreatOps.qBurstiness _),
     "q6_forecast" -> (RelationalOps.q6Forecast _),
     "q7_volume" -> (RelationalOps.q7Volume _),
     "q8_marketshare" -> (RelationalOps.q8MarketShare _),
@@ -751,6 +754,47 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY status, priority""",
+    "q_twap" ->
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, value,
+             (epoch_us(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                ORDER BY ts, event_id)) - epoch_us(ts))::DOUBLE / 1e6 AS dt
+           FROM events WHERE value IS NOT NULL)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           round(sum(value * dt) / sum(dt), 4) AS twap,
+           CAST(count(*) AS BIGINT) AS n_intervals
+         FROM e WHERE dt IS NOT NULL
+         GROUP BY event_type, d ORDER BY event_type, day""",
+    "q_coaccess_jaccard" ->
+      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ur GROUP BY 1),
+         p AS (SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS sh
+               FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT ua AS user_a, ub AS user_b, sh AS shared_resources,
+           round(sh::DOUBLE / (ca.n + cb.n - sh)::DOUBLE, 4) AS jaccard
+         FROM p JOIN cnt ca ON ua = ca.user_id JOIN cnt cb ON ub = cb.user_id
+         ORDER BY jaccard DESC, user_a, user_b LIMIT 50""",
+    "q_burstiness" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+                FROM daily GROUP BY 1)
+         SELECT user_id, c AS n_days,
+           round(s::DOUBLE / c::DOUBLE, 4) AS mean_daily,
+           round((ss::DOUBLE / c::DOUBLE
+              - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE))
+             / (s::DOUBLE / c::DOUBLE), 4) AS fano,
+           round((sqrt(ss::DOUBLE / c::DOUBLE
+               - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE)) - s::DOUBLE / c::DOUBLE)
+             / (sqrt(ss::DOUBLE / c::DOUBLE
+               - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE)) + s::DOUBLE / c::DOUBLE), 4)
+             AS burstiness
+         FROM st WHERE c >= 2 ORDER BY fano DESC, user_id""",
     "q_ohlc" ->
       """WITH e AS (
            SELECT event_type, CAST(ts AS DATE) AS d, value,

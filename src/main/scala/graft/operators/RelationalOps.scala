@@ -1274,6 +1274,34 @@ object RelationalOps {
       .orderBy(col("lift").desc, col("ante"), col("cons"))
   }
 
+  /** Time-weighted average value per (event type, day): each observation
+    * is weighted by how long it "held" (seconds until the next same-type
+    * event that day, via one lead window), the irregular-sampling
+    * correction a plain avg gets wrong when observations cluster. The
+    * window and the aggregation share the (type, day) partitioning —
+    * one sort-shuffle total; the last observation of each day carries no
+    * successor and is excluded from numerator AND denominator
+    * consistently on both engines.
+    */
+  def qTwap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("dt",
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .cast("double") / 1e6)
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"), col("d"))
+      .agg(r4(sum(col("value") * col("dt")) / sum(col("dt"))).as("twap"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("twap"), col("n_intervals"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Daily OHLC (open/high/low/close) bars per event type — the
     * time-series candlestick rollup every metrics store provides. ONE
     * aggregation pass: open/close are min_by/max_by over a zero-padded

@@ -723,6 +723,60 @@ object ThreatOps {
       .orderBy(col("n_triangles").desc, col("user_id"))
   }
 
+  /** Jaccard-normalized co-access similarity: the [[qCoaccessPairs]] edge
+    * list rescaled by each pair's resource-set union — raw shared counts
+    * rank prolific users first, Jaccard ranks ACCOUNT-SHARING-like pairs
+    * (two users whose resource worlds largely coincide) first, which is
+    * the insider-collusion signal. Reuses the pinned pair frame; the
+    * per-user distinct-resource counts attach with two joins of a
+    * |users|-row frame; similarity divides exact longs → engine-stable
+    * 4-dp doubles.
+    */
+  def qCoaccessJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coaccessPairFrame(spark, dir, maxDegree = Int.MaxValue)
+    val cnt = activityLog(spark, dir)
+      .filter(col("resource").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("resource")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_res"))
+    pairs
+      .join(cnt.select(col("user_id").as("ca_u"), col("n_res").as("na")),
+        col("user_a") === col("ca_u"))
+      .join(cnt.select(col("user_id").as("cb_u"), col("n_res").as("nb")),
+        col("user_b") === col("cb_u"))
+      .select(col("user_a"), col("user_b"), col("shared_resources"),
+        r4(col("shared_resources").cast("double") /
+          (col("na") + col("nb") - col("shared_resources")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("user_a"), col("user_b"))
+      .limit(50)
+  }
+
+  /** Per-user activity burstiness: Fano factor (variance/mean of daily
+    * counts over ACTIVE days) and the Goh–Barabási burstiness index
+    * (σ−μ)/(σ+μ) — separates steady drips from bursty dumps at the same
+    * total volume (data-exfiltration cadence looks bursty; routine work
+    * doesn't). One (user, day) rollup then one user rollup; variance
+    * comes from the integer sufficient statistics (Σn, Σn², days), so
+    * both engines compute the identical doubles.
+    */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val c = col("c").cast("double")
+    val mean = col("s").cast("double") / c
+    val variance = col("ss").cast("double") / c - mean * mean
+    val sigma = sqrt(variance)
+    daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .filter(col("c") >= 2)
+      .select(col("user_id"), col("c").as("n_days"), r4(mean).as("mean_daily"),
+        r4(variance / mean).as("fano"),
+        r4((sigma - mean) / (sigma + mean)).as("burstiness"))
+      .orderBy(col("fano").desc, col("user_id"))
+  }
+
   /** Daily-activity autocorrelation per event type at calendar lags 1–7
     * days — the periodicity detector behind weekly-rhythm baselining (a
     * strong lag-7 ACF says "this signal has a weekly cycle; compare

@@ -604,6 +604,22 @@ class RelationalOpsSpec extends SparkSpec {
     byPair.foreach { case ((a, b), n) => assert(byPair((b, a)) === n) }
   }
 
+  test("qTwap: time-weighted mean lies within each day's value range") {
+    val twap = RelationalOps.qTwap(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Double]("twap")).toMap
+    assert(twap.nonEmpty)
+    val ranges = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(min("value").as("lo"), max("value").as("hi")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    twap.foreach { case (k, v) =>
+      val (lo, hi) = ranges(k)
+      assert(v >= lo - 1e-4 && v <= hi + 1e-4, s"$k twap $v outside [$lo, $hi]")
+    }
+  }
+
   test("qOhlc: low <= open/close/mean <= high; bars tile the active days") {
     val rows = RelationalOps.qOhlc(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -313,6 +313,30 @@ class ThreatOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("qCoaccessJaccard: similarity in (0,1], shared never exceeds either resource set") {
+    val rows = ThreatOps.qCoaccessJaccard(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.sameElements(js.sortBy(-(_: Double))))
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(r.getAs[Long]("shared_resources") >= 2)
+    }
+  }
+
+  test("qBurstiness: fano non-negative, burstiness index in [-1, 1)") {
+    val rows = ThreatOps.qBurstiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 2)
+      assert(r.getAs[Double]("mean_daily") > 0)
+      assert(r.getAs[Double]("fano") >= -1e-9)
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 && b < 1.0)
+    }
+  }
+
   test("qAutocorr: lags 1-7 per event type, ACF bounded in [-1, 1]") {
     val rows = ThreatOps.qAutocorr(spark, sf).collect()
     assert(rows.nonEmpty)
