@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Event log through the reference's preprocess null-drop policy
+    * (data_preprocessing.py:29-31 drops rows with null critical columns
+    * before ANY analysis): every event-driven query in this object reads
+    * through this shadow, so a null user_id / ts / event_type can never
+    * form a phantom group or a null window key. On clean data the
+    * filters are no-ops (and pushed into the scan); [[qProfile]] reads
+    * `Tables.events` directly BECAUSE its job is to see the raw nulls.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir).filter(
+      col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+
   /** TPC-H Q1-style pricing summary. One scan of lineitem with the date
     * predicate pushed to parquet, partial agg map-side, one shuffle on the
     * low-cardinality (flag, status) key.
@@ -334,7 +346,7 @@ object RelationalOps {
     * the data. Wide typed output avoids cross-engine string rendering.
     */
   def qProfile(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).agg(
+    graft.Tables.events(spark, dir).agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_id_nulls"),
       countDistinct(col("user_id")).as("user_id_distinct"),

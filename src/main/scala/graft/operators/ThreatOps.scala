@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object ThreatOps {
 
+  /** Event log through the reference's preprocess null-drop policy
+    * (data_preprocessing.py:29-31: rows with null critical columns are
+    * dropped before ANY analysis) — every behavioral query in this
+    * object reads through this shadow, so a null user_id / ts /
+    * event_type can never form a phantom per-user group or a null
+    * temporal bucket. No-op (and scan-pushed) on clean data.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir).filter(
+      col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+
   /** Events with the resource extracted from the JSON props payload.
     * (Deliberately NOT spread(): the round-robin exchange of full props
     * rows costs more than the single-split JSON parse it would
