@@ -86,6 +86,7 @@ object SparkEntry {
     "q_twap" -> (RelationalOps.qTwap _),
     "q_coaccess_jaccard" -> (ThreatOps.qCoaccessJaccard _),
     "q_burstiness" -> (ThreatOps.qBurstiness _),
+    "q_holt_forecast" -> (ThreatOps.qHoltForecast _),
     "q6_forecast" -> (RelationalOps.q6Forecast _),
     "q7_volume" -> (RelationalOps.q7Volume _),
     "q8_marketshare" -> (RelationalOps.q8MarketShare _),

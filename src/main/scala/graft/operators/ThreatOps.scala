@@ -788,6 +788,51 @@ object ThreatOps {
       .orderBy(col("fano").desc, col("user_id"))
   }
 
+  /** Holt linear-trend forecast of daily activity per event type: level/
+    * trend double smoothing over the day-ordered count series, then a
+    * 7-day-ahead linear projection — the capacity-planning / anomaly-
+    * baseline forecaster (tomorrow's expected volume, not yesterday's).
+    * An inherently SEQUENTIAL recursion, so it runs where sequential is
+    * free: the raw log collapses to the bounded (type, day) rollup
+    * (|types|×|days| rows at ANY corpus scale), and each type's series
+    * recurses inside ONE mapGroups task — state is two doubles, the big
+    * data never sees the recursion. α=0.5, β=0.25 (exact binary
+    * fractions); gap days count zero activity (the calendar is
+    * densified inside the group, not joined). Rows-only: recursion
+    * isn't ANSI-SQL; the spec replays it by hand and checks exact
+    * equality.
+    */
+  def qHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), datediff(col("d"), lit("1970-01-01").cast("date"))
+        .cast("long").as("epochDay"), col("n"))
+      .as[(String, Long, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Long)]) =>
+        val obs = it.map { case (_, day, n) => day -> n }.toArray.sortBy(_._1)
+        val byDay = obs.toMap
+        val (d0, dN) = (obs.head._1, obs.last._1)
+        val series = (d0 to dN).map(d => byDay.getOrElse(d, 0L).toDouble)
+        if (series.length < 2) Iterator.empty
+        else {
+          var level = series(0)
+          var trend = series(1) - series(0)
+          for (y <- series.drop(1)) {
+            val prev = level
+            level = 0.5 * y + 0.5 * (level + trend)
+            trend = 0.25 * (level - prev) + 0.75 * trend
+          }
+          (1 to 7).iterator.map(h =>
+            (et, h.toLong, math.rint((level + h * trend) * 10000) / 10000))
+        }
+      }
+      .toDF("event_type", "horizon_days", "forecast")
+      .orderBy(col("event_type"), col("horizon_days"))
+  }
+
   /** Daily-activity autocorrelation per event type at calendar lags 1–7
     * days — the periodicity detector behind weekly-rhythm baselining (a
     * strong lag-7 ACF says "this signal has a weekly cycle; compare

@@ -337,6 +337,38 @@ class ThreatOpsSpec extends SparkSpec {
     }
   }
 
+  test("qHoltForecast: hand-replayed recursion matches exactly; forecasts are linear in h") {
+    val rows = ThreatOps.qHoltForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("horizon_days")).sorted.toSeq === (1L to 7L))
+      // linear in h: second differences of the 7 forecasts are ~0
+      val f = rs.sortBy(_.getAs[Long]("horizon_days")).map(_.getAs[Double]("forecast"))
+      for (i <- 2 until f.length)
+        assert(math.abs((f(i) - f(i - 1)) - (f(i - 1) - f(i - 2))) < 2e-4)
+    }
+    // exact replay for one type
+    val et = byType.keys.min
+    val daily = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type") === et)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .sortBy(_._1)
+    val byDay = daily.toMap
+    val series = (daily.head._1 to daily.last._1).map(d => byDay.getOrElse(d, 0L).toDouble)
+    var level = series(0); var trend = series(1) - series(0)
+    for (y <- series.drop(1)) {
+      val prev = level
+      level = 0.5 * y + 0.5 * (level + trend)
+      trend = 0.25 * (level - prev) + 0.75 * trend
+    }
+    val expect1 = math.rint((level + trend) * 10000) / 10000
+    val got1 = byType(et).find(_.getAs[Long]("horizon_days") == 1L).get
+      .getAs[Double]("forecast")
+    assert(got1 === expect1)
+  }
+
   test("qAutocorr: lags 1-7 per event type, ACF bounded in [-1, 1]") {
     val rows = ThreatOps.qAutocorr(spark, sf).collect()
     assert(rows.nonEmpty)
