@@ -306,7 +306,30 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  /** The preprocess null-drop policy as SQL, applied to every event-
+    * driven oracle below so the oracle specifies the SAME function the
+    * operators compute (Tables.cleanEvents) on dirty data too — not just
+    * on fixtures that happen to be null-free. `q_profile` is exempt: it
+    * profiles the raw rows on both sides.
+    */
+  private val cleanEventsSub =
+    "(SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL" +
+      " AND event_type IS NOT NULL)"
+  private val eventsRef = """(FROM|JOIN) events\b( e\b)?""".r
+  private val cleanExempt = Set("q_profile")
+
+  private def withCleanEvents(sql: String): String =
+    eventsRef.replaceAllIn(sql, m => {
+      val alias = Option(m.group(2)).getOrElse(" events")
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} $cleanEventsSub$alias")
+    })
+
+  def oracleSql: Map[String, String] = rawOracleSql.map {
+    case (k, v) if cleanExempt(k) => k -> v
+    case (k, v) => k -> withCleanEvents(v)
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q_preprocess" ->
       """SELECT event_id, user_id, event_type,
          json_extract_string(props,'$.k') AS resource,

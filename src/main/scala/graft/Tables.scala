@@ -31,6 +31,17 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+  /** [[events]] through the reference pipeline's preprocess null-drop
+    * policy (data_preprocessing.py:29-31: rows with a null critical
+    * column — user_id, ts, event_type — are invalid log records, dropped
+    * before ANY analysis). Every event-driven operator reads through
+    * this; the filters push into the scan and are no-ops on clean data.
+    * `q_profile` reads [[events]] raw BECAUSE its job is counting nulls.
+    */
+  def cleanEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(
+      col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

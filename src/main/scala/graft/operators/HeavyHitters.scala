@@ -96,7 +96,7 @@ object HeavyHitters {
     * general, deterministic here only up to the n/k bound).
     */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = events(spark, dir)
+    val edges = cleanEvents(spark, dir)
       .withColumn("resource", get_json_object(col("props"), "$.k"))
     heavyHitters(spark, edges, col("resource"), capacity = 256)
       .orderBy(col("est").desc, col("item").asc)

@@ -396,7 +396,7 @@ object MLOps {
     * (q_percentiles_approx demonstrates the bound).
     */
   def qMadOutlier(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val ev = cleanEvents(spark, dir).select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)
     val med = ev.groupBy(col("event_type").as("met"))
       .agg(percentile(col("value"), lit(0.5)).as("med"))

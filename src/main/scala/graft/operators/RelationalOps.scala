@@ -15,17 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
-  /** Event log through the reference's preprocess null-drop policy
-    * (data_preprocessing.py:29-31 drops rows with null critical columns
-    * before ANY analysis): every event-driven query in this object reads
-    * through this shadow, so a null user_id / ts / event_type can never
-    * form a phantom group or a null window key. On clean data the
-    * filters are no-ops (and pushed into the scan); [[qProfile]] reads
-    * `Tables.events` directly BECAUSE its job is to see the raw nulls.
+  /** Shadow: every event-driven query in this object reads through
+    * [[graft.Tables.cleanEvents]] (the preprocess null-drop policy) —
+    * no phantom groups, no null window keys. [[qProfile]] reads
+    * `Tables.events` raw BECAUSE its job is to see the nulls.
     */
   private def events(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.events(spark, dir).filter(
-      col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+    graft.Tables.cleanEvents(spark, dir)
 
   /** TPC-H Q1-style pricing summary. One scan of lineitem with the date
     * predicate pushed to parquet, partial agg map-side, one shuffle on the

@@ -20,16 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object ThreatOps {
 
-  /** Event log through the reference's preprocess null-drop policy
-    * (data_preprocessing.py:29-31: rows with null critical columns are
-    * dropped before ANY analysis) — every behavioral query in this
-    * object reads through this shadow, so a null user_id / ts /
-    * event_type can never form a phantom per-user group or a null
-    * temporal bucket. No-op (and scan-pushed) on clean data.
+  /** Shadow: every behavioral query in this object reads the event log
+    * through [[graft.Tables.cleanEvents]] (the preprocess null-drop
+    * policy), so a null user_id / ts / event_type can never form a
+    * phantom per-user group or a null temporal bucket.
     */
   private def events(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.events(spark, dir).filter(
-      col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+    graft.Tables.cleanEvents(spark, dir)
 
   /** Events with the resource extracted from the JSON props payload.
     * (Deliberately NOT spread(): the round-robin exchange of full props
@@ -54,8 +51,9 @@ object ThreatOps {
     * no shuffle at all; runs at scan speed.
     */
   def qPreprocess(spark: SparkSession, dir: String): DataFrame =
+    // the null-drop itself happens in the shared cleanEvents shadow —
+    // this op's contract is the temporal-feature derivation on top
     activityLog(spark, dir)
-      .filter(col("user_id").isNotNull && col("event_type").isNotNull && col("ts").isNotNull)
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("resource"),
         hourOfDay.cast("long").as("hour_of_day"),

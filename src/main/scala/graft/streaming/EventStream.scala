@@ -61,13 +61,24 @@ case class FunnelState(step: Long, s1: Timestamp, s2: Timestamp)
   */
 object EventStream {
 
+  /** Record-validity gate for raw stream frames: drop events whose
+    * critical columns (user_id, ts, event_type) are null — the streaming
+    * face of [[graft.Tables.cleanEvents]], so batch/stream twins agree on
+    * dirty data. Filters only the critical columns PRESENT in the frame
+    * (test harness frames may carry partial schemas; production streams
+    * carry the full one).
+    */
+  private def cleanStream(df: DataFrame): DataFrame =
+    Seq("user_id", "ts", "event_type").filter(df.columns.contains)
+      .foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+
   /** 1-hour tumbling counts + value sums per event_type — the streaming
     * twin of [[graft.operators.RelationalOps.qWindowedCounts]]. The
     * 2-hour watermark lets late events up to 2 h old still land in their
     * window, after which the window's state is dropped (bounded memory).
     */
   def windowedCounts(events: DataFrame): DataFrame =
-    events
+    cleanStream(events)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -84,7 +95,7 @@ object EventStream {
     */
   def ohlcBars(events: DataFrame): DataFrame = {
     val key = format_string("%020d-%012d", unix_micros(col("ts")), col("event_id"))
-    events
+    cleanStream(events)
       .filter(col("value").isNotNull)
       .withColumn("k", key)
       .withWatermark("ts", "2 hours")
@@ -106,7 +117,7 @@ object EventStream {
     * 100 TB/day log). Watermark closes windows and drops their sketches.
     */
   def approxDistinctResources(events: DataFrame): DataFrame =
-    events
+    cleanStream(events)
       .withColumn("resource", get_json_object(col("props"), "$.k"))
       .filter(col("resource").isNotNull)
       .withWatermark("ts", "2 hours")
@@ -122,7 +133,7 @@ object EventStream {
     * Stateless map-only transform: no shuffle, no state, per-event latency.
     */
   def afterHoursAlerts(events: DataFrame): DataFrame =
-    events
+    cleanStream(events)
       .withColumn("hour_of_day", hour(col("ts")))
       .filter(col("hour_of_day") < 8 || col("hour_of_day") > 18)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -132,7 +143,7 @@ object EventStream {
     * after-hours actor fires repeatedly as the window slides.
     */
   def afterHoursWindowed(events: DataFrame): DataFrame =
-    events
+    cleanStream(events)
       .withWatermark("ts", "2 hours")
       .filter(hour(col("ts")) < 8 || hour(col("ts")) > 18)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("user_id"))
@@ -148,7 +159,7 @@ object EventStream {
     * the batch exact-dedup operator (DedupOps.qDedupExact).
     */
   def dedupEvents(events: DataFrame): DataFrame =
-    events
+    cleanStream(events)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -158,7 +169,7 @@ object EventStream {
     * State is (window × bursty user) only; the filter runs pre-shuffle.
     */
   def errorBursts(events: DataFrame, minCount: Int = 3): DataFrame =
-    events
+    cleanStream(events)
       .withWatermark("ts", "2 hours")
       .filter(col("event_type") === "error")
       .groupBy(window(col("ts"), "5 minutes", "1 minute").as("w"), col("user_id"))
@@ -179,7 +190,7 @@ object EventStream {
       ratioThreshold: Double = 0.3): DataFrame = {
     val base = userBaseline.select(col("user_id"),
       col("after_hours_ratio"), col("total_activities"))
-    events
+    cleanStream(events)
       .filter(hour(col("ts")) < 8 || hour(col("ts")) > 18)
       .join(base, Seq("user_id"), "inner")
       .filter(col("after_hours_ratio") >= ratioThreshold)
@@ -197,7 +208,7 @@ object EventStream {
     * the time bound a stream-stream inner join must buffer forever.)
     */
   def purchaseLinkedErrors(events: DataFrame): DataFrame = {
-    val errors = events.filter(col("event_type") === "error")
+    val errors = cleanStream(events).filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts").as("error_ts"),
         col("user_id"))
       .withWatermark("error_ts", "2 hours")
@@ -222,7 +233,7 @@ object EventStream {
     * State stays bounded exactly as in the inner join.
     */
   def orphanErrors(events: DataFrame): DataFrame = {
-    val errors = events.filter(col("event_type") === "error")
+    val errors = cleanStream(events).filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts").as("error_ts"),
         col("user_id"))
       .withWatermark("error_ts", "2 hours")
