@@ -79,6 +79,9 @@ object SparkEntry {
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
     "q_weekly_retention" -> (RelationalOps.qWeeklyRetention _),
     "q_rfm" -> (RelationalOps.qRfm _),
+    "q_cumulative_users" -> (RelationalOps.qCumulativeUsers _),
+    "q_pareto_users" -> (RelationalOps.qParetoUsers _),
+    "q_dau_wau" -> (RelationalOps.qDauWau _),
     "q_funnel3" -> (RelationalOps.qFunnel3 _),
     "q_assoc_rules" -> (RelationalOps.qAssocRules _),
     "q_skyline" -> (RelationalOps.qSkyline _),
@@ -918,6 +921,41 @@ object SparkEntry {
            CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM dev JOIN mad ON event_type = aet
          GROUP BY event_type ORDER BY event_type""",
+    "q_cumulative_users" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+             FROM events GROUP BY 1),
+         daily AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users
+             FROM fs GROUP BY 1)
+         SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+         FROM daily ORDER BY day""",
+    "q_pareto_users" ->
+      """WITH t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY 1),
+         r AS (SELECT user_id, n,
+             CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rk,
+             CAST(sum(n) OVER (ORDER BY n DESC, user_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+         g AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_users FROM t),
+         th AS (SELECT unnest([5000, 8000, 9000]) AS threshold_bp)
+         SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
+           min(rk) AS users_needed, any_value(n_users) AS n_users,
+           round(min(rk)::DOUBLE / any_value(n_users)::DOUBLE, 4) AS user_fraction
+         FROM r CROSS JOIN g CROSS JOIN th
+         WHERE cum * 10000 >= threshold_bp * total
+         GROUP BY 1 ORDER BY threshold_bp""",
+    "q_dau_wau" ->
+      """WITH grid AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         mx AS (SELECT max(d) AS max_d FROM grid),
+         dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM grid GROUP BY 1),
+         ex AS (SELECT DISTINCT user_id, d + CAST(off AS INTEGER) AS td
+                FROM grid CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+                CROSS JOIN mx WHERE d + CAST(off AS INTEGER) <= max_d),
+         wau AS (SELECT td, CAST(count(*) AS BIGINT) AS wau FROM ex GROUP BY 1)
+         SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau,
+           round(dau::DOUBLE / wau::DOUBLE, 4) AS stickiness
+         FROM dau JOIN wau ON d = td ORDER BY day""",
     "q_weekly_retention" ->
       """WITH fw AS (
            SELECT user_id, date_trunc('week', min(ts)) AS cohort

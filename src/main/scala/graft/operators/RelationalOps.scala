@@ -1391,6 +1391,85 @@ object RelationalOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Cumulative-user growth curve: per day, how many users appeared for
+    * the FIRST time and the running total — the "total registered users"
+    * chart. First-seen day is one user-keyed min; the daily rollup is
+    * |days| rows, so the running sum's single-partition window is over a
+    * bounded frame (days, not users, and never the raw log).
+    */
+  def qCumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = events(spark, dir)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d"))
+    val w = Window.orderBy(col("d"))
+    firstSeen.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Pareto concentration of activity: the smallest number of users that
+    * covers 50% / 80% / 90% of all events — "do 20% of the users produce
+    * 80% of the activity?". Per-user totals (one shuffle), ranked by a
+    * deterministic (count desc, user) order; the coverage test
+    * `cum·10000 ≥ threshold_bp·total` is pure integer arithmetic, so the
+    * boundary user is engine-exact. The ranking window runs over the
+    * AGGREGATED per-user frame (|users| rows); at extreme user counts
+    * the same question is answered approximately from a count-histogram
+    * sketch — this is the exact path.
+    */
+  def qParetoUsers(spark: SparkSession, dir: String): DataFrame = {
+    val totals = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val ranked = totals
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(w))
+    val grand = totals.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_users"))
+    val th = Seq(5000L, 8000L, 9000L)
+    ranked.crossJoin(broadcast(grand))
+      .select(col("rk"), col("cum"), col("total"), col("n_users"),
+        explode(array(th.map(lit(_)): _*)).as("threshold_bp"))
+      .filter(col("cum") * 10000L >= col("threshold_bp") * col("total"))
+      .groupBy(col("threshold_bp"))
+      .agg(min(col("rk")).as("users_needed"), first(col("n_users")).as("n_users"))
+      .select(col("threshold_bp"), col("users_needed"), col("n_users"),
+        round(col("users_needed").cast("double") / col("n_users").cast("double"), 4)
+          .as("user_fraction"))
+      .orderBy(col("threshold_bp"))
+  }
+
+  /** DAU / trailing-7-day WAU / stickiness per day — the engagement
+    * triple every product dashboard leads with. Rolling DISTINCT doesn't
+    * decompose into a window aggregate, so the scalable shape is: the
+    * distinct (user, day) grid exploded to the 7 target days each
+    * activity supports, then ONE distinct-count per target day — fan-out
+    * is a fixed ×7 of the (already tiny) grid, never of the raw log.
+    * Days outside the observed range are clipped; stickiness divides two
+    * exact longs.
+    */
+  def qDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val grid = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val maxDay = grid.agg(max(col("d")).as("max_d"))
+    val dau = grid.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = grid
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("d"))
+      .select(col("user_id"), expr("date_add(d, off)").as("td"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("td") <= col("max_d"))
+      .select(col("user_id"), col("td")).distinct()
+      .groupBy(col("td")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("d") === col("td"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly cohort retention: users grouped by first-activity week, and
     * for each (cohort, weeks-since) cell the share still active — the
     * product-analytics triangle chart. Three aggregations, all keyed by

@@ -659,6 +659,43 @@ class RelationalOpsSpec extends SparkSpec {
       assert(sky.exists(s => dominates(s, p)), s"$p escapes the frontier")
   }
 
+  test("qCumulativeUsers: running total is monotone and ends at the distinct-user count") {
+    val rows = RelationalOps.qCumulativeUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+    assert(cums.last === rows.map(_.getAs[Long]("new_users")).sum)
+    val distinctUsers = Tables.cleanEvents(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cums.last === distinctUsers)
+  }
+
+  test("qParetoUsers: coverage thresholds need monotonically more users, verified directly") {
+    val rows = RelationalOps.qParetoUsers(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("threshold_bp")).toSeq === Seq(5000L, 8000L, 9000L))
+    val needed = rows.map(_.getAs[Long]("users_needed"))
+    assert(needed.zip(needed.tail).forall { case (a, b) => b >= a })
+    // direct check at 80%: top-k users' events really cover >= 80%, and
+    // top-(k-1) do not
+    val totals = Tables.cleanEvents(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy { case (u, n) => (-n, u) }.map(_._2)
+    val total = totals.sum
+    val k = rows(1).getAs[Long]("users_needed").toInt
+    assert(totals.take(k).sum * 10000L >= 8000L * total)
+    assert(k == 1 || totals.take(k - 1).sum * 10000L < 8000L * total)
+  }
+
+  test("qDauWau: DAU never exceeds WAU; stickiness in (0,1]") {
+    val rows = RelationalOps.qDauWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0 && s <= 1.0)
+    }
+  }
+
   test("qWeeklyRetention: offset-0 retention is 1.0 and later offsets never exceed the cohort") {
     val rows = RelationalOps.qWeeklyRetention(spark, sf).collect()
     assert(rows.nonEmpty)
