@@ -319,13 +319,27 @@ object SparkEntry {
     "(SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL" +
       " AND event_type IS NOT NULL)"
   private val eventsRef = """(FROM|JOIN) events\b( e\b)?""".r
-  private val cleanExempt = Set("q_profile")
+  // q_profile and q_dq_checks measure the dirty rows themselves (null
+  // counts, raw rowcounts) — the policy would blind them on both sides.
+  private val cleanExempt = Set("q_profile", "q_dq_checks")
 
-  private def withCleanEvents(sql: String): String =
-    eventsRef.replaceAllIn(sql, m => {
+  private def withCleanEvents(sql: String): String = {
+    val out = eventsRef.replaceAllIn(sql, m => {
       val alias = Option(m.group(2)).getOrElse(" events")
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} $cleanEventsSub$alias")
     })
+    // LOUD failure beats silent policy divergence: the only `events`
+    // references allowed to survive the rewrite are the ones inside the
+    // injected policy subquery itself (recognizable by their WHERE).
+    // An oracle written as `from events` / `FROM events AS x` / any form
+    // the restrictive pattern above doesn't cover trips this at startup,
+    // instead of quietly shipping an un-policied oracle.
+    val leftover = """(?i)\b(from|join)\s+events\b""".r.findAllMatchIn(out)
+      .count(m => !out.startsWith(" WHERE user_id IS NOT NULL", m.end))
+    require(leftover == 0,
+      s"oracle SQL has an events reference the null-policy rewrite missed:\n$sql")
+    out
+  }
 
   def oracleSql: Map[String, String] = rawOracleSql.map {
     case (k, v) if cleanExempt(k) => k -> v

@@ -724,7 +724,11 @@ object RelationalOps {
     * 100 TB ingest runs BEFORE publishing a partition.
     */
   def qDqChecks(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
+    // RAW events, like qProfile: the DQ gate's job is to MEASURE the
+    // dirty rows (null rates, row counts) before anything drops them —
+    // reading through cleanEvents would make its null-rate check
+    // structurally zero. Its oracle is exempt from the policy rewrite.
+    val e = graft.Tables.events(spark, dir)
     def check(name: String, metricDf: DataFrame, pass: Column => Column): DataFrame =
       metricDf.select(lit(name).as("check_name"), r4(col("metric")).as("metric"),
         pass(col("metric")).cast("long").as("passed"))

@@ -66,7 +66,11 @@ object EventStream {
     * face of [[graft.Tables.cleanEvents]], so batch/stream twins agree on
     * dirty data. Filters only the critical columns PRESENT in the frame
     * (test harness frames may carry partial schemas; production streams
-    * carry the full one).
+    * carry the full one). CAVEAT of that leniency: a renamed/dropped
+    * critical column silently disables its check — a production
+    * deployment should pin the source schema (readStream .schema(...))
+    * so drift fails at the source, not here; each operator still fails
+    * fast on the columns it actually selects.
     */
   private def cleanStream(df: DataFrame): DataFrame =
     Seq("user_id", "ts", "event_type").filter(df.columns.contains)
@@ -208,11 +212,12 @@ object EventStream {
     * the time bound a stream-stream inner join must buffer forever.)
     */
   def purchaseLinkedErrors(events: DataFrame): DataFrame = {
-    val errors = cleanStream(events).filter(col("event_type") === "error")
+    val ev = cleanStream(events) // gate BOTH join sides, not just errors
+    val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts").as("error_ts"),
         col("user_id"))
       .withWatermark("error_ts", "2 hours")
-    val purchases = events.filter(col("event_type") === "purchase")
+    val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
         col("user_id").as("p_user"))
       .withWatermark("purchase_ts", "2 hours")
@@ -233,11 +238,12 @@ object EventStream {
     * State stays bounded exactly as in the inner join.
     */
   def orphanErrors(events: DataFrame): DataFrame = {
-    val errors = cleanStream(events).filter(col("event_type") === "error")
+    val ev = cleanStream(events) // gate BOTH join sides, not just errors
+    val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts").as("error_ts"),
         col("user_id"))
       .withWatermark("error_ts", "2 hours")
-    val purchases = events.filter(col("event_type") === "purchase")
+    val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
         col("user_id").as("p_user"))
       .withWatermark("purchase_ts", "2 hours")
@@ -509,7 +515,7 @@ object EventStream {
   def topResourcesStream(events: DataFrame, shards: Int = 8,
       capacity: Int = 64): Dataset[ShardTopK] = {
     import events.sparkSession.implicits._
-    events
+    cleanStream(events)
       .withColumn("resource", get_json_object(col("props"), "$.k"))
       .filter(col("resource").isNotNull)
       .select(col("resource")).as[String]
@@ -572,7 +578,7 @@ object EventStream {
     */
   def sinkCdcUpsert(events: DataFrame, path: String, checkpoint: String,
       buckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
-    events
+    cleanStream(events)
       .withColumn("resource", get_json_object(col("props"), "$.k"))
       .filter(col("resource").isNotNull)
       .select(col("user_id"), col("resource"), col("ts"), col("event_id"),
