@@ -186,6 +186,52 @@ class SourcesFunctionsSpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() === 0)
   }
 
+  test("writeZOrdered: every file covers a sub-rectangle on BOTH dims; single-key sort does not") {
+    val s = spark
+    val base = Tables.cleanEvents(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).cast("long").as("day_idx"))
+      .filter(col("day_idx") >= 0)
+    val zDir = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath
+    val rDir = Files.createTempDirectory("graft-range1d").toFile.getAbsolutePath
+    LogSources.writeZOrdered(base, "user_id", "day_idx", bits = 8, files = 16, zDir)
+    LogSources.writeRangeClustered(base, "user_id", 16, rDir)
+    def extents(dir: String): Array[((Double, Double), (Double, Double))] =
+      s.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(min("user_id").cast("double").as("ulo"), max("user_id").cast("double").as("uhi"),
+          min("day_idx").cast("double").as("dlo"), max("day_idx").cast("double").as("dhi"))
+        .collect()
+        .map(r => ((r.getAs[Double]("ulo"), r.getAs[Double]("uhi")),
+          (r.getAs[Double]("dlo"), r.getAs[Double]("dhi"))))
+    // operational claim, asserted the way a reader would use the footer
+    // stats: how many files could a single-dimension point predicate
+    // skip? (file skipped ⇔ point outside the file's [min,max] interval)
+    def filesHit(ranges: Array[((Double, Double), (Double, Double))],
+        dim: Int, point: Double): Int =
+      ranges.count { case ((ulo, uhi), (dlo, dhi)) =>
+        if (dim == 0) ulo <= point && point <= uhi
+        else dlo <= point && point <= dhi
+      }
+    val medUser = base.stat.approxQuantile("user_id", Array(0.5), 0.0)(0)
+    val medDay = base.stat.approxQuantile("day_idx", Array(0.5), 0.0)(0)
+    val zR = extents(zDir); val rR = extents(rDir)
+    val n = zR.length
+    // 1-D user sort: near-perfect skipping on user, NONE on day
+    assert(filesHit(rR, 0, medUser) <= 2,
+      "1-D layout should isolate a user to <= 2 files")
+    assert(filesHit(rR, 1, medDay) >= (7 * n) / 8,
+      "1-D layout can't meaningfully skip on the unsorted day dim")
+    // Z-order: meaningful skipping on BOTH dims (neither is perfect,
+    // neither is zero — that's the trade the curve makes)
+    assert(filesHit(zR, 0, medUser) <= (3 * n) / 4,
+      s"Z-order skips nothing on user: ${filesHit(zR, 0, medUser)}/$n files hit")
+    assert(filesHit(zR, 1, medDay) <= (3 * n) / 4,
+      s"Z-order skips nothing on day: ${filesHit(zR, 1, medDay)}/$n files hit")
+  }
+
   test("RewriteIntersectSize: size∘array_intersect plans the fused kernel, same answers") {
     val s = spark
     import s.implicits._
