@@ -79,6 +79,7 @@ object SparkEntry {
     "q_grouping_sets" -> (RelationalOps.qGroupingSets _),
     "q_weekly_retention" -> (RelationalOps.qWeeklyRetention _),
     "q_rfm" -> (RelationalOps.qRfm _),
+    "q_attribution" -> (RelationalOps.qAttribution _),
     "q_cumulative_users" -> (RelationalOps.qCumulativeUsers _),
     "q_pareto_users" -> (RelationalOps.qParetoUsers _),
     "q_dau_wau" -> (RelationalOps.qDauWau _),
@@ -935,6 +936,20 @@ object SparkEntry {
            CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM dev JOIN mad ON event_type = aet
          GROUP BY event_type ORDER BY event_type""",
+    "q_attribution" ->
+      """WITH c AS (
+           SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+           FROM events),
+         p AS (SELECT channel FROM c
+               WHERE event_type = 'purchase' AND channel IS NOT NULL),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM p)
+         SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+           round(count(*)::DOUBLE / any_value(total)::DOUBLE, 4) AS share
+         FROM p CROSS JOIN t
+         GROUP BY channel ORDER BY conversions DESC, channel""",
     "q_cumulative_users" ->
       """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
              FROM events GROUP BY 1),

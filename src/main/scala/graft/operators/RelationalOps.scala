@@ -1395,6 +1395,34 @@ object RelationalOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Last-touch conversion attribution: each purchase is credited to the
+    * most recent PRIOR non-purchase event type in the user's stream (the
+    * "channel" that closed the sale), then rolled up to per-channel
+    * conversion counts and shares. One ignore-nulls `last()` window over
+    * the user partition does the credit assignment — the window and
+    * nothing else touches the raw log, and the rollup is |channels|
+    * rows. Deterministic: full (ts, event_id) ordering, exact-long
+    * share division.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val credited = events(spark, dir)
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+    val total = credited.agg(count(lit(1)).as("total"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"))
+      .crossJoin(broadcast(total))
+      .select(col("channel"), col("conversions"),
+        round(col("conversions").cast("double") / col("total").cast("double"), 4)
+          .as("share"))
+      .orderBy(col("conversions").desc, col("channel"))
+  }
+
   /** Cumulative-user growth curve: per day, how many users appeared for
     * the FIRST time and the running total — the "total registered users"
     * chart. First-seen day is one user-keyed min; the daily rollup is

@@ -659,6 +659,30 @@ class RelationalOpsSpec extends SparkSpec {
       assert(sky.exists(s => dominates(s, p)), s"$p escapes the frontier")
   }
 
+  test("qAttribution: shares sum to 1, purchase never credits itself, counts reconcile") {
+    val rows = RelationalOps.qAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("channel") != "purchase"))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.001)
+    // credited purchases = purchases that have ANY prior non-purchase event
+    val ev = Tables.cleanEvents(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val credited = ev.groupBy(_._1).values.map { g =>
+      // full-precision event-time order (seconds, sub-second nanos, id)
+      // — getTime alone is millis and could misorder micro ties
+      val sorted = g.sortBy(e => (e._2.getTime / 1000, e._2.getNanos, e._3))
+      var lastNp: String = null
+      var n = 0
+      for (e <- sorted) {
+        if (e._4 == "purchase" && lastNp != null) n += 1
+        if (e._4 != "purchase") lastNp = e._4
+      }
+      n
+    }.sum
+    assert(rows.map(_.getAs[Long]("conversions")).sum === credited)
+  }
+
   test("qCumulativeUsers: running total is monotone and ends at the distinct-user count") {
     val rows = RelationalOps.qCumulativeUsers(spark, sf).collect()
     assert(rows.nonEmpty)
