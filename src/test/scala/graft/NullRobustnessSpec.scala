@@ -48,7 +48,12 @@ class NullRobustnessSpec extends SparkSpec {
     "q_rfm" -> (RelationalOps.qRfm _),
     "q_weekly_retention" -> (RelationalOps.qWeeklyRetention _),
     "q_twap" -> (RelationalOps.qTwap _),
-    "q_ohlc" -> (RelationalOps.qOhlc _))
+    "q_ohlc" -> (RelationalOps.qOhlc _),
+    "q_attribution" -> (RelationalOps.qAttribution _),
+    "q_cumulative_users" -> (RelationalOps.qCumulativeUsers _),
+    "q_pareto_users" -> (RelationalOps.qParetoUsers _),
+    "q_dau_wau" -> (RelationalOps.qDauWau _),
+    "q_holt_forecast" -> (ThreatOps.qHoltForecast _))
 
   test("every events-only operator survives 7% nulls in user_id/props/value/ts, deterministically") {
     for ((name, fn) <- eventQueries) {
