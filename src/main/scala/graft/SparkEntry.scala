@@ -335,8 +335,10 @@ object SparkEntry {
     // An oracle written as `from events` / `FROM events AS x` / any form
     // the restrictive pattern above doesn't cover trips this at startup,
     // instead of quietly shipping an un-policied oracle.
+    val policyTail = " WHERE user_id IS NOT NULL AND ts IS NOT NULL" +
+      " AND event_type IS NOT NULL)"
     val leftover = """(?i)\b(from|join)\s+events\b""".r.findAllMatchIn(out)
-      .count(m => !out.startsWith(" WHERE user_id IS NOT NULL", m.end))
+      .count(m => !out.startsWith(policyTail, m.end))
     require(leftover == 0,
       s"oracle SQL has an events reference the null-policy rewrite missed:\n$sql")
     out

@@ -1408,15 +1408,18 @@ object RelationalOps {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val credited = events(spark, dir)
+    val perChannel = events(spark, dir)
       .withColumn("channel",
         last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
           .over(w))
       .filter(col("event_type") === "purchase" && col("channel").isNotNull)
-    val total = credited.agg(count(lit(1)).as("total"))
-    credited.groupBy(col("channel"))
+      .groupBy(col("channel"))
       .agg(count(lit(1)).as("conversions"))
-      .crossJoin(broadcast(total))
+    // denominator from the |channels|-row rollup itself — the windowed
+    // log is scanned ONCE, no second branch, no one-row cross join
+    val all = Window.partitionBy()
+    perChannel
+      .withColumn("total", sum(col("conversions")).over(all))
       .select(col("channel"), col("conversions"),
         round(col("conversions").cast("double") / col("total").cast("double"), 4)
           .as("share"))

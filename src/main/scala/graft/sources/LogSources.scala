@@ -117,21 +117,31 @@ object LogSources {
       .write.mode("overwrite")
       .parquet(path)
 
-  /** Morton (Z-order) bit interleave of two non-negative long columns:
-    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1, using the
-    * low `bits` bits of each (values are clamped into range first so an
-    * outlier can't alias a distant cell). Pure column arithmetic —
-    * codegen'd, no UDF.
+  /** Morton (Z-order) bit interleave of two long columns already scaled
+    * into `[0, 2^bits)`: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. Pure column arithmetic — codegen'd, no UDF.
     */
   private[graft] def mortonKey(a: Column, b: Column, bits: Int): Column = {
     val mask = (1L << bits) - 1
-    val ca = least(greatest(a, lit(0L)), lit(mask)).bitwiseAND(lit(mask))
-    val cb = least(greatest(b, lit(0L)), lit(mask)).bitwiseAND(lit(mask))
+    val ca = least(greatest(a, lit(0L)), lit(mask))
+    val cb = least(greatest(b, lit(0L)), lit(mask))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
+
+  /** Min-max scale a long column into the `bits`-wide cell grid. Without
+    * this, any key domain wider than 2^bits would clamp into the top
+    * cell and the curve would silently degenerate to a 1-D sort on the
+    * other dimension.
+    */
+  private def scaleToGrid(v: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val mask = (1L << bits) - 1
+    if (hi <= lo) lit(0L)
+    else least(lit(mask),
+      ((v - lit(lo)).cast("double") * mask / (hi - lo).toDouble).cast("long"))
   }
 
   /** Z-order-clustered parquet sink: range-partition + sort on the Morton
@@ -147,7 +157,16 @@ object LogSources {
     */
   def writeZOrdered(df: DataFrame, keyA: String, keyB: String, bits: Int,
       files: Int, path: String): Unit = {
-    val z = mortonKey(col(keyA).cast("long"), col(keyB).cast("long"), bits)
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // one tiny aggregate fixes the grid: each dimension min-max scales
+    // into its 2^bits cells, so ANY key domain (user ids in the billions,
+    // epoch days) uses the full curve instead of clamping into one cell
+    val r = df.agg(min(col(keyA)).cast("long"), max(col(keyA)).cast("long"),
+      min(col(keyB)).cast("long"), max(col(keyB)).cast("long")).head
+    val z = mortonKey(
+      scaleToGrid(col(keyA).cast("long"), r.getLong(0), r.getLong(1), bits),
+      scaleToGrid(col(keyB).cast("long"), r.getLong(2), r.getLong(3), bits),
+      bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))

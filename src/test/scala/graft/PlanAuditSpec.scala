@@ -26,9 +26,8 @@ class PlanAuditSpec extends SparkSpec {
       // q_skyline's dominance refine is a non-equi anti-join over the
       // candidate frontier — O(skyline), not O(n), by construction
       "q_skyline",
-      // one-row broadcast crosses: the grand-total row / the max-day row /
-      // the attribution total
-      "q_pareto_users", "q_dau_wau", "q_attribution")
+      // one-row broadcast crosses: the grand-total row / the max-day row
+      "q_pareto_users", "q_dau_wau")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -217,19 +217,21 @@ class SourcesFunctionsSpec extends SparkSpec {
       }
     val medUser = base.stat.approxQuantile("user_id", Array(0.5), 0.0)(0)
     val medDay = base.stat.approxQuantile("day_idx", Array(0.5), 0.0)(0)
+    // each layout's thresholds scale by ITS OWN file count —
+    // repartitionByRange may emit different counts for the two layouts
     val zR = extents(zDir); val rR = extents(rDir)
-    val n = zR.length
+    val zn = zR.length; val rn = rR.length
     // 1-D user sort: near-perfect skipping on user, NONE on day
     assert(filesHit(rR, 0, medUser) <= 2,
       "1-D layout should isolate a user to <= 2 files")
-    assert(filesHit(rR, 1, medDay) >= (7 * n) / 8,
+    assert(filesHit(rR, 1, medDay) >= (7 * rn) / 8,
       "1-D layout can't meaningfully skip on the unsorted day dim")
     // Z-order: meaningful skipping on BOTH dims (neither is perfect,
     // neither is zero — that's the trade the curve makes)
-    assert(filesHit(zR, 0, medUser) <= (3 * n) / 4,
-      s"Z-order skips nothing on user: ${filesHit(zR, 0, medUser)}/$n files hit")
-    assert(filesHit(zR, 1, medDay) <= (3 * n) / 4,
-      s"Z-order skips nothing on day: ${filesHit(zR, 1, medDay)}/$n files hit")
+    assert(filesHit(zR, 0, medUser) <= (3 * zn) / 4,
+      s"Z-order skips nothing on user: ${filesHit(zR, 0, medUser)}/$zn files hit")
+    assert(filesHit(zR, 1, medDay) <= (3 * zn) / 4,
+      s"Z-order skips nothing on day: ${filesHit(zR, 1, medDay)}/$zn files hit")
   }
 
   test("RewriteIntersectSize: size∘array_intersect plans the fused kernel, same answers") {
