@@ -320,6 +320,23 @@ object DedupOps {
   val ContainmentAnchors = 5
   val ContainmentMin = 0.5
 
+  /** Hot-shingle document-frequency cap for [[qContainment]]'s inverted
+    * index. A shingle present in more than this many documents (license
+    * header, templated boilerplate) fans the anchor⋈postings join out by
+    * k·df while carrying no containment signal of its own — one
+    * planet-hot key dominates the join exactly like a hot resource
+    * dominates the co-access pair fold, and it gets the same treatment:
+    * df is counted per shingle hash and postings with df > cap are
+    * dropped BEFORE the anchor join (mirror of
+    * [[ThreatOps.coaccessPairFrameUncached]]'s degree cap). Pairs whose
+    * ONLY shared shingles are capped become a recall lower bound —
+    * acceptable, because a boilerplate-only overlap is the near-dup
+    * you'd want to ignore anyway. The cap sits above any possible df at
+    * oracle scale (sf0.01 has 500 documents, so df ≤ 500 < 1000), so
+    * the correctness gate stays exact while the 100 TB plan is bounded.
+    */
+  val ContainmentDfCap = 1000
+
   /** ASYMMETRIC near-dup detection: shingle containment
     * `C(A,B) = |A∩B| / |A|` — catches a document EMBEDDED in a larger one
     * (quote, concatenation, boilerplate wrapper), which Jaccard dilutes
@@ -331,8 +348,9 @@ object DedupOps {
     * hashes. If A ⊆ B then every anchor of A appears in B — candidate
     * recall for true containment is guaranteed, unlike anchor-vs-anchor
     * (B's own minima may all lie in its non-shared bulk). Fan-out is
-    * k·df(anchor); a planet-hot boilerplate shingle would get the same
-    * df cap as hot co-access resources. Exact set arithmetic verifies.
+    * k·df(anchor), with df bounded by [[ContainmentDfCap]] (hot
+    * boilerplate shingles are dropped from the postings list before the
+    * join). Exact set arithmetic verifies.
     */
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
     // Pinned: the shingle-hash frame is consumed FOUR times (anchors,
@@ -342,9 +360,28 @@ object DedupOps {
         .select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("h"))
         .filter(size(col("h")) > 0)
     }
+    containmentPairs(d, ContainmentDfCap)
+  }
+
+  /** Anchor⋈postings containment over a `(doc_id, h: array<long>)`
+    * shingle frame with the hot-shingle df cap applied to the postings
+    * side (see [[ContainmentDfCap]]). Package-visible so the spec can
+    * plant a hot shingle and assert the candidate bound directly.
+    * Verification (the array_intersect arithmetic) runs on the FULL
+    * shingle arrays — the cap gates candidate GENERATION only, so any
+    * pair that survives is scored exactly.
+    */
+  private[graft] def containmentPairs(d: DataFrame, dfCap: Int): DataFrame = {
     val anch = d.select(col("doc_id"),
       explode(slice(array_sort(col("h")), 1, ContainmentAnchors)).as("a"))
-    val postings = d.select(col("doc_id"), explode(col("h")).as("hh"))
+    val allPostings = d.select(col("doc_id"), explode(col("h")).as("hh"))
+    // df per shingle hash — rows are already distinct per (doc, hash)
+    // because h is array_distinct'd, so count(*) IS document frequency.
+    // The hot set is tiny by construction (only keys beyond the cap), so
+    // the anti-join broadcasts it; the cold postings never re-shuffle.
+    val hot = allPostings.groupBy(col("hh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("hh"))
+    val postings = allPostings.join(broadcast(hot), Seq("hh"), "left_anti")
     val cands = anch.as("x").join(postings.as("y"),
         col("x.a") === col("y.hh") && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),

@@ -271,4 +271,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("c_ab") === 1.0)  // small fully contained
     assert(r.getAs[Double]("c_ba") < 0.1)    // Jaccard-style view is diluted
   }
+
+  test("qContainment df cap bounds a planted hot shingle's candidate fan-out") {
+    val s = spark; import s.implicits._
+    // 200 docs whose ONLY shingle is the planet-hot 999 (pure boilerplate:
+    // every pair is a 1.0-containment hit if the hot key reaches the
+    // join), plus one genuine containment pair on cold shingles.
+    val hotDocs = (0L until 200L).map(i => (i, Seq(999L)))
+    val coldPair = Seq(
+      (500L, (1L to 10L).toSeq :+ 999L),
+      (501L, (1L to 20L).toSeq :+ 999L))
+    val d = (hotDocs ++ coldPair).toDF("doc_id", "h")
+    // Capped: the hot shingle's postings are dropped, so the 200-doc
+    // clique (C(200,2) = 19900 pairs) never reaches candidate
+    // generation; the genuine pair still meets on its cold anchors, and
+    // its score still counts the hot shingle (verify uses full arrays).
+    val capped = DedupOps.containmentPairs(d, dfCap = 50).collect()
+    assert(capped.length === 1, s"expected only the cold pair, got ${capped.length}")
+    assert(capped(0).getAs[Long]("doc_a") === 500L)
+    assert(capped(0).getAs[Long]("doc_b") === 501L)
+    assert(capped(0).getAs[Double]("c_ab") === 1.0) // (10 cold + hot) / 11
+    // Uncapped control: the same frame explodes into the full hot clique
+    // (all 202 docs share 999 → C(202,2) pairs) — proving the cap, not
+    // the data, is what bounds the fan-out.
+    val uncapped = DedupOps.containmentPairs(d, dfCap = Int.MaxValue).count()
+    assert(uncapped === 202L * 201L / 2L)
+  }
 }
