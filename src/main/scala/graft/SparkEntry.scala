@@ -162,6 +162,11 @@ object SparkEntry {
     "q_supervised_svc" -> (MLOps.qSupervisedSvc _),
     "q_recon_error" -> (MLOps.qReconError _),
     "q_density_outlier" -> (MLOps.qDensityOutlier _),
+    "q_roc_auc" -> (MLOps.qRocAuc _),
+    "q_model_report" -> (MLOps.qModelReport _),
+    "q_iforest_score" -> (MLOps.qIforestScore _),
+    "q_silhouette" -> (MLOps.qSilhouette _),
+    "q_rfm_approx" -> (RelationalOps.qRfmApprox _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -496,6 +501,31 @@ object SparkEntry {
               THEN 1 ELSE 0 END::BIGINT AS is_outlier
           FROM fl ORDER BY user_id"""
     },
+    "q_roc_auc" ->
+      """WITH e AS (
+           SELECT vec_id,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS truth,
+             round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))), 4) AS l2,
+             round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 4) AS mx
+           FROM embeddings),
+         s AS (
+           SELECT 'l2_norm' AS detector, truth, l2 AS score FROM e
+           UNION ALL
+           SELECT 'max_abs' AS detector, truth, mx AS score FROM e),
+         r AS (
+           SELECT detector, truth,
+             rank() OVER (PARTITION BY detector ORDER BY score)
+               + (count(*) OVER (PARTITION BY detector, score) - 1) / 2.0 AS arank
+           FROM s),
+         a AS (
+           SELECT detector,
+             CAST(sum(truth) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(truth) AS BIGINT) AS n_neg,
+             sum(CASE WHEN truth = 1 THEN arank ELSE 0 END) AS rpos
+           FROM r GROUP BY detector)
+         SELECT detector, n_pos, n_neg,
+           round((rpos - n_pos*(n_pos+1)/2.0) / (n_pos * n_neg), 4) AS auc
+         FROM a ORDER BY detector""",
     "q_eval_metrics" ->
       """WITH e AS (
            SELECT vec_id,
@@ -1012,7 +1042,7 @@ object SparkEntry {
          rfm AS (
            SELECT user_id, max(ts) AS last_ts,
              CAST(count(*) AS BIGINT) AS frequency,
-             round(sum(value), 2) AS monetary
+             sum(value::DECIMAL(12,2))::DOUBLE AS monetary
            FROM purch GROUP BY 1),
          scored AS (
            SELECT user_id,

@@ -77,10 +77,12 @@ object MLOps {
       col("user_id"), col("cnt"),
       r4(greatest(FeatureCols.map(f => abs(col(s"z_$f"))): _*)).as("anomaly_score"),
       r4(sqrt(FeatureCols.map(f => col(s"z_$f") * col(s"z_$f")).reduce(_ + _))).as("z_l2"))
-    val w = Window.orderBy(col("anomaly_score").desc, col("user_id").asc)
-    scored
+    // Two-phase exact rank (RankOps), not an unpartitioned window: the
+    // contamination cut must hold at user counts where one sort task won't.
+    RankOps.withGlobalRank(scored, "_rk",
+        Seq(col("anomaly_score").desc, col("user_id").asc))
       .withColumn("is_anomaly",
-        when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+        when(col("_rk") <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
       .select("user_id", "anomaly_score", "z_l2", "is_anomaly")
       .orderBy("user_id")
   }
@@ -88,18 +90,30 @@ object MLOps {
   /** Per-feature top-contamination flags: a user is an outlier when ≥2
     * features sit in their feature's top decile (exact rank, deterministic
     * tiebreak) — ref Comparaison_ML.py:132-170's per-feature thresholding.
+    *
+    * Scale shape: ONE two-phase exact-rank pass over the melted
+    * (feature, value, user) frame — 9 per-feature global windows
+    * collapsed into a single range-partitioned ranking whose per-feature
+    * rank is the global rank minus the feature's start offset (a 9-row
+    * broadcast). No unpartitioned window anywhere; the total row count
+    * is a 1-row broadcast, not a whole-frame window.
     */
   def qQuantileOutlier(spark: SparkSession, dir: String): DataFrame = {
     val uf = userFeatures(spark, dir)
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
-    val flagged = FeatureCols.foldLeft(uf) { (df, f) =>
-      val w = Window.orderBy(col(f).desc, col("user_id").asc)
-      df.withColumn(s"flag_$f",
-        when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
-    }
-    flagged
-      .withColumn("n_outlier_features",
-        FeatureCols.map(f => col(s"flag_$f")).reduce(_ + _))
+    val cnt = uf.agg(count(lit(1)).as("cnt"))
+    val melted = uf.select(col("user_id"), explode(array(FeatureCols.map(f =>
+        struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("x"))
+      .select(col("user_id"), col("x.feature").as("feature"), col("x.v").as("v"))
+    val ranked = RankOps.withGlobalRank(melted, "_grk",
+      Seq(col("feature").asc, col("v").desc, col("user_id").asc))
+    val starts = ranked.groupBy(col("feature")).agg(min(col("_grk")).as("_fstart"))
+    ranked.join(broadcast(starts), Seq("feature"))
+      .crossJoin(broadcast(cnt))
+      .withColumn("flag",
+        when(col("_grk") - col("_fstart") + 1 <= ceil(col("cnt") * Contamination), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("flag")).as("n_outlier_features"))
       .withColumn("is_outlier", when(col("n_outlier_features") >= 2, 1L).otherwise(0L))
       .select("user_id", "n_outlier_features", "is_outlier")
       .orderBy("user_id")
@@ -111,14 +125,17 @@ object MLOps {
     * ground truth: label 0 (≈10% of rows) is the anomalous class.
     */
   def qEvalMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
+    val scored = embeddings(spark, dir)
       .select(col("vec_id"),
         when(col("label") === 0, 1L).otherwise(0L).as("truth"),
         r4(l2norm(toDouble(col("embedding")))).as("score"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
-    val w = Window.orderBy(col("score").desc, col("vec_id").asc)
-    val pred = e.withColumn("pred",
-      when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+    val cnt = scored.agg(count(lit(1)).as("cnt"))
+    // Two-phase rank + 1-row count broadcast — no whole-frame window.
+    val pred = RankOps.withGlobalRank(scored, "_rk",
+        Seq(col("score").desc, col("vec_id").asc))
+      .crossJoin(broadcast(cnt))
+      .withColumn("pred",
+        when(col("_rk") <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
     pred.agg(
       sum(col("pred") * col("truth")).as("tp"),
       sum(col("pred") * (lit(1) - col("truth"))).as("fp"),
@@ -191,13 +208,16 @@ object MLOps {
       .orderBy("user_id")
   }
 
-  /** Majority vote across five detectors, mirroring the reference's
+  /** Majority vote across six detectors, mirroring the reference's
     * ensemble (Comparaison_ML.py:291-321 votes IsolationForest, OCSVM,
-    * KMeans, DBSCAN, autoencoder): here z-score/quantile stand in for the
-    * two threshold detectors, plus KMeans, density (DBSCAN-noise), and
-    * reconstruction error (autoencoder). All five are keyed by user_id —
-    * AQE sees the co-partitioning, so the joins add no exchange of a big
-    * side.
+    * KMeans, DBSCAN, autoencoder): z-score/quantile stand in for the
+    * OCSVM/threshold detectors, plus KMeans, density (DBSCAN-noise),
+    * reconstruction error (autoencoder), and the seeded
+    * isolation-forest analogue ([[qIforestScore]]) completing the
+    * member-for-member roster. All six are keyed by user_id — AQE sees
+    * the co-partitioning, so the joins add no exchange of a big side.
+    * The vote gate stays at ≥3 (at least half of six), matching the
+    * reference's ≥3-of-5 threshold on its five voters.
     */
   def qEnsembleVote(spark: SparkSession, dir: String): DataFrame = {
     val z = qZscoreAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_z"))
@@ -205,8 +225,10 @@ object MLOps {
     val k = qKmeansAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_k"))
     val d = qDensityOutlier(spark, dir).select(col("user_id"), col("is_noise").as("flag_d"))
     val r = qReconError(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_r"))
-    val flags = Seq("flag_z", "flag_q", "flag_k", "flag_d", "flag_r")
+    val i = qIforestScore(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_i"))
+    val flags = Seq("flag_z", "flag_q", "flag_k", "flag_d", "flag_r", "flag_i")
     z.join(q, "user_id").join(k, "user_id").join(d, "user_id").join(r, "user_id")
+      .join(i, "user_id")
       .withColumn("votes", flags.map(col).reduce(_ + _))
       .withColumn("is_anomaly", when(col("votes") >= 3, 1L).otherwise(0L))
       .select((Seq(col("user_id")) ++ flags.map(col) ++
@@ -231,7 +253,7 @@ object MLOps {
         col("weekend_ratio"), col("activity_entropy"), col("temporal_entropy"),
         col("anomaly_score"), col("z_l2"), col("pc1"), col("pc2"),
         col("flag_z"), col("flag_q"), col("flag_k"), col("flag_d"), col("flag_r"),
-        col("votes"), col("is_anomaly"))
+        col("flag_i"), col("votes"), col("is_anomaly"))
       .orderBy(col("user_id"))
   }
 
@@ -292,11 +314,12 @@ object MLOps {
     }.reduce(_ + _)
     val err = graft.functions.VectorExpressions.dotProd(arr, arr) - projSq
     val scored = sf.select(col("user_id"), r4(err).as("recon_error"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
-    val w = Window.orderBy(col("recon_error").desc, col("user_id").asc)
-    scored
+    val cnt = scored.agg(count(lit(1)).as("cnt"))
+    RankOps.withGlobalRank(scored, "_rk",
+        Seq(col("recon_error").desc, col("user_id").asc))
+      .crossJoin(broadcast(cnt))
       .withColumn("is_anomaly",
-        when(row_number().over(w) <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+        when(col("_rk") <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
       .select("user_id", "recon_error", "is_anomaly")
       .orderBy("user_id")
   }
@@ -359,28 +382,44 @@ object MLOps {
       .orderBy(col("vec_id"))
   }
 
-  /** RandomForest(numTrees=50, seed=42) over the labeled embeddings
-    * (ref Comparaison_ML.py:551-707's supervised track). Deterministic
-    * hash split: vec_id % 5 == 0 is the 20% test fold.
+  /** RandomForest with cross-validated grid search over the labeled
+    * embeddings — the reference grid-searches its RF track too
+    * (Comparaison_ML.py:551+ GridSearchCV), so this one gets the same
+    * treatment as the SVC track: CrossValidator(3-fold, seed 42) over
+    * numTrees × maxDepth, F1-scored (the labels are multiclass). The
+    * CV folds and every candidate fit run as cluster jobs; only the
+    * winning params live on the driver. Deterministic hash split:
+    * vec_id % 5 == 0 is the 20% held-out test fold, never seen by CV.
+    * `prob_anomaly` (P of class 0, the anomalous class) feeds the
+    * consolidated model report's AUC head-to-head.
     */
   def qSupervisedRf(spark: SparkSession, dir: String): DataFrame =
     graft.Memo("rf", spark, dir) {
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val e = embeddings(spark, dir).select(
       col("vec_id"),
       col("label").cast("double").as("label"),
       array_to_vector(toDouble(col("embedding"))).as("fv"))
     val train = e.filter(col("vec_id") % 5 =!= 0)
     val test = e.filter(col("vec_id") % 5 === 0)
-    val model = new RandomForestClassifier()
-      .setNumTrees(50).setSeed(42)
+    val rf = new RandomForestClassifier().setSeed(42)
       .setFeaturesCol("fv").setLabelCol("label")
-      .fit(train)
-    model.transform(test)
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, Array(20, 50))
+      .addGrid(rf.maxDepth, Array(4, 6))
+      .build()
+    val cv = new CrossValidator().setEstimator(rf)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setMetricName("f1"))
+      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
+    cv.fit(train).transform(test)
       .select(col("vec_id"),
         col("label").cast("long").as("label"),
         col("prediction").cast("long").as("prediction"),
         r4(element_at(vector_to_array(col("probability")),
-          col("prediction").cast("int") + 1)).as("prob"))
+          col("prediction").cast("int") + 1)).as("prob"),
+        r4(element_at(vector_to_array(col("probability")), 1)).as("prob_anomaly"))
       .orderBy("vec_id")
   }
 
@@ -412,5 +451,192 @@ object MLOps {
         sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("event_type"))
+  }
+
+  /** Per-group Mann–Whitney AUC over a `(grp, truth, score)` frame:
+    * AUC = (Σ rank(pos) − n₊(n₊+1)/2) / (n₊·n₋) with average ranks for
+    * ties — the rank-sum identity that turns a ROC integral into pure
+    * aggregation. Scores are first grouped to (grp, score) tie groups
+    * (one shuffle, map-side combined), then ranked with ONE two-phase
+    * exact-rank pass over the grouped frame — no unpartitioned window,
+    * no per-row sort. The average rank of a tie group ending at
+    * cumulative position c with n members is c − n + (n+1)/2.
+    */
+  private[graft] def groupedAuc(df: DataFrame, grp: String): DataFrame = {
+    val g = df.groupBy(col(grp), col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("truth")).as("np"))
+    val ranked = RankOps.withGlobalRank(g, "_rk",
+      Seq(col(grp).asc, col("score").asc), cumSums = Seq(("_cum", col("n"))))
+    // Rows before each group's first score = that group's rank offset;
+    // min over the group of (cum − n) recovers it without a second sort.
+    val starts = ranked.groupBy(col(grp))
+      .agg(min(col("_cum") - col("n")).as("_before"))
+    ranked.join(broadcast(starts), Seq(grp))
+      .withColumn("_rpos", col("np") *
+        (col("_cum") - col("_before") - col("n") + (col("n") + lit(1)) / lit(2.0)))
+      .groupBy(col(grp))
+      .agg(sum(col("np")).as("_np"), sum(col("n")).as("_n"), sum(col("_rpos")).as("_r"))
+      .select(col(grp),
+        col("_np").cast("long").as("n_pos"),
+        (col("_n") - col("_np")).cast("long").as("n_neg"),
+        r4((col("_r") - col("_np") * (col("_np") + lit(1)) / lit(2.0))
+          / (col("_np") * (col("_n") - col("_np")))).as("auc"))
+  }
+
+  /** ROC AUC per detector — the reference's headline metric
+    * (Comparaison_ML.py:353-355: roc_curve + auc per model). Two
+    * deterministic detector scores over the labeled embeddings (L2
+    * norm and max-|component|, truth = label 0) ranked by the
+    * Mann–Whitney identity in [[groupedAuc]]; SQL-expressible, so this
+    * one is DuckDB-hash-oracled, unlike the fitted-model AUCs in
+    * [[qModelReport]].
+    */
+  def qRocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(
+      col("vec_id"),
+      when(col("label") === 0, 1L).otherwise(0L).as("truth"),
+      r4(l2norm(toDouble(col("embedding")))).as("l2"),
+      r4(array_max(transform(toDouble(col("embedding")), x => abs(x)))).as("mx"))
+    val stacked = e
+      .select(lit("l2_norm").as("detector"), col("truth"), col("l2").as("score"))
+      .unionByName(e.select(lit("max_abs").as("detector"), col("truth"),
+        col("mx").as("score")))
+    groupedAuc(stacked, "detector").orderBy(col("detector"))
+  }
+
+  /** Consolidated supervised comparison — the reference's
+    * rapport_performances.csv / resultats_supervise.csv analogue
+    * (Comparaison_ML.py:551-707 prints per-model metrics side by
+    * side): per-model confusion counts, precision/recall/F1/accuracy
+    * on the SAME held-out fold (vec_id % 5 == 0), plus Mann–Whitney
+    * AUC on each model's anomaly score. All three tracks binarize to
+    * the anomaly target (label 0 vs rest); the RF track is multiclass,
+    * so its anomaly score is P(class 0) head-to-head with GBT's
+    * P(anomaly) and SVC's margin. Model internals aren't
+    * SQL-expressible → rows-only, contract-specced.
+    */
+  def qModelReport(spark: SparkSession, dir: String): DataFrame = {
+    val rf = qSupervisedRf(spark, dir).select(lit("rf").as("model"),
+      when(col("label") === 0, 1L).otherwise(0L).as("truth"),
+      when(col("prediction") === 0, 1L).otherwise(0L).as("pred"),
+      col("prob_anomaly").as("score"))
+    val gbt = qSupervisedGbt(spark, dir).select(lit("gbt").as("model"),
+      col("label").as("truth"), col("prediction").as("pred"),
+      col("prob_anomaly").as("score"))
+    val svc = qSupervisedSvc(spark, dir).select(lit("svc").as("model"),
+      col("label").as("truth"), col("prediction").as("pred"),
+      col("margin").as("score"))
+    val stacked = rf.unionByName(gbt).unionByName(svc)
+    val cm = stacked.groupBy(col("model")).agg(
+        sum(col("pred") * col("truth")).as("tp"),
+        sum(col("pred") * (lit(1) - col("truth"))).as("fp"),
+        sum((lit(1) - col("pred")) * col("truth")).as("fn"),
+        sum((lit(1) - col("pred")) * (lit(1) - col("truth"))).as("tn"))
+      .select(col("model"), col("tp"), col("fp"), col("fn"), col("tn"),
+        r4(col("tp") / greatest(col("tp") + col("fp"), lit(1))).as("precision"),
+        r4(col("tp") / greatest(col("tp") + col("fn"), lit(1))).as("recall"),
+        r4(lit(2) * col("tp")
+          / greatest(lit(2) * col("tp") + col("fp") + col("fn"), lit(1))).as("f1"),
+        r4((col("tp") + col("tn"))
+          / (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"))
+    cm.join(groupedAuc(stacked.select(col("model"), col("truth"), col("score")),
+        "model"), Seq("model"))
+      .orderBy(col("model"))
+  }
+
+  /** Trees and depth cap for [[qIforestScore]]. 16 × depth-5 trees keep
+    * each tree's compiled CASE expression codegen-friendly while giving
+    * the mass estimate enough independent views to rank outliers. */
+  val IforestTrees = 16
+  val IforestDepth = 5
+
+  /** Seeded isolation-forest analogue — completes the reference
+    * ensemble member-for-member (Comparaison_ML.py:132-150 fits
+    * sklearn IsolationForest(contamination=0.1, random_state=42)).
+    *
+    * T random depth-limited split trees: each node picks a random
+    * feature and a threshold uniform in that feature's [min, max]
+    * (ranges are ONE 1-row aggregate; the seeded driver RNG makes the
+    * forest deterministic). Every tree compiles into a single nested
+    * CASE leaf-id expression — scoring the corpus is a codegen'd
+    * narrow projection, no per-point search. All leaves sit at the
+    * depth cap, so a point's isolation depth is depth + c(m) where m
+    * is its leaf's occupancy and c(·) is the iForest path-length
+    * estimator applied at the height limit: sparse leaves → small m →
+    * short estimated path → anomalous. Leaf masses are one
+    * (tree, leaf) aggregation (≤ T·2^depth rows, broadcast back);
+    * the contamination cut reuses the two-phase exact rank.
+    */
+  def qIforestScore(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("iforest", spark, dir) {
+    val uf = userFeatures(spark, dir)
+    val rangeAggs = FeatureCols.flatMap(f => Seq(
+      min(col(f).cast("double")).as(s"mn_$f"), max(col(f).cast("double")).as(s"mx_$f")))
+    val row = uf.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+    val ranges = FeatureCols.zipWithIndex.map { case (f, i) =>
+      (f, row.getDouble(2 * i), row.getDouble(2 * i + 1)) }
+    val rnd = new scala.util.Random(42)
+    def leafExpr(depth: Int, id: Long): Column =
+      if (depth == IforestDepth) lit(id)
+      else {
+        val (f, lo, hi) = ranges(rnd.nextInt(ranges.length))
+        val thr = lo + rnd.nextDouble() * (hi - lo)
+        when(col(f) <= thr, leafExpr(depth + 1, id))
+          .otherwise(leafExpr(depth + 1, id | (1L << depth)))
+      }
+    val withLeaves = uf.select(col("user_id") +:
+      (0 until IforestTrees).map(t => leafExpr(0, 0L).as(s"leaf_$t")): _*)
+    val melted = withLeaves.select(col("user_id"),
+        explode(array((0 until IforestTrees).map(t =>
+          struct(lit(t).as("tree"), col(s"leaf_$t").as("leaf"))): _*)).as("x"))
+      .select(col("user_id"), col("x.tree").as("tree"), col("x.leaf").as("leaf"))
+    val mass = melted.groupBy(col("tree"), col("leaf")).agg(count(lit(1)).as("m"))
+    val euler = 0.5772156649
+    def cOf(m: Column): Column =
+      when(m <= 1, lit(0.0)).otherwise(
+        lit(2.0) * (log(m.cast("double") - 1) + euler)
+          - lit(2.0) * (m.cast("double") - 1) / m.cast("double"))
+    val pathLen = melted.join(broadcast(mass), Seq("tree", "leaf"))
+      .groupBy(col("user_id"))
+      .agg(r4(avg(cOf(col("m"))) + lit(IforestDepth.toDouble)).as("path_len"))
+    val cnt = uf.agg(count(lit(1)).as("cnt"))
+    val scored = pathLen.crossJoin(broadcast(cnt))
+      .withColumn("iforest_score",
+        r4(pow(lit(2.0), -col("path_len") / cOf(col("cnt")))))
+    RankOps.withGlobalRank(scored, "_rk",
+        Seq(col("path_len").asc, col("user_id").asc))
+      .withColumn("is_anomaly",
+        when(col("_rk") <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
+      .select("user_id", "path_len", "iforest_score", "is_anomaly")
+      .orderBy("user_id")
+  }
+
+  /** Simplified (centroid-based) silhouette for the k=2 KMeans split —
+    * the clustering-quality number the reference reads off
+    * sklearn.metrics.silhouette_score (Comparaison_ML.py:12). Exact
+    * silhouette needs all-pairs distances — O(n²), the one shape a
+    * 100 TB plan can never contain — so this uses the standard
+    * large-scale proxy: distance to OWN centroid vs distance to the
+    * OTHER centroid, s = (b − a) / max(a, b). Two broadcast centroid
+    * lookups per row, zero joins; coincides with exact silhouette as
+    * clusters approach the spherical shape KMeans optimizes for.
+    */
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("silhouette", spark, dir) {
+    val sf = standardizedFeatures(spark, dir)
+    val model = new KMeans().setK(2).setSeed(42)
+      .setFeaturesCol("sfv").setPredictionCol("cluster").fit(sf)
+    val centers = model.clusterCenters
+    val dist = udf((v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))))
+    model.transform(sf)
+      .select(col("user_id"), col("cluster").cast("long").as("cluster"),
+        dist(col("sfv"), col("cluster").cast("int")).as("a_own"),
+        dist(col("sfv"), (lit(1) - col("cluster")).cast("int")).as("b_other"))
+      .select(col("user_id"), col("cluster"),
+        r4(col("a_own")).as("dist_own"), r4(col("b_other")).as("dist_other"),
+        when(greatest(col("a_own"), col("b_other")) === 0, lit(0.0))
+          .otherwise(r4((col("b_other") - col("a_own"))
+            / greatest(col("a_own"), col("b_other")))).as("silhouette"))
+      .orderBy("user_id")
   }
 }

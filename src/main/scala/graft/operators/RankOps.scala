@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact ranking — the two-phase swap for unpartitioned
+  * `Window.orderBy`, which funnels every row of its input through ONE
+  * task (the single-task global sort the 100 TB plan cannot contain).
+  *
+  * Phase 1 range-partitions the frame on the sort key, so partition i
+  * holds keys strictly before partition i+1's. Phase 2 computes
+  * per-partition counts (and optional partial sums) — a numParts-row
+  * frame — turns them into per-partition offsets with a window over
+  * that provably-tiny frame, and broadcast-joins the offsets back:
+  *
+  *   global rank        = partition offset + local row_number
+  *   global running sum = partition sum offset + local running sum
+  *
+  * Every data-sized stage is parallel; the only ordered single-task
+  * work is the numParts-row offset scan. This is the same
+  * prefix-sum-and-offset pattern `q_weighted_sample` uses to avoid its
+  * global sort, packaged for every rank/ntile/cumulative consumer.
+  */
+object RankOps {
+
+  /** Adds `rankName` (1-based global rank, long) under the total order
+    * `sort`. The caller MUST make `sort` a total order (unique
+    * tiebreak), or ranks are nondeterministic — same contract as
+    * row_number. Each `(name, expr)` in `cumSums` adds a column `name`
+    * holding the running sum of `expr` up to and including the current
+    * row in `sort` order.
+    */
+  def withGlobalRank(df: DataFrame, rankName: String, sort: Seq[Column],
+      cumSums: Seq[(String, Column)] = Nil): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    // Explicit numPartitions: a user-specified width AQE won't coalesce,
+    // so spark_partition_id() stays aligned with the range ordering.
+    val parted = df.repartitionByRange(n, sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    val sumAliases = cumSums.zipWithIndex.map { case ((_, e), i) => (s"_s$i", e) }
+    val aggs = count(lit(1)).as("_n") +: sumAliases.map { case (a, e) => sum(e).as(a) }
+    val perPart = parted.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)
+    // Offsets = totals of all partitions strictly BEFORE this one.
+    // numParts rows; the global orderBy here is over that tiny frame.
+    val wOff = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sumAliases.foldLeft(
+        perPart.withColumn("_rk_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))) {
+        case (acc, (a, _)) =>
+          acc.withColumn(s"${a}_off", coalesce(sum(col(a)).over(wOff), lit(0)))
+      }
+      .select(col("_pid") +: col("_rk_off") +:
+        sumAliases.map { case (a, _) => col(s"${a}_off") }: _*)
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(sort: _*)
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = parted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankName, col("_rk_off") + row_number().over(wLoc))
+    val withSums = cumSums.zip(sumAliases).foldLeft(ranked) {
+      case (acc, ((name, e), (a, _))) =>
+        acc.withColumn(name, col(s"${a}_off") + sum(e).over(wRun))
+    }
+    withSums.drop("_pid" +: "_rk_off" +: sumAliases.map { case (a, _) => s"${a}_off" }: _*)
+  }
+
+  /** Exact SQL `NTILE(b)` reconstructed from a precomputed global rank:
+    * bucket sizes differ by at most one, larger buckets first — the
+    * standard semantics both Spark and DuckDB implement — so a two-phase
+    * rank plus this formula replaces an unpartitioned ntile window
+    * bit-for-bit. `cnt` is the total row count (broadcast scalar).
+    */
+  def ntileFromRank(rk: Column, cnt: Column, b: Int): Column = {
+    val q = floor(cnt / lit(b)).cast("long")       // base bucket size
+    val r = (cnt % lit(b)).cast("long")            // buckets holding q+1
+    when(rk <= r * (q + lit(1)),
+      (floor((rk - lit(1)) / (q + lit(1))) + lit(1)).cast("long"))
+      .otherwise(
+        (r + floor((rk - r * (q + lit(1)) - lit(1)) / q) + lit(1)).cast("long"))
+  }
+}

@@ -1448,18 +1448,17 @@ object RelationalOps {
     * 80% of the activity?". Per-user totals (one shuffle), ranked by a
     * deterministic (count desc, user) order; the coverage test
     * `cum·10000 ≥ threshold_bp·total` is pure integer arithmetic, so the
-    * boundary user is engine-exact. The ranking window runs over the
-    * AGGREGATED per-user frame (|users| rows); at extreme user counts
-    * the same question is answered approximately from a count-histogram
-    * sketch — this is the exact path.
+    * boundary user is engine-exact. Rank AND running sum come from ONE
+    * two-phase exact-rank pass (RankOps: range-partition, per-partition
+    * prefix sums, broadcast offsets) — no unpartitioned window, so the
+    * per-user frame can be arbitrarily large.
     */
   def qParetoUsers(spark: SparkSession, dir: String): DataFrame = {
     val totals = events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    val ranked = totals
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("n")).over(w))
+    val ranked = RankOps.withGlobalRank(totals, "rk",
+        Seq(col("n").desc, col("user_id").asc), cumSums = Seq(("cum", col("n"))))
+      .withColumn("rk", col("rk").cast("long"))
     val grand = totals.agg(sum(col("n")).as("total"),
       count(lit(1)).as("n_users"))
     val th = Seq(5000L, 8000L, 9000L)
@@ -1548,13 +1547,14 @@ object RelationalOps {
     * corpus's last purchase), frequency, and monetary value, each bucketed
     * into quintiles — the classic customer-value grid. One user-keyed
     * aggregation builds the metric frame; the global max-timestamp is a
-    * one-row broadcast. Scores use ntile(5) with a full deterministic
-    * ORDER BY (metric, then user_id) so bucket boundaries are
-    * engine-stable; higher bucket = higher metric, so r_score 1 = most
-    * recent. The global ntile sorts |users| rows on one node — exact
-    * quantile semantics demand it; at 100 TB the swap is approx_percentile
-    * cutoffs (the q_ntile/q_percentiles_approx pair demonstrates both
-    * sides of that trade).
+    * one-row broadcast. Monetary sums as DECIMAL(12,2) — exact cents on
+    * both engines, so a half-cent float boundary can never flip the
+    * rounding and cascade into a different m_score/segment. Quintile
+    * scores are exact NTILE(5) under a full deterministic order
+    * (metric, then user_id), computed from three two-phase exact-rank
+    * passes + the closed-form ntile bucket (RankOps.ntileFromRank) —
+    * bit-identical to the window ntile, with no single-task sort at any
+    * user count.
     */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     val purch = events(spark, dir)
@@ -1562,19 +1562,60 @@ object RelationalOps {
     val maxTs = purch.agg(max(col("ts")).as("corpus_max"))
     val rfm = purch.groupBy(col("user_id"))
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
-        r2(sum(col("value"))).as("monetary"))
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("monetary"))
       .join(broadcast(maxTs))
       .withColumn("recency_days", datediff(col("corpus_max"), col("last_ts")).cast("long"))
-    val byR = Window.orderBy(col("recency_days"), col("user_id"))
-    val byF = Window.orderBy(col("frequency"), col("user_id"))
-    val byM = Window.orderBy(col("monetary"), col("user_id"))
-    rfm
-      .withColumn("r_score", ntile(5).over(byR).cast("long"))
-      .withColumn("f_score", ntile(5).over(byF).cast("long"))
-      .withColumn("m_score", ntile(5).over(byM).cast("long"))
+    val cnt = rfm.agg(count(lit(1)).as("n_users"))
+    val ranked = Seq(
+      ("_rkr", col("recency_days")), ("_rkf", col("frequency")),
+      ("_rkm", col("monetary"))).foldLeft(rfm) { case (df, (rk, metric)) =>
+        RankOps.withGlobalRank(df, rk, Seq(metric.asc, col("user_id").asc))
+      }
+    ranked.crossJoin(broadcast(cnt))
+      .withColumn("r_score", RankOps.ntileFromRank(col("_rkr"), col("n_users"), 5))
+      .withColumn("f_score", RankOps.ntileFromRank(col("_rkf"), col("n_users"), 5))
+      .withColumn("m_score", RankOps.ntileFromRank(col("_rkm"), col("n_users"), 5))
       .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** [[qRfm]] with approx_percentile quintile cutoffs instead of exact
+    * NTILE ranks — the stated 100 TB swap, now implemented as a real
+    * path rather than a comment. ONE aggregation computes all 12
+    * cutoffs (4 per metric); scoring is then a broadcast-join + pure
+    * per-row arithmetic: score = 1 + #cutoffs strictly below the
+    * value. No ranking pass at all, so the only data-sized work is the
+    * per-user metric aggregation itself. Bucket boundaries can
+    * disagree with the exact quintiles by the sketch's rank error
+    * (spec-bounded against [[qRfm]]); segment semantics are otherwise
+    * identical. Approximate by construction → rows-only check.
+    */
+  def qRfmApprox(spark: SparkSession, dir: String): DataFrame = {
+    val purch = events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+    val maxTs = purch.agg(max(col("ts")).as("corpus_max"))
+    val rfm = purch.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("monetary"))
+      .join(broadcast(maxTs))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_ts")).cast("long"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val cuts = rfm.agg(
+      approx_percentile(col("recency_days"), qs, lit(10000)).as("cut_r"),
+      approx_percentile(col("frequency"), qs, lit(10000)).as("cut_f"),
+      approx_percentile(col("monetary"), qs, lit(10000)).as("cut_m"))
+    def score(v: Column, cuts: Column): Column =
+      (lit(1) + aggregate(cuts, lit(0),
+        (acc, c) => acc + when(v > c, 1).otherwise(0))).cast("long")
+    rfm.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        score(col("recency_days"), col("cut_r")).as("r_score"),
+        score(col("frequency"), col("cut_f")).as("f_score"),
+        score(col("monetary"), col("cut_m")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy(col("user_id"))
   }
 }

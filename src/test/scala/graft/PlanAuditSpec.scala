@@ -27,7 +27,12 @@ class PlanAuditSpec extends SparkSpec {
       // candidate frontier — O(skyline), not O(n), by construction
       "q_skyline",
       // one-row broadcast crosses: the grand-total row / the max-day row
-      "q_pareto_users", "q_dau_wau")
+      "q_pareto_users", "q_dau_wau",
+      // two-phase-rank consumers cross-join ONE broadcast row (the total
+      // count that sets the contamination cut) and q_rfm_approx crosses
+      // the ONE-ROW quantile-cutoff aggregate — all O(1) build sides
+      "q_eval_metrics", "q_quantile_outlier", "q_recon_error",
+      "q_iforest_score", "q_rfm_approx")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

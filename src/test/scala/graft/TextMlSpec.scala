@@ -103,13 +103,81 @@ class TextMlSpec extends SparkSpec {
     k.unpersist()
   }
 
-  test("qEnsembleVote: votes equal sum of five flags, majority rule holds") {
+  test("qEnsembleVote: votes equal sum of six flags, majority rule holds") {
     val v = MLOps.qEnsembleVote(spark, sf)
     val total = col("flag_z") + col("flag_q") + col("flag_k") +
-      col("flag_d") + col("flag_r")
+      col("flag_d") + col("flag_r") + col("flag_i")
     val bad = v.filter(
       col("votes") =!= total || (col("is_anomaly") === 1) =!= (col("votes") >= 3))
     assert(bad.count() === 0)
+  }
+
+  test("qIforestScore: deterministic, valid score range, contamination cut") {
+    val a = MLOps.qIforestScore(spark, sf).collect()
+    graft.Memo.invalidate(sf)
+    val b = MLOps.qIforestScore(spark, sf).collect()
+    assert(a.sameElements(b), "seeded forest must be reproducible")
+    val df = MLOps.qIforestScore(spark, sf).cache()
+    assert(df.filter(col("iforest_score") <= 0 || col("iforest_score") >= 1).count() === 0)
+    assert(df.filter(col("path_len") < 0).count() === 0)
+    val n = df.count()
+    assert(df.filter(col("is_anomaly") === 1).count()
+      === math.ceil(n * MLOps.Contamination).toLong)
+    // shorter estimated path == more anomalous: every flagged user's
+    // path_len must be <= every unflagged user's (modulo the rank
+    // tiebreak on user_id at the exact boundary value)
+    val maxFlagged = df.filter(col("is_anomaly") === 1)
+      .agg(max("path_len")).head.getDouble(0)
+    val minUnflagged = df.filter(col("is_anomaly") === 0)
+      .agg(min("path_len")).head.getDouble(0)
+    assert(maxFlagged <= minUnflagged)
+    df.unpersist()
+  }
+
+  test("qSilhouette: values in [-1,1], both clusters present, b/a consistent") {
+    val s = MLOps.qSilhouette(spark, sf).cache()
+    assert(s.filter(col("silhouette") < -1 || col("silhouette") > 1).count() === 0)
+    assert(s.select("cluster").distinct().count() === 2)
+    // sign consistency: silhouette > 0 iff the other centroid is farther
+    val bad = s.filter((col("silhouette") > 0) =!= (col("dist_other") > col("dist_own")))
+    assert(bad.count() === 0)
+    s.unpersist()
+  }
+
+  test("qModelReport: all three models, metrics within [0,1], confusion sums to fold") {
+    val r = MLOps.qModelReport(spark, sf).cache()
+    assert(r.select("model").collect().map(_.getString(0)).sorted
+      === Array("gbt", "rf", "svc"))
+    for (m <- Seq("precision", "recall", "f1", "accuracy", "auc"))
+      assert(r.filter(col(m) < 0 || col(m) > 1).count() === 0, s"$m out of range")
+    val fold = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0).count()
+    val bad = r.filter(col("tp") + col("fp") + col("fn") + col("tn") =!= fold)
+    assert(bad.count() === 0, "confusion matrix must cover the whole test fold")
+    r.unpersist()
+  }
+
+  test("qRfmApprox tracks exact qRfm within the sketch's rank error") {
+    import graft.operators.RelationalOps
+    val ex = RelationalOps.qRfm(spark, sf)
+      .select(col("user_id"), col("r_score").as("re"), col("f_score").as("fe"),
+        col("m_score").as("me"))
+    val ap = RelationalOps.qRfmApprox(spark, sf)
+      .select(col("user_id"), col("r_score").as("ra"), col("f_score").as("fa"),
+        col("m_score").as("ma"))
+    val j = ex.join(ap, "user_id").cache()
+    assert(j.filter(col("ra") < 1 || col("ra") > 5 || col("fa") < 1 ||
+      col("fa") > 5 || col("ma") < 1 || col("ma") > 5).count() === 0)
+    // cutoff scores collapse ties that exact ntile splits across
+    // buckets: a tie group spanning b buckets can disagree by b-1
+    // (recency ties span up to 3 quintiles on this data) — bound 2.
+    val off = j.filter(abs(col("re") - col("ra")) > 2 ||
+      abs(col("fe") - col("fa")) > 2 || abs(col("me") - col("ma")) > 2)
+    assert(off.count() === 0, "approx quintile strayed beyond tie-span bound")
+    // and most users land in exactly the same bucket on every metric
+    val same = j.filter(col("re") === col("ra") && col("fe") === col("fa") &&
+      col("me") === col("ma")).count()
+    assert(same.toDouble / j.count() >= 0.5)
+    j.unpersist()
   }
 
   test("qSupervisedSvc: binary predictions from the grid-searched model") {
