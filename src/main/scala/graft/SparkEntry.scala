@@ -324,7 +324,19 @@ object SparkEntry {
   private val cleanEventsSub =
     "(SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL" +
       " AND event_type IS NOT NULL)"
-  private val eventsRef = """(FROM|JOIN) events\b( e\b)?""".r
+  /** Words that can legally follow `events` without being its alias —
+    * the blacklist that keeps the alias capture from swallowing a
+    * keyword (`FROM events WHERE ...` has no alias). Any OTHER
+    * identifier after `events` (optionally `AS`-prefixed) is captured
+    * and re-attached to the injected policy subquery, so an oracle
+    * written `FROM events x` rewrites to valid SQL instead of tripping
+    * a confusing DuckDB parse error at verify time.
+    */
+  private val aliasBlacklist =
+    "WHERE|GROUP|ORDER|HAVING|JOIN|LEFT|RIGHT|FULL|CROSS|INNER|ASOF|ON|" +
+      "USING|UNION|INTERSECT|EXCEPT|LIMIT|WINDOW|QUALIFY|SELECT"
+  private val eventsRef =
+    s"""(FROM|JOIN) events\\b(\\s+(?:(?i:AS)\\s+)?(?!(?i:$aliasBlacklist)\\b)[A-Za-z_][A-Za-z0-9_]*)?""".r
   // q_profile and q_dq_checks measure the dirty rows themselves (null
   // counts, raw rowcounts) — the policy would blind them on both sides.
   private val cleanExempt = Set("q_profile", "q_dq_checks")

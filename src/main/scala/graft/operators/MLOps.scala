@@ -433,14 +433,22 @@ object MLOps {
     * the oracle bit-identical (DuckDB quantile_cont interpolates the same
     * way); at 100 TB the swap is approx_percentile, same shape
     * (q_percentiles_approx demonstrates the bound).
+    *
+    * Lineage: ev feeds both the median aggregate and dev, and dev feeds
+    * both the MAD aggregate and the final rollup — uncached that is
+    * THREE event scans, so dev (the narrow 4-column projection, the
+    * widest frame every consumer shares) is pinned via Memo.cached, the
+    * same treatment autocorrDaily/skylineCandidates get.
     */
   def qMadOutlier(spark: SparkSession, dir: String): DataFrame = {
-    val ev = cleanEvents(spark, dir).select(col("event_type"), col("value"))
-      .filter(col("value").isNotNull)
-    val med = ev.groupBy(col("event_type").as("met"))
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val dev = ev.join(broadcast(med), col("event_type") === col("met"))
-      .withColumn("adev", abs(col("value") - col("med")))
+    val dev = graft.Memo.cached("madDev", spark, dir) {
+      val ev = cleanEvents(spark, dir).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val med = ev.groupBy(col("event_type").as("met"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      ev.join(broadcast(med), col("event_type") === col("met"))
+        .withColumn("adev", abs(col("value") - col("med")))
+    }
     val mad = dev.groupBy(col("event_type").as("aet"))
       .agg(percentile(col("adev"), lit(0.5)).as("mad"))
     dev.join(broadcast(mad), col("event_type") === col("aet"))

@@ -62,19 +62,26 @@ case class FunnelState(step: Long, s1: Timestamp, s2: Timestamp)
 object EventStream {
 
   /** Record-validity gate for raw stream frames: drop events whose
-    * critical columns (user_id, ts, event_type) are null — the streaming
-    * face of [[graft.Tables.cleanEvents]], so batch/stream twins agree on
-    * dirty data. Filters only the critical columns PRESENT in the frame
-    * (test harness frames may carry partial schemas; production streams
-    * carry the full one). CAVEAT of that leniency: a renamed/dropped
-    * critical column silently disables its check — a production
-    * deployment should pin the source schema (readStream .schema(...))
-    * so drift fails at the source, not here; each operator still fails
-    * fast on the columns it actually selects.
+    * critical columns are null — the streaming face of
+    * [[graft.Tables.cleanEvents]], so batch/stream twins agree on dirty
+    * data. STRICT on schema: each transform declares the critical set
+    * its record contract carries (default: the full
+    * user_id/ts/event_type event schema; the resource-keyed transforms
+    * that consume reduced `(event_id, ts, props)` frames declare just
+    * `ts`), and a frame MISSING any declared column fails fast at
+    * stream construction. A renamed or dropped critical column is
+    * schema drift, and it surfaces as a loud require() here instead of
+    * a silently disabled null gate degrading the policy in production.
     */
-  private def cleanStream(df: DataFrame): DataFrame =
-    Seq("user_id", "ts", "event_type").filter(df.columns.contains)
-      .foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+  private def cleanStream(df: DataFrame,
+      critical: Seq[String] = Seq("user_id", "ts", "event_type")): DataFrame = {
+    val missing = critical.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"stream frame is missing critical column(s) [${missing.mkString(", ")}] " +
+        "— schema drift would silently disable the null-drop policy; pin the " +
+        "source schema (readStream.schema(...)) or fix the upstream rename")
+    critical.foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+  }
 
   /** 1-hour tumbling counts + value sums per event_type — the streaming
     * twin of [[graft.operators.RelationalOps.qWindowedCounts]]. The
@@ -121,7 +128,7 @@ object EventStream {
     * 100 TB/day log). Watermark closes windows and drops their sketches.
     */
   def approxDistinctResources(events: DataFrame): DataFrame =
-    cleanStream(events)
+    cleanStream(events, critical = Seq("ts"))
       .withColumn("resource", get_json_object(col("props"), "$.k"))
       .filter(col("resource").isNotNull)
       .withWatermark("ts", "2 hours")
@@ -515,7 +522,7 @@ object EventStream {
   def topResourcesStream(events: DataFrame, shards: Int = 8,
       capacity: Int = 64): Dataset[ShardTopK] = {
     import events.sparkSession.implicits._
-    cleanStream(events)
+    cleanStream(events, critical = Seq("ts"))
       .withColumn("resource", get_json_object(col("props"), "$.k"))
       .filter(col("resource").isNotNull)
       .select(col("resource")).as[String]
