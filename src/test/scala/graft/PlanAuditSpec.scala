@@ -65,6 +65,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  // Unpartitioned windows tolerated ONLY over provably-tiny frames:
+  // RankOps.withGlobalRank's offset scan runs over the numParts-row
+  // per-partition-totals aggregate (its consumers inherit that one
+  // node); qFunnel3 ranks 3 step rows; q_cumulative_users ranks |days|
+  // rows; q_attribution's share-of-total window covers |channels| rows.
+  private val tinyFrameWindowAllowed =
+    Set("q_funnel3", "q_cumulative_users", "q_attribution",
+      // withGlobalRank consumers (numParts-row offset window):
+      "q_zscore_anomaly", "q_quantile_outlier", "q_eval_metrics",
+      "q_recon_error", "q_iforest_score", "q_roc_auc", "q_model_report",
+      "q_pareto_users", "q_rfm", "q_weighted_sample",
+      // detector composites: inherit the offset window from the
+      // withGlobalRank-based members they vote over (no windows of
+      // their own — MLOps has zero direct Window usage)
+      "q_ensemble_vote", "q_anomaly_report")
+
+  test("unpartitioned windows appear only over provably-tiny frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val bare = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      bare.nonEmpty && !tinyFrameWindowAllowed(name)
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over a data-sized frame in: $offenders")
+  }
+
   test("scans read only the columns the query needs") {
     // q_high_activity touches only user_id: the parquet ReadSchema must
     // not include the wide props payload.
