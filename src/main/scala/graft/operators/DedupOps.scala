@@ -360,8 +360,21 @@ object DedupOps {
         .select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("h"))
         .filter(size(col("h")) > 0)
     }
-    containmentPairs(d, ContainmentDfCap)
+    // The hot set is bounded by the number of planet-hot keys (tiny at
+    // ANY corpus size) and costs a full postings aggregation to find —
+    // pin it per (session, dir) so repeat calls don't re-count df.
+    val hot = graft.Memo.cached("containmentHot", spark, dir) {
+      hotShingles(d, ContainmentDfCap)
+    }
+    containmentPairs(d, hot)
   }
+
+  /** Shingle hashes whose document frequency exceeds `dfCap` over the
+    * shingle frame `d` — the postings keys the candidate join drops. */
+  private def hotShingles(d: DataFrame, dfCap: Int): DataFrame =
+    d.select(explode(col("h")).as("hh"))
+      .groupBy(col("hh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("hh"))
 
   /** Anchor⋈postings containment over a `(doc_id, h: array<long>)`
     * shingle frame with the hot-shingle df cap applied to the postings
@@ -371,16 +384,18 @@ object DedupOps {
     * shingle arrays — the cap gates candidate GENERATION only, so any
     * pair that survives is scored exactly.
     */
-  private[graft] def containmentPairs(d: DataFrame, dfCap: Int): DataFrame = {
+  private[graft] def containmentPairs(d: DataFrame, dfCap: Int): DataFrame =
+    containmentPairs(d, hotShingles(d, dfCap))
+
+  private[graft] def containmentPairs(d: DataFrame, hot: DataFrame): DataFrame = {
     val anch = d.select(col("doc_id"),
       explode(slice(array_sort(col("h")), 1, ContainmentAnchors)).as("a"))
+    // df per shingle hash is counted in [[hotShingles]] — rows are
+    // distinct per (doc, hash) because h is array_distinct'd, so
+    // count(*) IS document frequency. The hot set is tiny by
+    // construction (only keys beyond the cap), so the anti-join
+    // broadcasts it; the cold postings never re-shuffle.
     val allPostings = d.select(col("doc_id"), explode(col("h")).as("hh"))
-    // df per shingle hash — rows are already distinct per (doc, hash)
-    // because h is array_distinct'd, so count(*) IS document frequency.
-    // The hot set is tiny by construction (only keys beyond the cap), so
-    // the anti-join broadcasts it; the cold postings never re-shuffle.
-    val hot = allPostings.groupBy(col("hh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("hh"))
     val postings = allPostings.join(broadcast(hot), Seq("hh"), "left_anti")
     val cands = anch.as("x").join(postings.as("y"),
         col("x.a") === col("y.hh") && col("x.doc_id") =!= col("y.doc_id"))

@@ -61,8 +61,16 @@ object MLOps {
     * the deterministic analogue of StandardScaler→IsolationForest-style
     * flagging (Comparaison_ML.py:113-170). Stats are ONE broadcast row;
     * the rank window runs on the already-aggregated user matrix.
+    *
+    * Memo.cached (like every detector output below): the flag frame is
+    * |users| rows, and the ensemble + report composites consume it —
+    * uncached, each composite re-executes the whole two-phase-rank
+    * chain per voter per run.
     */
-  def qZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+  def qZscoreAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("zscoreFlags", spark, dir) { qZscoreImpl(spark, dir) }
+
+  private def qZscoreImpl(spark: SparkSession, dir: String): DataFrame = {
     val uf = userFeatures(spark, dir)
     val statExprs = count(lit(1)).as("cnt") +: FeatureCols.flatMap(f => Seq(
       avg(col(f)).as(s"mu_$f"), stddev_pop(col(f)).as(s"sd_$f")))
@@ -98,7 +106,10 @@ object MLOps {
     * broadcast). No unpartitioned window anywhere; the total row count
     * is a 1-row broadcast, not a whole-frame window.
     */
-  def qQuantileOutlier(spark: SparkSession, dir: String): DataFrame = {
+  def qQuantileOutlier(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("quantileFlags", spark, dir) { qQuantileImpl(spark, dir) }
+
+  private def qQuantileImpl(spark: SparkSession, dir: String): DataFrame = {
     val uf = userFeatures(spark, dir)
     val cnt = uf.agg(count(lit(1)).as("cnt"))
     val melted = uf.select(col("user_id"), explode(array(FeatureCols.map(f =>
@@ -175,7 +186,7 @@ object MLOps {
     * from scratch.
     */
   def qKmeansAnomaly(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo("kmeans", spark, dir)(kmeansImpl(spark, dir))
+    graft.Memo.cached("kmeans", spark, dir)(kmeansImpl(spark, dir))
 
   private def kmeansImpl(spark: SparkSession, dir: String): DataFrame = {
     val sf = standardizedFeatures(spark, dir)
@@ -198,7 +209,7 @@ object MLOps {
     * → rows-only check.
     */
   def qPcaProject(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo("pca", spark, dir) {
+    graft.Memo.cached("pca", spark, dir) {
     val sf = standardizedFeatures(spark, dir)
     new PCA().setK(2).setInputCol("sfv").setOutputCol("pc")
       .fit(sf).transform(sf)
@@ -268,7 +279,7 @@ object MLOps {
     * projections.
     */
   def qDensityOutlier(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo("density", spark, dir) {
+    graft.Memo.cached("density", spark, dir) {
     val eps = 0.5
     val minPts = 4
     val pts = qPcaProject(spark, dir)
@@ -303,7 +314,7 @@ object MLOps {
     * products per row, no shuffle beyond the feature matrix build.
     */
   def qReconError(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo("recon", spark, dir) {
+    graft.Memo.cached("recon", spark, dir) {
     val sf = standardizedFeatures(spark, dir)
     val model = new PCA().setK(2).setInputCol("sfv").setOutputCol("pc").fit(sf)
     val arr = vector_to_array(col("sfv"))
@@ -576,7 +587,7 @@ object MLOps {
     * the contamination cut reuses the two-phase exact rank.
     */
   def qIforestScore(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo("iforest", spark, dir) {
+    graft.Memo.cached("iforest", spark, dir) {
     val uf = userFeatures(spark, dir)
     val rangeAggs = FeatureCols.flatMap(f => Seq(
       min(col(f).cast("double")).as(s"mn_$f"), max(col(f).cast("double")).as(s"mx_$f")))

@@ -1556,21 +1556,37 @@ object RelationalOps {
     * bit-identical to the window ntile, with no single-task sort at any
     * user count.
     */
+  /** Per-user RFM metric frame, shared by [[qRfm]] and [[qRfmApprox]]
+    * (and the spec that bounds their disagreement). Memo.cached: it is
+    * |purchasing users| rows, consumed by three rank passes in the exact
+    * path plus the approx path — pinning it scans the event log once.
+    */
+  private def rfmBase(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("rfmBase", spark, dir) {
+      val purch = events(spark, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      val maxTs = purch.agg(max(col("ts")).as("corpus_max"))
+      purch.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("monetary"))
+        .join(broadcast(maxTs))
+        .withColumn("recency_days",
+          datediff(col("corpus_max"), col("last_ts")).cast("long"))
+    }
+
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
-    val purch = events(spark, dir)
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-    val maxTs = purch.agg(max(col("ts")).as("corpus_max"))
-    val rfm = purch.groupBy(col("user_id"))
-      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("monetary"))
-      .join(broadcast(maxTs))
-      .withColumn("recency_days", datediff(col("corpus_max"), col("last_ts")).cast("long"))
+    val rfm = rfmBase(spark, dir)
     val cnt = rfm.agg(count(lit(1)).as("n_users"))
+    // Three INDEPENDENT rank passes over the pinned base, joined back on
+    // user_id — chaining them (rank m over rank f over rank r) would make
+    // each repartitionByRange sampling re-execute every upstream rank
+    // chain, tripling the work for zero semantic gain.
     val ranked = Seq(
       ("_rkr", col("recency_days")), ("_rkf", col("frequency")),
-      ("_rkm", col("monetary"))).foldLeft(rfm) { case (df, (rk, metric)) =>
-        RankOps.withGlobalRank(df, rk, Seq(metric.asc, col("user_id").asc))
-      }
+      ("_rkm", col("monetary"))).map { case (rk, metric) =>
+        RankOps.withGlobalRank(rfm.select(col("user_id"), metric), rk,
+          Seq(metric.asc, col("user_id").asc)).select(col("user_id"), col(rk))
+      }.foldLeft(rfm) { (acc, r) => acc.join(r, "user_id") }
     ranked.crossJoin(broadcast(cnt))
       .withColumn("r_score", RankOps.ntileFromRank(col("_rkr"), col("n_users"), 5))
       .withColumn("f_score", RankOps.ntileFromRank(col("_rkf"), col("n_users"), 5))
@@ -1593,14 +1609,7 @@ object RelationalOps {
     * identical. Approximate by construction → rows-only check.
     */
   def qRfmApprox(spark: SparkSession, dir: String): DataFrame = {
-    val purch = events(spark, dir)
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-    val maxTs = purch.agg(max(col("ts")).as("corpus_max"))
-    val rfm = purch.groupBy(col("user_id"))
-      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("monetary"))
-      .join(broadcast(maxTs))
-      .withColumn("recency_days", datediff(col("corpus_max"), col("last_ts")).cast("long"))
+    val rfm = rfmBase(spark, dir)
     val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
     val cuts = rfm.agg(
       approx_percentile(col("recency_days"), qs, lit(10000)).as("cut_r"),
