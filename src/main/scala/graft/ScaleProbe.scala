@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope probe: amplifies the sf0.1 tables by an integer factor
+  * (key-remapped copies, referential integrity preserved) and times a
+  * headline query subset at BOTH scales, printing per-query slopes.
+  *
+  * Purpose: the driver ships sf0.001/0.01/0.1 only, so sf0.1-level
+  * tuning could hide superlinear plans. A slope ≈ factor means the
+  * plan's work grows linearly with data at fixed parallelism (what a
+  * shuffle-bounded distributed plan should do); a slope ≫ factor flags
+  * a quadratic term. Amplified data is measurement-only (never a
+  * correctness input — the oracle gate stays on driver data): each copy
+  * c shifts every entity key by c·10¹² (preserves mod-5/mod-2 splits
+  * like the embeddings held-out fold, keeps joins key-correct, makes
+  * copies distinct entities), while dimension tables (nation/region)
+  * keep their original keys so FK edges from amplified facts stay valid.
+  *
+  * Documents are copied with UNCHANGED text: a ×F corpus where every doc
+  * has F exact clones is a dup-heavy corpus — the honest stress shape
+  * for the dedup/containment family (candidate sets grow ×C(F,2) per
+  * clone group, exactly what boilerplate does at 100 TB).
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [outDir] [factor] [queries]
+  */
+object ScaleProbe {
+
+  /** One headliner per operator family: TPC-H agg/join chains, the
+    * event-log behavioral path, ranking, graph, dedup ladder, text
+    * scoring, ANN, and the ML feature path.
+    */
+  val Headliners: Seq[String] = Seq(
+    "q1_agg", "q3_join", "q5_join", "q18_large_orders",
+    "q_user_features", "q_latest_snapshot", "q_sessionize", "q_rfm",
+    "q_pagerank", "q_dedup_minhash_pairs", "q_containment", "q_bm25",
+    "q_ann_brute", "q_zscore_anomaly")
+
+  private val Stride = 1000000000000L // ×10¹²: >> any base key, mod-5/2-neutral
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale_x10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val names = if (args.length > 3) args(3).split(",").toSeq else Headliners
+    val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, baseDir, outDir, factor)
+    // Warm both scales' tables (same reasoning as Bench: first-touch
+    // footer/page-cache cost must not land on one arbitrary query).
+    for (dir <- Seq(baseDir, outDir)) {
+      for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
+                    "nation", "region", "documents", "embeddings"))
+        try Tables.table(spark, dir, t).foreach(_ => ()) catch { case _: Throwable => () }
+      try Tables.events(spark, dir).foreach(_ => ()) catch { case _: Throwable => () }
+    }
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val rows = names.map { n =>
+      val b = time(n, baseDir)
+      val x = time(n, outDir)
+      System.err.println(f"[scale] $n%-22s base=$b%7.2fs x$factor=$x%7.2fs slope=${x / b}%5.2f")
+      n -> (b, x)
+    }
+    val qs = rows.map { case (n, (b, x)) =>
+      s""""$n":{"base":$b,"amplified":$x,"slope":${x / b}}""" }.mkString(",")
+    val totB = rows.map(_._2._1).sum
+    val totX = rows.map(_._2._2).sum
+    println(s"""{"metric":"scale_slope","factor":$factor,"base_sf":"$baseDir",""" +
+      s""""total_base":$totB,"total_amplified":$totX,""" +
+      s""""total_slope":${totX / totB},"queries":{$qs}}""")
+    spark.stop()
+  }
+
+  /** Writes factor× key-shifted copies of every base table to `outDir`
+    * (idempotent: skipped when the marker file exists). Events' ts is
+    * written back as int64 nanos so `Tables.events`' nanos loader reads
+    * the amplified dir exactly like a driver-generated one.
+    */
+  def amplify(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_AMPLIFIED_x$factor")
+    if (marker.exists()) return
+    def xF(df: DataFrame, keys: String*): DataFrame = {
+      val c = explode(array((0 until factor).map(i => lit(i.toLong)): _*)).as("_copy")
+      val withC = df.select(col("*"), c)
+      keys.foldLeft(withC) { (acc, k) =>
+        acc.withColumn(k, col(k) + col("_copy") * Stride)
+      }.drop("_copy")
+    }
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    write(xF(Tables.events(spark, baseDir), "event_id", "user_id")
+      .withColumn("ts", expr("unix_micros(ts) * 1000L")), "events")
+    write(xF(Tables.documents(spark, baseDir), "doc_id"), "documents")
+    write(xF(Tables.embeddings(spark, baseDir), "vec_id"), "embeddings")
+    write(xF(Tables.customer(spark, baseDir), "c_custkey"), "customer")
+    write(xF(Tables.orders(spark, baseDir), "o_orderkey", "o_custkey"), "orders")
+    write(xF(Tables.lineitem(spark, baseDir), "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    write(xF(Tables.part(spark, baseDir), "p_partkey"), "part")
+    write(xF(Tables.supplier(spark, baseDir), "s_suppkey"), "supplier")
+    write(Tables.nation(spark, baseDir), "nation")
+    write(Tables.region(spark, baseDir), "region")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+}

@@ -510,17 +510,56 @@ object MLOps {
     * one is DuckDB-hash-oracled, unlike the fitted-model AUCs in
     * [[qModelReport]].
     */
-  def qRocAuc(spark: SparkSession, dir: String): DataFrame = {
+  /** Stacked (detector, truth, score) frame over the labeled embeddings
+    * — the shared input of [[qRocAuc]] and [[qRocPoints]]: two
+    * deterministic detector scores (L2 norm, max-|component|), truth =
+    * label 0. Scores are r4-rounded so tie GROUPS match the oracle's. */
+  private def detectorScores(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(
       col("vec_id"),
       when(col("label") === 0, 1L).otherwise(0L).as("truth"),
       r4(l2norm(toDouble(col("embedding")))).as("l2"),
       r4(array_max(transform(toDouble(col("embedding")), x => abs(x)))).as("mx"))
-    val stacked = e
-      .select(lit("l2_norm").as("detector"), col("truth"), col("l2").as("score"))
+    e.select(lit("l2_norm").as("detector"), col("truth"), col("l2").as("score"))
       .unionByName(e.select(lit("max_abs").as("detector"), col("truth"),
         col("mx").as("score")))
-    groupedAuc(stacked, "detector").orderBy(col("detector"))
+  }
+
+  def qRocAuc(spark: SparkSession, dir: String): DataFrame =
+    groupedAuc(detectorScores(spark, dir), "detector").orderBy(col("detector"))
+
+  /** The ROC curve ITSELF — the reference's roc_curve output
+    * (Comparaison_ML.py:353-355 plots fpr/tpr per threshold; [[qRocAuc]]
+    * only reports its integral). One point per distinct score: at
+    * threshold t, tp/fp = positives/negatives scoring ≥ t, tpr = tp/P,
+    * fpr = fp/N. Scale shape: scores collapse to (detector, score) tie
+    * groups (one map-side-combined shuffle), then ONE two-phase
+    * exact-rank pass ordered (detector, score DESC) carries BOTH running
+    * sums (n, np); per-detector prefixes are recovered by subtracting
+    * the detector's start offset (a broadcast |detectors|-row frame) —
+    * no unpartitioned window, no per-row sort, any corpus size.
+    */
+  def qRocPoints(spark: SparkSession, dir: String): DataFrame = {
+    val g = detectorScores(spark, dir).groupBy(col("detector"), col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("truth")).as("np"))
+    val ranked = RankOps.withGlobalRank(g, "_rk",
+      Seq(col("detector").asc, col("score").desc),
+      cumSums = Seq(("_cum", col("n")), ("_cumnp", col("np"))))
+    val starts = ranked.groupBy(col("detector"))
+      .agg(min(col("_cum") - col("n")).as("_before"),
+        min(col("_cumnp") - col("np")).as("_beforeNp"))
+    val totals = g.groupBy(col("detector"))
+      .agg(sum(col("np")).as("pos"), (sum(col("n")) - sum(col("np"))).as("neg"))
+    ranked.join(broadcast(starts), Seq("detector"))
+      .join(broadcast(totals), Seq("detector"))
+      .select(col("detector"), r4(col("score")).as("threshold"),
+        (col("_cumnp") - col("_beforeNp")).cast("long").as("tp"),
+        (col("_cum") - col("_before") - col("_cumnp") + col("_beforeNp"))
+          .cast("long").as("fp"),
+        r4((col("_cumnp") - col("_beforeNp")) / col("pos")).as("tpr"),
+        r4((col("_cum") - col("_before") - col("_cumnp") + col("_beforeNp"))
+          / col("neg")).as("fpr"))
+      .orderBy(col("detector"), col("threshold").desc)
   }
 
   /** Consolidated supervised comparison — the reference's

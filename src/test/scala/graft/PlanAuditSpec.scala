@@ -74,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("q_funnel3", "q_cumulative_users", "q_attribution",
       // withGlobalRank consumers (numParts-row offset window):
       "q_zscore_anomaly", "q_quantile_outlier", "q_eval_metrics",
-      "q_recon_error", "q_iforest_score", "q_roc_auc", "q_model_report",
+      "q_recon_error", "q_iforest_score", "q_roc_auc", "q_roc_points",
+      "q_model_report",
       "q_pareto_users", "q_rfm", "q_weighted_sample",
       // detector composites: inherit the offset window from the
       // withGlobalRank-based members they vote over (no windows of

@@ -144,6 +144,34 @@ class TextMlSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("qRocPoints: monotone curve, (1,1) endpoint, trapezoid area matches rank-sum AUC") {
+    val pts = MLOps.qRocPoints(spark, sf).cache()
+    // tpr/fpr in [0,1], and the loosest threshold admits everything
+    for (c <- Seq("tpr", "fpr"))
+      assert(pts.filter(col(c) < 0 || col(c) > 1).count() === 0, s"$c out of range")
+    val byDet = pts.collect().groupBy(_.getString(0))
+    assert(byDet.keySet === Set("l2_norm", "max_abs"))
+    val aucs = MLOps.qRocAuc(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((det, rows) <- byDet) {
+      // rows arrive ordered threshold DESC: both rates must be non-decreasing
+      val sorted = rows.sortBy(-_.getDouble(1))
+      val tprs = sorted.map(_.getDouble(4))
+      val fprs = sorted.map(_.getDouble(5))
+      assert(tprs.zip(tprs.tail).forall { case (a, b) => b >= a }, s"$det tpr not monotone")
+      assert(fprs.zip(fprs.tail).forall { case (a, b) => b >= a }, s"$det fpr not monotone")
+      assert(tprs.last === 1.0 && fprs.last === 1.0, s"$det must end at (1,1)")
+      // trapezoid integral of the curve (with the implicit (0,0) start)
+      // equals the Mann–Whitney rank-sum AUC up to 4-dp rounding
+      val xs = 0.0 +: fprs.toSeq
+      val ys = 0.0 +: tprs.toSeq
+      val area = xs.zip(ys).sliding(2).map {
+        case Seq((x0, y0), (x1, y1)) => (x1 - x0) * (y0 + y1) / 2 }.sum
+      assert(math.abs(area - aucs(det)) < 5e-3, s"$det area $area vs auc ${aucs(det)}")
+    }
+    pts.unpersist()
+  }
+
   test("qModelReport: all three models, metrics within [0,1], confusion sums to fold") {
     val r = MLOps.qModelReport(spark, sf).cache()
     assert(r.select("model").collect().map(_.getString(0)).sorted
