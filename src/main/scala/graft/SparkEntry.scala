@@ -139,6 +139,7 @@ object SparkEntry {
     "q_chunk_docs" -> (TextOps.qChunkDocs _),
     "q_repetition" -> (TextOps.qRepetition _),
     "q_corpus_filter" -> (TextOps.qCorpusFilter _),
+    "q_corpus_funnel" -> (TextOps.qCorpusFunnel _),
     "q_redact" -> (TextOps.qRedact _),
     "q_vocab" -> (TextOps.qVocab _),
     "q_unigram_surprisal" -> (TextOps.qUnigramSurprisal _),
@@ -310,6 +311,40 @@ object SparkEntry {
             / len(list_distinct(list_concat(sa.hj, sb.hj))), 4) AS jaccard
         FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
         ORDER BY jaccard DESC, doc_a, doc_b"""
+
+  /** CTE chain for the per-doc curation verdict (mirror of
+    * TextOps.qCorpusFilter) — shared by the corpus-filter oracle and the
+    * funnel-report oracle. Callers prepend `WITH RECURSIVE `. */
+  private val corpusFilterCtes =
+    s"""pr AS ($minhashPairsSql),
+        $clusterCompSql,
+        tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+        rep AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          round(1 - $uniqBigramsSql / greatest(len(t)-1, 1)::DOUBLE, 4)
+            AS dup_bigram_ratio
+        FROM tok
+        -- token-less docs have no row on the Spark rep side (explode of
+        -- a null/empty token array emits no rows); mirror, then restore
+        -- them via the LEFT JOIN from documents below
+        WHERE t IS NOT NULL AND len(t) > 0)"""
+
+  /** Per-doc verdict SELECT over [[corpusFilterCtes]] (no ORDER BY so it
+    * can sit inside a CTE). */
+  private val corpusVerdictSql =
+    s"""SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, dup_bigram_ratio,
+          CAST(CASE WHEN COALESCE(n_tokens, 0) >= ${TextOps.MinTokens}
+            THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
+          CAST(CASE WHEN dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
+            THEN 1 ELSE 0 END AS BIGINT) AS rep_ok,
+          CAST(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+            THEN 1 ELSE 0 END AS BIGINT) AS dedup_ok,
+          CAST(CASE WHEN COALESCE(n_tokens, 0) >= ${TextOps.MinTokens}
+            AND dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
+            AND d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM documents d
+          LEFT JOIN rep r ON d.doc_id = r.doc_id
+          LEFT JOIN comp c ON d.doc_id = c.doc_id"""
 
   private val mlFeatures = MLOps.FeatureCols
 
@@ -1681,32 +1716,26 @@ object SparkEntry {
               1, 8) AS chunk_hash
           FROM st ORDER BY doc_id, chunk_idx""",
     "q_corpus_filter" ->
-      s"""WITH RECURSIVE pr AS ($minhashPairsSql),
-          $clusterCompSql,
-          tok AS (SELECT doc_id, $tokSql AS t FROM documents),
-          rep AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-            round(1 - $uniqBigramsSql / greatest(len(t)-1, 1)::DOUBLE, 4)
-              AS dup_bigram_ratio
-          FROM tok
-          -- token-less docs have no row on the Spark rep side (explode of
-          -- a null/empty token array emits no rows); mirror, then restore
-          -- them via the LEFT JOIN from documents below
-          WHERE t IS NOT NULL AND len(t) > 0)
-          SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, dup_bigram_ratio,
-            CAST(CASE WHEN COALESCE(n_tokens, 0) >= ${TextOps.MinTokens}
-              THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
-            CAST(CASE WHEN dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
-              THEN 1 ELSE 0 END AS BIGINT) AS rep_ok,
-            CAST(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
-              THEN 1 ELSE 0 END AS BIGINT) AS dedup_ok,
-            CAST(CASE WHEN COALESCE(n_tokens, 0) >= ${TextOps.MinTokens}
-              AND dup_bigram_ratio <= ${TextOps.MaxDupBigramRatio}
-              AND d.doc_id = COALESCE(c.cluster_id, d.doc_id)
-              THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM documents d
-            LEFT JOIN rep r ON d.doc_id = r.doc_id
-            LEFT JOIN comp c ON d.doc_id = c.doc_id
+      s"""WITH RECURSIVE $corpusFilterCtes
+          $corpusVerdictSql
           ORDER BY d.doc_id""",
+    "q_corpus_funnel" ->
+      s"""WITH RECURSIVE $corpusFilterCtes,
+          cf AS ($corpusVerdictSql),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+            CAST(sum(len_ok) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN len_ok = 1 AND rep_ok = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+            CAST(sum(keep) AS BIGINT) AS n3
+          FROM cf)
+          SELECT stage, docs_in, docs_kept,
+            round(docs_kept * 1.0 / greatest(docs_in, 1), 4) AS keep_rate
+          FROM (
+            SELECT '0_raw' AS stage, n0 AS docs_in, n0 AS docs_kept FROM a
+            UNION ALL SELECT '1_length', n0, n1 FROM a
+            UNION ALL SELECT '2_repetition', n1, n2 FROM a
+            UNION ALL SELECT '3_dedup', n2, n3 FROM a)
+          ORDER BY stage""",
     "q_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
           tf AS (SELECT doc_id, x, count(*) AS c

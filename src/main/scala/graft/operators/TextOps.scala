@@ -264,6 +264,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus curation funnel — the "data card" headline artifact every
+    * training corpus publishes: per pipeline stage (raw → length gate →
+    * repetition gate → dedup survivorship), how many documents entered,
+    * how many survived, and the stage keep-rate. Stage i's intake IS
+    * stage i−1's survivors, so the report reads as the sequential
+    * filter chain a curation run applies. ONE aggregation over the
+    * per-doc verdict frame ([[qCorpusFilter]]) computes every stage
+    * count; the 4 stage rows explode from that single broadcast-sized
+    * row — no second corpus scan.
+    */
+  def qCorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val cf = qCorpusFilter(spark, dir)
+    val a = cf.agg(
+      count(lit(1)).as("n0"),
+      sum(col("len_ok")).as("n1"),
+      sum(when(col("len_ok") === 1 && col("rep_ok") === 1, 1L).otherwise(0L))
+        .as("n2"),
+      sum(col("keep")).as("n3"))
+    a.select(explode(array(
+        struct(lit("0_raw").as("stage"), col("n0").as("din"), col("n0").as("dk")),
+        struct(lit("1_length").as("stage"), col("n0").as("din"), col("n1").as("dk")),
+        struct(lit("2_repetition").as("stage"), col("n1").as("din"), col("n2").as("dk")),
+        struct(lit("3_dedup").as("stage"), col("n2").as("din"), col("n3").as("dk"))))
+        .as("x"))
+      .select(col("x.stage").as("stage"),
+        col("x.din").cast("long").as("docs_in"),
+        col("x.dk").cast("long").as("docs_kept"),
+        r4(col("x.dk") / greatest(col("x.din"), lit(1L))).as("keep_rate"))
+      .orderBy(col("stage"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): unique-token
     * ratio, most-frequent-token fraction, and duplicate-bigram ratio per
     * document. Token stats come from the shared (doc, term) frequency

@@ -95,6 +95,17 @@ class PlanAuditSpec extends SparkSpec {
       s"unpartitioned window over a data-sized frame in: $offenders")
   }
 
+  test("rank-limit queries keep the WindowGroupLimit pushdown") {
+    // Spark 4 plants partial group-limits below the shuffle for
+    // row_number() <= k filters — the map-side top-k that makes
+    // rank-per-key queries scale. A reformulated filter that stops the
+    // pushdown silently reverts to full per-key sorts.
+    for (name <- Seq("q_top_per_group", "q_latest_snapshot")) {
+      assert(finalPlan(name).contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit pushdown")
+    }
+  }
+
   test("scans read only the columns the query needs") {
     // q_high_activity touches only user_id: the parquet ReadSchema must
     // not include the wide props payload.

@@ -298,6 +298,22 @@ class TextMlSpec extends SparkSpec {
     cf.unpersist()
   }
 
+  test("qCorpusFunnel: sequential chain, monotone survivors, ends at keep count") {
+    import graft.operators.TextOps
+    val rows = TextOps.qCorpusFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq("0_raw", "1_length", "2_repetition", "3_dedup"))
+    // each stage keeps at most what entered, and stage i's intake is
+    // stage i-1's survivors — the funnel is a real sequential chain
+    assert(rows.forall { case (_, in, kept) => kept <= in })
+    assert(rows.sliding(2).forall { case Array((_, _, k0), (_, in1, _)) => in1 == k0 })
+    val cf = TextOps.qCorpusFilter(spark, sf)
+    assert(rows.head._2 === cf.count(), "raw intake must cover every doc")
+    assert(rows.last._3 ===
+      cf.filter(col("keep") === 1).count(), "final survivors == keep count")
+  }
+
   test("qRepetition: ratios in [0,1], consistent with qTokenCount") {
     val r = TextOps.qRepetition(spark, sf).cache()
     val bad = r.filter(col("uniq_token_ratio") < 0 || col("uniq_token_ratio") > 1 ||
