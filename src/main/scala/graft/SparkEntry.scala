@@ -127,6 +127,7 @@ object SparkEntry {
     "q_ann_ivf" -> (SimilarityOps.qAnnIvf _),
     "q_ann_ivfpq" -> (SimilarityOps.qAnnIvfPq _),
     "q_embed_stats" -> (SimilarityOps.qEmbedStats _),
+    "q_embed_quantize" -> (SimilarityOps.qEmbedQuantize _),
     "q_pq_codes" -> (SimilarityOps.qPqCodes _),
     // F. text analysis
     "q_lang_id" -> (TextOps.qLangId _),
@@ -1640,6 +1641,27 @@ object SparkEntry {
             round(min(nv), 4) AS min_norm,
             round(max(nv), 4) AS max_norm
           FROM n GROUP BY 1 ORDER BY 1""",
+    "q_embed_quantize" ->
+      """WITH d AS (
+           SELECT vec_id, i, embedding[i]::DOUBLE AS v
+           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+         ps AS (SELECT i, min(v) AS mn, max(v) AS mx FROM d GROUP BY i),
+         st AS (SELECT list(mn ORDER BY i) AS mn_l, list(mx ORDER BY i) AS mx_l
+           FROM ps),
+         e AS (
+           SELECT vec_id, len(embedding) AS n_dims,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CASE WHEN (mx_l[i] - mn_l[i]) > 0 THEN
+                 power(embedding[i]::DOUBLE - (mn_l[i]
+                   + least(greatest(floor((embedding[i]::DOUBLE - mn_l[i])
+                       / (mx_l[i] - mn_l[i]) * 255 + 0.5), 0), 255)
+                     / 255.0 * (mx_l[i] - mn_l[i])), 2)
+               ELSE power(embedding[i]::DOUBLE - mn_l[i], 2) END) AS errs
+           FROM embeddings, st)
+         SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+           round(sqrt(list_sum(errs) / n_dims), 4) AS rmse,
+           round(sqrt(list_max(errs)), 4) AS max_err
+         FROM e ORDER BY vec_id""",
     "q_embed_neardup" ->
       s"""WITH n AS ($embNormSql)
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

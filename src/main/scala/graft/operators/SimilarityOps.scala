@@ -312,4 +312,44 @@ object SimilarityOps {
             .reduce(_ + _))).as("recon_err"): _*)
         .orderBy(col("vec_id"))
     }
+
+  /** Int8 scalar quantization of the embedding column — the SQ8
+    * compression step a billion-vector index applies before anything
+    * else (4× smaller than float32, dequantizes with one multiply-add).
+    * Per-dimension codebook (min, max) from ONE tiny aggregation
+    * (|dims| rows → a 1-row broadcast of two arrays); codes are
+    * explicit half-up `floor(x·255/range + 0.5)` so both engines round
+    * identically; the report is per-vector reconstruction RMSE and max
+    * per-dim error, summed IN INDEX ORDER on both engines (Spark
+    * `aggregate` over the array, DuckDB `list_sum` over a built list)
+    * so float accumulation can't drift across engines. The quantization
+    * itself is a codegen'd narrow projection — at 100 TB this is a
+    * single map-only pass.
+    */
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val dims = e.select(posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
+    val stats = dims.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("mns"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
+      .select(transform(col("mns"), s => s.getField("mn")).as("mn_arr"),
+        transform(col("mxs"), s => s.getField("mx")).as("mx_arr"))
+    val emb = toDouble(col("embedding"))
+    val rngArr = zip_with(col("mx_arr"), col("mn_arr"), (a, b) => a - b)
+    val codes = zip_with(zip_with(emb, col("mn_arr"), (v, mn) => v - mn), rngArr,
+      (nv, rng) => when(rng > 0,
+        least(greatest(floor(nv / rng * 255 + 0.5), lit(0.0)), lit(255.0)))
+        .otherwise(lit(0.0)))
+    val deq = zip_with(zip_with(codes, rngArr, (c, r) => c / lit(255.0) * r),
+      col("mn_arr"), (d, mn) => d + mn)
+    val errs = zip_with(emb, deq, (v, d) => (v - d) * (v - d))
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        r4(sqrt(aggregate(errs, lit(0.0), (acc, x) => acc + x)
+          / size(col("embedding")))).as("rmse"),
+        r4(sqrt(array_max(errs))).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -215,6 +215,25 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("qEmbedQuantize: error bounded by half a quantization step, rmse <= max_err") {
+    import graft.operators.SimilarityOps
+    val q = SimilarityOps.qEmbedQuantize(spark, sf).cache()
+    assert(q.count() === Tables.embeddings(spark, sf).count())
+    // half-up int8 rounding can miss a value by at most step/2, where
+    // step = widest per-dim range / 255 (plus float slack)
+    val dims = Tables.embeddings(spark, sf)
+      .select(posexplode(graft.functions.TextFunctions.toDouble(col("embedding")))
+        .as(Seq("pos", "v")))
+    val maxRange = dims.groupBy(col("pos"))
+      .agg((max(col("v")) - min(col("v"))).as("rng"))
+      .agg(max(col("rng"))).head.getDouble(0)
+    val bound = maxRange / 255 / 2 + 1e-6
+    assert(q.filter(col("max_err") > bound).count() === 0,
+      s"max_err above the half-step bound $bound")
+    assert(q.filter(col("rmse") > col("max_err")).count() === 0)
+    q.unpersist()
+  }
+
   test("qEditDistance: exact-dup candidates at distance 0, similarity consistent") {
     val df = DedupOps.qEditDistance(spark, sf).cache()
     assert(df.count() > 0)

@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
       // count that sets the contamination cut) and q_rfm_approx crosses
       // the ONE-ROW quantile-cutoff aggregate — all O(1) build sides
       "q_eval_metrics", "q_quantile_outlier", "q_recon_error",
-      "q_iforest_score", "q_rfm_approx")
+      "q_iforest_score", "q_rfm_approx",
+      // one-row broadcast cross: the per-dim (min, max) codebook arrays
+      "q_embed_quantize")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
