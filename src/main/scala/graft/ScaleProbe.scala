@@ -35,9 +35,15 @@ object ScaleProbe {
     "q1_agg", "q3_join", "q5_join", "q18_large_orders",
     "q_user_features", "q_latest_snapshot", "q_sessionize", "q_rfm",
     "q_pagerank", "q_dedup_minhash_pairs", "q_containment", "q_bm25",
-    "q_ann_brute", "q_zscore_anomaly")
+    "q_ann_brute", "q_zscore_anomaly",
+    // composites + sketch + text + transition families
+    "q_ensemble_vote", "q_heavy_hitters", "q_tfidf", "q_coaccess_pairs",
+    "q_event_transitions", "q_embed_quantize")
 
-  private val Stride = 1000000000000L // ×10¹²: >> any base key, mod-5/2-neutral
+  // ×10⁸: >> any base key (all < 2×10⁵ at sf0.1), divisible by 5 and 2
+  // (preserves vec_id%5 fold splits), and factor·stride stays inside the
+  // [0, 2³¹) range qCoaccessPairs' packed-long pair key requires.
+  private val Stride = 100000000L
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

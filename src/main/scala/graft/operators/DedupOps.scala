@@ -307,8 +307,13 @@ object DedupOps {
       // the session parallelism before the expensive projection (CPU
       // cost here scales with rows·len², not bytes).
       .repartition(spark.sparkContext.defaultParallelism)
-      // named column so the O(len²) distance is evaluated ONCE per pair
-      .withColumn("edit_distance", levenshtein(col("ta"), col("tb")).cast("long"))
+      // named column so the O(len²) distance is evaluated ONCE per pair;
+      // exact clones (the common case in a dup-heavy corpus — every
+      // hamming-0 candidate) short-circuit on an O(len) equality check
+      // instead of paying the full DP matrix for a known-zero answer
+      .withColumn("edit_distance",
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb")).cast("long")))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_distance"),
         r4(lit(1.0) - col("edit_distance").cast("double")
           / greatest(col("la"), col("lb"))).as("similarity"))

@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   *     in ANSI SQL.
   *
   * Scale posture: the feature matrix is |users| rows — events already
-  * aggregated down by ThreatOps.qUserFeatures' single shuffle — so global
-  * windows over it (for exact contamination-quantile ranks) act on the
-  * small derived table, not the 100 TB log. At extreme user counts the
-  * exact rank would swap to approx_percentile thresholds; the ordering
-  * contract (score DESC, user_id) keeps results deterministic either way.
+  * aggregated down by ThreatOps.qUserFeatures' single shuffle — and every
+  * exact contamination-quantile cut runs through RankOps.withGlobalRank
+  * (range-partition + prefix-sum offsets), so there is NO single-task
+  * sort at any user count; the ordering contract (score DESC, user_id)
+  * keeps results deterministic. Detector outputs are Memo-pinned like
+  * the feature matrix: the ensemble/report composites join the cached
+  * |users|-row flag frames instead of re-executing the detector DAGs.
   */
 object MLOps {
 
