@@ -174,4 +174,49 @@ object LogSources {
       .write.mode("overwrite")
       .parquet(path)
   }
+
+  /** Small-file compaction for a date-partitioned parquet dataset — the
+    * maintenance job every streaming/micro-batch sink needs at scale: a
+    * minute-cadence writer leaves thousands of KB-sized files per daily
+    * partition, and scan parallelism + footer overhead degrade with file
+    * COUNT, not byte size. Per partition whose file count exceeds
+    * `maxFiles`: read, coalesce to `ceil(bytes / targetBytes)` files,
+    * rewrite into a staging dir, and swap atomically-enough for a local
+    * filesystem (on HDFS/S3 the swap step would go through the
+    * FileSystem API / a manifest commit — the Spark work is identical).
+    * Partitions already compact are NOT rewritten (idempotent, and the
+    * common case in steady state: only the newest partition churns).
+    * Returns (partitionsCompacted, filesBefore, filesAfter).
+    */
+  def compactDatePartitioned(spark: SparkSession, root: String,
+      targetBytes: Long, maxFiles: Int = 8): (Int, Int, Int) = {
+    import java.io.File
+    val dirs = Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("="))
+    var compacted = 0; var before = 0; var after = 0
+    for (d <- dirs) {
+      def parts(dir: File): Array[File] =
+        dir.listFiles().filter(f => f.getName.endsWith(".parquet"))
+      val files = parts(d)
+      before += files.length
+      if (files.length > maxFiles) {
+        val bytes = files.map(_.length()).sum
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val staged = new File(d.getParentFile, s".compact_${d.getName}")
+        spark.read.parquet(d.getAbsolutePath)
+          .repartition(n)
+          .write.mode("overwrite").parquet(staged.getAbsolutePath)
+        // swap: drop the old partition dir, move the staged one in
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+        require(staged.renameTo(d), s"compaction swap failed for ${d.getName}")
+        compacted += 1
+        after += parts(d).length
+      } else after += files.length
+    }
+    (compacted, before, after)
+  }
 }

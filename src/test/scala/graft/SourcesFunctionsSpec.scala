@@ -55,6 +55,32 @@ class SourcesFunctionsSpec extends SparkSpec {
       s"expected partition pruning:\n$scan")
   }
 
+  test("compactDatePartitioned merges small files, preserves rows, stays idempotent") {
+    val out = tmpDir("compact") + "/events"
+    val ev = Tables.events(spark, sf).limit(2000)
+    // simulate a micro-batch writer: 12 small files per daily partition
+    LogSources.writeDatePartitioned(ev.repartition(12), "ts", out)
+    val rowsBefore = spark.read.parquet(out).count()
+    val sumBefore = spark.read.parquet(out)
+      .agg(sum(col("event_id"))).head.getLong(0)
+    val (n1, before, after) =
+      LogSources.compactDatePartitioned(spark, out, targetBytes = 512L * 1024 * 1024)
+    assert(n1 > 0, "at least one partition should need compaction")
+    assert(after < before, s"file count must drop ($before -> $after)")
+    // content identical, partition pruning intact
+    val back = spark.read.parquet(out)
+    assert(back.count() === rowsBefore)
+    assert(back.agg(sum(col("event_id"))).head.getLong(0) === sumBefore)
+    val oneDay = back.select("event_date").distinct().head.getDate(0)
+    val scan = back.filter(col("event_date") === lit(oneDay))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"))
+    // steady state: a second pass finds nothing to rewrite
+    val (n2, b2, a2) =
+      LogSources.compactDatePartitioned(spark, out, targetBytes = 512L * 1024 * 1024)
+    assert(n2 === 0 && b2 === a2 && b2 === after)
+  }
+
   test("ORC round-trip preserves events and pushes filters to the scan") {
     val out = tmpDir("orc") + "/events"
     val ev = Tables.events(spark, sf)
