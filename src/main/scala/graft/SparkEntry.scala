@@ -170,6 +170,11 @@ object SparkEntry {
     "q_iforest_score" -> (MLOps.qIforestScore _),
     "q_silhouette" -> (MLOps.qSilhouette _),
     "q_rfm_approx" -> (RelationalOps.qRfmApprox _),
+    "q_calibration" -> (MLOps.qCalibration _),
+    "q_scd2_history" -> (RelationalOps.qScd2History _),
+    "q_source_mix" -> (TextOps.qSourceMix _),
+    "q_pack_docs" -> (TextOps.qPackDocs _),
+    "q_holt_winters" -> (ThreatOps.qHoltWinters _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1812,5 +1817,88 @@ object SparkEntry {
            byte_len // 100 + 1 AS n_frames,
            (byte_len // 100 + 1 + 3) // 4 AS sampled_frames
          FROM m ORDER BY doc_id""",
+    "q_calibration" ->
+      """WITH e AS (
+           SELECT vec_id,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS truth,
+             round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))), 4) AS l2,
+             round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 4) AS mx
+           FROM embeddings),
+         s AS (
+           SELECT 'l2_norm' AS detector, truth, l2 AS score FROM e
+           UNION ALL
+           SELECT 'max_abs' AS detector, truth, mx AS score FROM e),
+         mm AS (SELECT detector, min(score) AS mn, max(score) AS mxs
+           FROM s GROUP BY detector),
+         p AS (SELECT s.detector AS detector, truth,
+           CASE WHEN mxs = mn THEN 0.0
+                ELSE (score - mn) / (mxs - mn) END AS p
+           FROM s JOIN mm ON s.detector = mm.detector)
+         SELECT detector, CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(avg(p), 4) AS mean_score,
+           round(avg(truth), 4) AS frac_pos,
+           round(avg((p - truth) * (p - truth)), 4) AS brier
+         FROM p GROUP BY detector, bin ORDER BY detector, bin""",
+    "q_scd2_history" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT user_id, d, n,
+           CASE WHEN n >= 4 THEN 'high' WHEN n >= 2 THEN 'med'
+                ELSE 'low' END AS tier FROM daily),
+         c AS (SELECT user_id, d, n, tier,
+           CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+                THEN 1 ELSE 0 END AS chg
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+         r AS (SELECT user_id, d, n, tier,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM c),
+         h AS (SELECT user_id, run_id, tier,
+           min(d) AS valid_from, max(d) AS last_active,
+           CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS n_events
+           FROM r GROUP BY 1, 2, 3)
+         SELECT user_id, tier,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(lead(valid_from) OVER w2, '%Y-%m-%d') AS valid_to,
+           strftime(last_active, '%Y-%m-%d') AS last_active,
+           n_days, n_events,
+           CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS is_current
+         FROM h WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+         ORDER BY user_id, valid_from""",
+    "q_source_mix" ->
+      s"""WITH d AS (SELECT source, CAST(len($tokSql) AS BIGINT) AS toks
+            FROM documents),
+          s AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+          t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            count(*) AS n_sources FROM s)
+          SELECT source, n_docs, n_tokens,
+            n_tokens * 10000 // total_tokens AS share_bp,
+            round(total_tokens / (n_sources * n_tokens)::DOUBLE, 4)
+              AS uniform_weight
+          FROM s CROSS JOIN t ORDER BY source""",
+    "q_pack_docs" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS toks,
+              doc_id // ${TextOps.PackBlock} AS block,
+              row_number() OVER (PARTITION BY doc_id // ${TextOps.PackBlock}
+                ORDER BY doc_id) AS rn
+            FROM documents),
+          pack AS (
+            SELECT block, rn, doc_id, toks, CAST(0 AS BIGINT) AS seq,
+              toks AS fill
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.block, t.rn, t.doc_id, t.toks,
+              CASE WHEN p.fill > 0 AND p.fill + t.toks > ${TextOps.PackBudget}
+                   THEN p.seq + 1 ELSE p.seq END,
+              CASE WHEN p.fill > 0 AND p.fill + t.toks > ${TextOps.PackBudget}
+                   THEN t.toks ELSE p.fill + t.toks END
+            FROM pack p JOIN toks t ON t.block = p.block AND t.rn = p.rn + 1)
+          SELECT doc_id, toks, block, seq AS seq_in_block
+          FROM pack ORDER BY doc_id""",
   )
 }

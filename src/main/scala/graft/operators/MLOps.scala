@@ -699,4 +699,35 @@ object MLOps {
             / greatest(col("a_own"), col("b_other")))).as("silhouette"))
       .orderBy("user_id")
   }
+
+  /** Calibration / reliability diagram over the detector scores —
+    * completes the evaluation artifact set next to [[qRocAuc]] /
+    * [[qRocPoints]] (the reference reads precision/recall/F1/ROC off
+    * sklearn, Comparaison_ML.py:353-355; a reliability table is the
+    * standard companion whenever a score is used as a probability).
+    * Scores are min-max normalized per detector (the 2-row min/max
+    * frame broadcasts back), bucketed into 10 fixed-width bins, and
+    * each bin reports its occupancy, mean normalized score, empirical
+    * positive rate, and Brier contribution. The bin key is computed
+    * from the UNROUNDED normalized score — both engines derive it with
+    * the same IEEE ops from identical (4-dp-rounded) inputs, so bin
+    * membership can't straddle a rounding boundary. One score-keyed
+    * aggregation; every other frame is a broadcast.
+    */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val s = detectorScores(spark, dir)
+    val mm = s.groupBy(col("detector"))
+      .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    s.join(broadcast(mm), Seq("detector"))
+      .withColumn("p", when(col("mx") === col("mn"), lit(0.0))
+        .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))))
+      .withColumn("bin", least(floor(col("p") * 10), lit(9L)).cast("long"))
+      .groupBy(col("detector"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        r4(avg(col("p"))).as("mean_score"),
+        r4(avg(col("truth").cast("double"))).as("frac_pos"),
+        r4(avg((col("p") - col("truth")) * (col("p") - col("truth"))))
+          .as("brier"))
+      .orderBy(col("detector"), col("bin"))
+  }
 }

@@ -1627,4 +1627,45 @@ object RelationalOps {
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy(col("user_id"))
   }
+
+  /** SCD Type-2 history build: collapse each user's daily activity tier
+    * (low = 1 event/day, med = 2-3, high = ≥4) into versioned validity
+    * intervals — the slowly-changing-dimension pattern every warehouse
+    * applies to attributes that drift (here: a behavioral tier feeding
+    * access-review policy). Gaps-and-islands: a tier change opens a new
+    * version (lag + conditional running count), each run aggregates to
+    * [valid_from, valid_to) with valid_to = next version's start and
+    * is_current on the open one. Runs span inactive days — a version
+    * closes only when observed behavior CHANGES. Every window is
+    * user-partitioned over the per-user DAILY rollup (≤ |users|·|days|
+    * rows, aggregated before any window), so no unpartitioned sort and
+    * no data-sized window frame at any log size.
+    */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tier", when(col("n") >= 4, "high")
+        .when(col("n") >= 2, "med").otherwise("low"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val runs = daily
+      .withColumn("prev_tier", lag(col("tier"), 1).over(byDay))
+      .withColumn("chg",
+        when(col("prev_tier").isNull || col("prev_tier") =!= col("tier"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy(col("user_id"), col("run_id"), col("tier"))
+      .agg(min(col("d")).as("valid_from"), max(col("d")).as("last_active"),
+        count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    hist.withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("tier"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+        date_format(col("last_active"), "yyyy-MM-dd").as("last_active"),
+        col("n_days"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
 }

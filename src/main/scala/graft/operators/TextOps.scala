@@ -475,4 +475,78 @@ object TextOps {
       .orderBy(col("pmi").desc, col("wa"), col("wb"))
       .limit(100)
   }
+
+  /** Data-mixture report + reweighting plan: per source (the
+    * domain/provenance axis every pretraining corpus is mixed along),
+    * document and token counts, the source's share of the corpus token
+    * budget in exact basis points, and the resampling weight that would
+    * equalize token share across sources (weight > 1 ⇒ upsample). The
+    * mixture weights that govern a training run reduce to exactly this
+    * |sources|-row table. Shape: one narrow token-count projection, one
+    * source-keyed aggregation (map-side combined), the corpus total as a
+    * 1-row broadcast — shares/weights are single double ops over exact
+    * longs, so both engines compute identical values.
+    */
+  def qSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 10000 div total_tokens").as("share_bp"),
+        r4(col("total_tokens") / (col("n_sources") * col("n_tokens")))
+          .as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Documents per packing block and token budget per packed sequence
+    * for [[qPackDocs]]. 32-doc blocks bound the per-group fold state;
+    * 256 tokens ≈ 4-8 synthetic docs per sequence. */
+  val PackBlock = 32
+  val PackBudget = 256
+
+  /** Training-sequence packing plan: assign each document to a fixed
+    *-token-budget training sequence by greedy first-fit-sequential
+    * packing (a doc that would overflow the open sequence closes it;
+    * an oversized doc gets a sequence of its own) — the step that turns
+    * a curated corpus into fixed-length pretraining rows. Packing is a
+    * sequential recurrence, so it runs inside bounded independent
+    * units: docs are packed within [[PackBlock]]-doc blocks (doc_id
+    * DIV 32), in doc_id order. Blocks are embarrassingly parallel —
+    * the 100 TB shape is "pack within shard", which is what production
+    * packers do — and the per-block fold is ONE `aggregate` HOF over a
+    * ≤32-element sorted array: state is (open seq, fill), output the
+    * per-doc assignment. One block-keyed shuffle of (doc_id, toks)
+    * pairs, nothing token-level moves. Oracle = recursive CTE replaying
+    * the same fold one doc per iteration across all blocks.
+    */
+  def qPackDocs(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("toks"),
+        expr(s"doc_id div $PackBlock").as("block"))
+      .groupBy(col("block"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("toks")))).as("items"))
+    val budget = lit(PackBudget.toLong)
+    val outType = "array<struct<doc_id:bigint,toks:bigint,seq:bigint>>"
+    val folded = grouped.select(col("block"),
+      aggregate(col("items"),
+        struct(lit(0L).as("seq"), lit(0L).as("fill"),
+          array().cast(outType).as("out")),
+        (acc, x) => {
+          val overflow = acc("fill") > 0 && acc("fill") + x("toks") > budget
+          val seq = when(overflow, acc("seq") + 1).otherwise(acc("seq"))
+          val fill = when(overflow, x("toks")).otherwise(acc("fill") + x("toks"))
+          struct(seq.as("seq"), fill.as("fill"),
+            concat(acc("out"), array(struct(x("doc_id").as("doc_id"),
+              x("toks").as("toks"), seq.as("seq")))).as("out"))
+        },
+        acc => acc("out")).as("packed"))
+    folded.select(col("block"), explode(col("packed")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.toks").as("toks"),
+        col("block"), col("p.seq").as("seq_in_block"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -831,6 +831,62 @@ object ThreatOps {
       .orderBy(col("event_type"), col("horizon_days"))
   }
 
+  /** Additive Holt-Winters 7-day forecast with WEEKLY seasonality — the
+    * seasonal extension of [[qHoltForecast]] for the signals
+    * [[qAutocorr]]/[[qSeasonalBaseline]] show to be weekly-periodic
+    * (a trend-only forecast of a weekly-cyclic log over- and under-
+    * shoots alternate days; the seasonal term absorbs the cycle).
+    * Same scale shape as Holt: the recursion is sequential in time, so
+    * it runs per event type inside flatMapGroups over the BOUNDED
+    * (type, day) rollup — state is level + trend + a 7-slot seasonal
+    * array. Dyadic smoothing constants (α=1/2, β=1/4, γ=1/4) keep the
+    * arithmetic exact-in-binary; classical init (level = season-1
+    * mean, trend = (season-2 mean − season-1 mean)/7, seasonals =
+    * season-1 deviations); types with < 2 full seasons emit nothing.
+    * Sequential-by-construction → rows-only; the spec replays the
+    * recursion by hand to exact equality.
+    */
+  def qHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 7
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), datediff(col("d"), lit("1970-01-01").cast("date"))
+        .cast("long").as("epochDay"), col("n"))
+      .as[(String, Long, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Long)]) =>
+        val obs = it.map { case (_, day, n) => day -> n }.toArray.sortBy(_._1)
+        val byDay = obs.toMap
+        val (d0, dN) = (obs.head._1, obs.last._1)
+        val series = (d0 to dN).map(d => byDay.getOrElse(d, 0L).toDouble).toArray
+        if (series.length < 2 * m) Iterator.empty
+        else {
+          val mean1 = series.slice(0, m).sum / m
+          val mean2 = series.slice(m, 2 * m).sum / m
+          var level = mean1
+          var trend = (mean2 - mean1) / m
+          val seasonal = Array.tabulate(m)(i => series(i) - mean1)
+          for (t <- m until series.length) {
+            val y = series(t)
+            val sPrev = seasonal(t % m)
+            val prevLevel = level
+            level = 0.5 * (y - sPrev) + 0.5 * (level + trend)
+            trend = 0.25 * (level - prevLevel) + 0.75 * trend
+            seasonal(t % m) = 0.25 * (y - level) + 0.75 * sPrev
+          }
+          val n = series.length
+          (1 to m).iterator.map { h =>
+            val fc = level + h * trend + seasonal((n + h - 1) % m)
+            (et, h.toLong, math.rint(fc * 10000) / 10000)
+          }
+        }
+      }
+      .toDF("event_type", "horizon_days", "forecast")
+      .orderBy(col("event_type"), col("horizon_days"))
+  }
+
   /** Daily-activity autocorrelation per event type at calendar lags 1–7
     * days — the periodicity detector behind weekly-rhythm baselining (a
     * strong lag-7 ACF says "this signal has a weekly cycle; compare

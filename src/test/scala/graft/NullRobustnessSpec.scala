@@ -53,7 +53,9 @@ class NullRobustnessSpec extends SparkSpec {
     "q_cumulative_users" -> (RelationalOps.qCumulativeUsers _),
     "q_pareto_users" -> (RelationalOps.qParetoUsers _),
     "q_dau_wau" -> (RelationalOps.qDauWau _),
-    "q_holt_forecast" -> (ThreatOps.qHoltForecast _))
+    "q_holt_forecast" -> (ThreatOps.qHoltForecast _),
+    "q_holt_winters" -> (ThreatOps.qHoltWinters _),
+    "q_scd2_history" -> (RelationalOps.qScd2History _))
 
   test("every events-only operator survives 7% nulls in user_id/props/value/ts, deterministically") {
     for ((name, fn) <- eventQueries) {

@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_eval_metrics", "q_quantile_outlier", "q_recon_error",
       "q_iforest_score", "q_rfm_approx",
       // one-row broadcast cross: the per-dim (min, max) codebook arrays
-      "q_embed_quantize")
+      "q_embed_quantize",
+      // one-row broadcast cross: the corpus token total + source count
+      "q_source_mix")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -763,4 +763,29 @@ class RelationalOpsSpec extends SparkSpec {
       .count()
     assert(numcust === direct)
   }
+
+  test("qScd2History: versions chain per user, tiers change at boundaries, one open version") {
+    val rows = RelationalOps.qScd2History(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[String]("valid_from"))
+      assert(rs.count(_.getAs[Long]("is_current") == 1L) === 1,
+        "exactly one open version per user")
+      assert(sorted.last.getAs[Long]("is_current") === 1L)
+      assert(sorted.last.getAs[String]("valid_to") == null)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // SCD-2 chain: a version closes exactly where the next one opens,
+          // and a new version exists only because the tier CHANGED
+          assert(a.getAs[String]("valid_to") === b.getAs[String]("valid_from"))
+          assert(a.getAs[String]("tier") !== b.getAs[String]("tier"))
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[String]("valid_from") <= r.getAs[String]("last_active"))
+        assert(r.getAs[Long]("n_days") >= 1L)
+        assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_days"))
+      }
+    }
+  }
 }

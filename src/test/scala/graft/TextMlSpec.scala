@@ -469,4 +469,63 @@ class TextMlSpec extends SparkSpec {
       assert(r.getAs[Long]("n_outliers") * 2 <= r.getAs[Long]("n"))
     }
   }
+
+  test("qPackDocs: complete, and the per-block assignment replays the greedy fold") {
+    val rows = TextOps.qPackDocs(spark, sf).collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf).count(),
+      "every document must land in exactly one sequence")
+    rows.groupBy(_.getAs[Long]("block")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      // replay greedy first-fit-sequential and demand identical assignment
+      var seq = 0L; var fill = 0L
+      sorted.foreach { r =>
+        val t = r.getAs[Long]("toks")
+        if (fill > 0 && fill + t > TextOps.PackBudget) { seq += 1; fill = t }
+        else fill += t
+        assert(r.getAs[Long]("seq_in_block") === seq,
+          s"doc ${r.getAs[Long]("doc_id")} not where greedy packing puts it")
+      }
+      // budget bound: only a single oversized doc may exceed it
+      sorted.groupBy(_.getAs[Long]("seq_in_block")).values.foreach { docs =>
+        if (docs.length > 1)
+          assert(docs.map(_.getAs[Long]("toks")).sum <= TextOps.PackBudget)
+      }
+    }
+  }
+
+  test("qSourceMix: basis-point shares telescope; weights are the uniform-mix correction") {
+    val rows = TextOps.qSourceMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bp = rows.map(_.getAs[Long]("share_bp")).sum
+    // floor rounding loses < 1 bp per source
+    assert(bp <= 10000L && bp > 10000L - rows.length)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val expect = total.toDouble / (rows.length * r.getAs[Long]("n_tokens"))
+      assert(math.abs(r.getAs[Double]("uniform_weight") - expect) < 1e-4)
+    }
+    // applying the weights equalizes token mass: weight · n_tokens is constant
+    val corrected = rows.map(r =>
+      r.getAs[Double]("uniform_weight") * r.getAs[Long]("n_tokens"))
+    assert(corrected.max - corrected.min < total / 10000.0)
+  }
+
+  test("qCalibration: bins partition both detectors' scores; rates and Brier in range") {
+    val rows = MLOps.qCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === 2 * nVec,
+      "every (detector, vector) score falls in exactly one bin")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0L && bin <= 9L)
+      val ms = r.getAs[Double]("mean_score")
+      assert(ms >= bin / 10.0 - 1e-4 && ms <= (bin + 1) / 10.0 + 1e-4,
+        s"bin $bin mean score $ms outside its bin")
+      val fp = r.getAs[Double]("frac_pos")
+      assert(fp >= 0.0 && fp <= 1.0)
+      val brier = r.getAs[Double]("brier")
+      assert(brier >= 0.0 && brier <= 1.0 + 1e-9)
+    }
+  }
 }

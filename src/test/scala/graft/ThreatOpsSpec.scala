@@ -369,6 +369,44 @@ class ThreatOpsSpec extends SparkSpec {
     assert(got1 === expect1)
   }
 
+  test("qHoltWinters: hand-replayed seasonal recursion matches exactly") {
+    val rows = ThreatOps.qHoltWinters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("horizon_days")).sorted.toSeq === (1L to 7L))
+    }
+    val m = 7
+    val et = byType.keys.min
+    val daily = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type") === et)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .sortBy(_._1)
+    val byDay = daily.toMap
+    val series = (daily.head._1 to daily.last._1)
+      .map(d => byDay.getOrElse(d, 0L).toDouble).toArray
+    assert(series.length >= 2 * m, "fixture must span two weekly seasons")
+    val mean1 = series.slice(0, m).sum / m
+    val mean2 = series.slice(m, 2 * m).sum / m
+    var level = mean1
+    var trend = (mean2 - mean1) / m
+    val seasonal = Array.tabulate(m)(i => series(i) - mean1)
+    for (t <- m until series.length) {
+      val y = series(t); val sPrev = seasonal(t % m); val prev = level
+      level = 0.5 * (y - sPrev) + 0.5 * (level + trend)
+      trend = 0.25 * (level - prev) + 0.75 * trend
+      seasonal(t % m) = 0.25 * (y - level) + 0.75 * sPrev
+    }
+    val got = byType(et).sortBy(_.getAs[Long]("horizon_days"))
+      .map(_.getAs[Double]("forecast"))
+    for (h <- 1 to m) {
+      val expect = math.rint(
+        (level + h * trend + seasonal((series.length + h - 1) % m)) * 10000) / 10000
+      assert(got(h - 1) === expect, s"horizon $h diverged from the replay")
+    }
+  }
+
   test("qAutocorr: lags 1-7 per event type, ACF bounded in [-1, 1]") {
     val rows = ThreatOps.qAutocorr(spark, sf).collect()
     assert(rows.nonEmpty)
