@@ -175,6 +175,10 @@ object SparkEntry {
     "q_source_mix" -> (TextOps.qSourceMix _),
     "q_pack_docs" -> (TextOps.qPackDocs _),
     "q_holt_winters" -> (ThreatOps.qHoltWinters _),
+    "q_psi" -> (ThreatOps.qPsi _),
+    "q_markov_surprisal" -> (ThreatOps.qMarkovSurprisal _),
+    "q_hits" -> (ThreatOps.qHits _),
+    "q_seasonal_decompose" -> (ThreatOps.qSeasonalDecompose _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1900,5 +1904,85 @@ object SparkEntry {
             FROM pack p JOIN toks t ON t.block = p.block AND t.rn = p.rn + 1)
           SELECT doc_id, toks, block, seq AS seq_in_block
           FROM pack ORDER BY doc_id""",
+    "q_psi" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+         b AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+         m AS (SELECT d0 + CAST((d1 - d0) // 2 AS INT) AS mid FROM b),
+         t AS (SELECT event_type,
+             CAST(sum(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM ev CROSS JOIN m GROUP BY event_type),
+         tot AS (SELECT sum(n_base)::DOUBLE AS tb, sum(n_cur)::DOUBLE AS tc FROM t)
+         SELECT event_type, n_base, n_cur,
+           round(n_base / tb, 4) AS p_base,
+           round(n_cur / tc, 4) AS p_cur,
+           CASE WHEN n_base > 0 AND n_cur > 0
+             THEN round((n_cur / tc - n_base / tb)
+                        * ln((n_cur / tc) / (n_base / tb)), 4) END AS psi_term
+         FROM t CROSS JOIN tot ORDER BY event_type""",
+    "q_markov_surprisal" ->
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type
+           FROM events),
+         ue AS (SELECT user_id, from_type, event_type AS to_type, count(*) AS c
+           FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2, 3),
+         m AS (SELECT from_type, to_type, CAST(sum(c) AS BIGINT) AS n
+           FROM ue GROUP BY 1, 2),
+         mt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1),
+         p AS (SELECT m.from_type, m.to_type, n::DOUBLE / tot AS p
+           FROM m JOIN mt USING (from_type))
+         SELECT user_id, CAST(sum(c) AS BIGINT) AS n_transitions,
+           round(sum(-c * log2(p)) / sum(c), 4) AS avg_surprisal_bits
+         FROM ue JOIN p
+           ON ue.from_type = p.from_type AND ue.to_type = p.to_type
+         GROUP BY user_id
+         ORDER BY avg_surprisal_bits DESC, user_id LIMIT 50""",
+    "q_hits" ->
+      """WITH ur AS (SELECT DISTINCT user_id AS u,
+             json_extract_string(props,'$.k') AS r
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL),
+         a0 AS (SELECT r, 1.0 / (SELECT count(DISTINCT r) FROM ur) AS a
+           FROM (SELECT DISTINCT r FROM ur)),
+         h1r AS (SELECT u, sum(a) AS h FROM ur JOIN a0 USING (r) GROUP BY u),
+         h1 AS (SELECT u, h / (SELECT sum(h) FROM h1r) AS h FROM h1r),
+         a1r AS (SELECT r, sum(h) AS a FROM ur JOIN h1 USING (u) GROUP BY r),
+         a1 AS (SELECT r, a / (SELECT sum(a) FROM a1r) AS a FROM a1r),
+         h2r AS (SELECT u, sum(a) AS h FROM ur JOIN a1 USING (r) GROUP BY u),
+         h2 AS (SELECT u, h / (SELECT sum(h) FROM h2r) AS h FROM h2r),
+         a2r AS (SELECT r, sum(h) AS a FROM ur JOIN h2 USING (u) GROUP BY r),
+         a2 AS (SELECT r, a / (SELECT sum(a) FROM a2r) AS a FROM a2r),
+         h3r AS (SELECT u, sum(a) AS h FROM ur JOIN a2 USING (r) GROUP BY u),
+         h3 AS (SELECT u, h / (SELECT sum(h) FROM h3r) AS h FROM h3r),
+         a3r AS (SELECT r, sum(h) AS a FROM ur JOIN h3 USING (u) GROUP BY r),
+         a3 AS (SELECT r, a / (SELECT sum(a) FROM a3r) AS a FROM a3r)
+         SELECT 'u' || u::VARCHAR AS node, 'hub' AS kind,
+           round(h * 1000, 4) AS score_x1000 FROM h3
+         UNION ALL
+         SELECT 'r' || r, 'authority', round(a * 1000, 4) FROM a3
+         ORDER BY node""",
+    "q_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, d, n,
+             count(*) OVER w AS win_rows,
+             sum(n) OVER w AS win_sum,
+             isodow(d) - 1 AS dow
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t2 AS (SELECT *, CASE WHEN win_rows = 7
+             THEN win_sum::DOUBLE / 7.0 END AS trend FROM t),
+         s AS (SELECT event_type, dow,
+             (sum(n)::DOUBLE - sum(win_sum)::DOUBLE / 7.0) / count(*)
+               AS seasonal_raw
+           FROM t2 WHERE trend IS NOT NULL GROUP BY 1, 2)
+         SELECT t2.event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n, CAST(t2.dow AS BIGINT) AS dow,
+           round(trend, 4) AS trend,
+           round(seasonal_raw, 4) AS seasonal,
+           round(n - trend - seasonal_raw, 4) AS residual
+         FROM t2 LEFT JOIN s
+           ON t2.event_type = s.event_type AND t2.dow = s.dow
+         ORDER BY t2.event_type, day""",
   )
 }

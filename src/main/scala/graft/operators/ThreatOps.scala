@@ -932,6 +932,155 @@ object ThreatOps {
         when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 4)).as("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
+
+  /** Population Stability Index of the event-type mix: the calendar span
+    * is cut at its midpoint, each type's traffic share is computed in the
+    * baseline half and the current half, and the per-type PSI term
+    * `(p_cur − p_base)·ln(p_cur/p_base)` quantifies how far the
+    * distribution has drifted (the standard model-monitoring drift
+    * gauge; PSI > 0.25 is the conventional "retrain" alarm). The date
+    * bounds ride along as a one-row broadcast (no driver scalar); the
+    * per-type counts are ONE map-side-combined aggregation over the
+    * scan, and every share is a ratio of exact longs — both engines
+    * compute identical doubles. Types present in only one half carry no
+    * finite PSI term and are emitted with a null (documented, matches
+    * the oracle).
+    */
+  def qPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), to_date(col("ts")).as("d"))
+    val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, CAST((datediff(d1, d0)) DIV 2 AS INT))").as("mid"))
+    val byType = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("d") <= col("mid"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("d") > col("mid"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = byType.agg(sum(col("n_base")).cast("double").as("tb"),
+      sum(col("n_cur")).cast("double").as("tc"))
+    val pb = col("n_base") / col("tb")
+    val pc = col("n_cur") / col("tc")
+    byType.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        r4(pb).as("p_base"), r4(pc).as("p_cur"),
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          r4((pc - pb) * log(pc / pb))).as("psi_term"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-user Markov sequence surprisal: each user's event stream is
+    * scored against the GLOBAL next-event transition matrix
+    * ([[qEventTransitions]]'s probabilities, unrounded here) — mean
+    * −log₂ p(from→to) in bits per transition. A user whose chains the
+    * baseline matrix finds improbable (login→delete where everyone else
+    * goes login→read) surfaces with high surprisal; this is the
+    * sequence-level anomaly the reference's per-type activity counts
+    * cannot see. One user-keyed window pairs the stream; per-(user,edge)
+    * counts stay exact longs; the |types|²-row matrix broadcasts back,
+    * so the surprisal fold moves |users|·|edge kinds| rows, never raw
+    * events. Top-50 with full tiebreak.
+    */
+  def qMarkovSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ue = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("user_id"), col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val m = ue.groupBy(col("from_type"), col("to_type")).agg(sum(col("c")).as("n"))
+    val mt = m.groupBy(col("from_type").as("ft")).agg(sum(col("n")).as("tot"))
+    val probs = m.join(mt, col("from_type") === col("ft"))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("tot")).as("p"))
+    ue.join(broadcast(probs), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_transitions"),
+        sum(-col("c") * log2(col("p"))).as("sbits"))
+      .select(col("user_id"), col("n_transitions"),
+        r4(col("sbits") / col("n_transitions")).as("avg_surprisal_bits"))
+      .orderBy(col("avg_surprisal_bits").desc, col("user_id"))
+      .limit(50)
+  }
+
+  /** HITS hubs-and-authorities on the user→resource access graph
+    * (Kleinberg 1999): 3 mutually-recursive rounds where a user's hub
+    * score sums the authority of resources they touch and a resource's
+    * authority sums the hub scores of its users, L1-normalized each
+    * half-step. Unlike [[qPagerank]]'s single symmetric score, HITS
+    * separates "user who touches many important shares" (hub — the
+    * reconnaissance profile) from "share touched by many significant
+    * users" (authority — the crown-jewel resource). Pregel shape: each
+    * half-step is one key-partitioned join + aggregation; the L1 norms
+    * ride as one-row broadcasts. Emits every node like the PageRank
+    * query, scores ×1000.
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val ur = activityLog(spark, dir)
+      .filter(col("resource").isNotNull)
+      .select(col("user_id"), col("resource")).distinct()
+    def l1(df: DataFrame, score: String): DataFrame = {
+      val tot = df.agg(sum(col(score)).as("_t"))
+      df.crossJoin(broadcast(tot))
+        .select(col(df.columns.head), (col(score) / col("_t")).as(score))
+    }
+    val nR = ur.select(col("resource")).distinct()
+    var auth = l1(nR.withColumn("a", lit(1.0)), "a")
+    var hub: DataFrame = null
+    for (_ <- 1 to 3) {
+      hub = l1(ur.join(auth, Seq("resource"))
+        .groupBy(col("user_id")).agg(sum(col("a")).as("h")), "h")
+      auth = l1(ur.join(hub, Seq("user_id"))
+        .groupBy(col("resource")).agg(sum(col("h")).as("a")), "a")
+    }
+    hub.select(concat(lit("u"), col("user_id").cast("string")).as("node"),
+        lit("hub").as("kind"), r4(col("h") * 1000).as("score_x1000"))
+      .unionByName(auth.select(concat(lit("r"), col("resource")).as("node"),
+        lit("authority").as("kind"), r4(col("a") * 1000).as("score_x1000")))
+      .orderBy(col("node"))
+  }
+
+  /** Classical additive decomposition of each event type's daily series:
+    * trend = 7-row centered moving average (only where the full window
+    * exists), seasonal = mean detrended value per weekday, residual =
+    * observed − trend − seasonal. The residual is the de-seasonalized
+    * anomaly signal ("is today's spike real, or just Monday?") that
+    * [[qSeasonalBaseline]]'s uniform-rate z-score approximates.
+    * Engine-exactness: the MA is Σ(7 longs)/7 and the seasonal mean is
+    * computed from INTEGER sufficient statistics — Σn and Σ(window sums)
+    * per (type, weekday) — so trend and seasonal are bit-identical
+    * across engines; no order-dependent float accumulation exists
+    * anywhere. The per-type window frame is calendar-bounded
+    * (|types|·|days| rows at any corpus size — same argument as
+    * [[qAutocorr]]'s pinned daily frame), so the partitioned sort never
+    * sees data-sized input.
+    */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wMa = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("win_rows", count(lit(1)).over(wMa))
+      .withColumn("win_sum", sum(col("n")).over(wMa))
+      .withColumn("trend",
+        when(col("win_rows") === 7, col("win_sum").cast("double") / 7.0))
+      .withColumn("dow", expr("weekday(d)").cast("long"))
+    // Seasonal mean from integer sums: Σ(n − winSum/7) = Σn − (ΣwinSum)/7.
+    val sMean = t.filter(col("trend").isNotNull)
+      .groupBy(col("event_type").as("se"), col("dow").as("sd"))
+      .agg(sum(col("n")).as("sn"), sum(col("win_sum")).as("sws"),
+        count(lit(1)).as("cd"))
+      .select(col("se"), col("sd"),
+        ((col("sn").cast("double") - col("sws").cast("double") / 7.0)
+          / col("cd")).as("seasonal_raw"))
+    t.join(broadcast(sMean),
+        col("event_type") === col("se") && col("dow") === col("sd"), "left")
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("dow"), r4(col("trend")).as("trend"),
+        r4(col("seasonal_raw")).as("seasonal"),
+        r4(col("n") - col("trend") - col("seasonal_raw")).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }
 
 /** Primitive open-addressed long→long counter for partition-local pair

@@ -428,4 +428,67 @@ class ThreatOpsSpec extends SparkSpec {
     rows.foreach(r => assert(
       r.getAs[Long]("n_pairs") < nDays(r.getAs[String]("event_type"))))
   }
+
+  test("qPsi: terms non-negative, shares sum to 1 in each half") {
+    val rows = ThreatOps.qPsi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every finite PSI term is >= 0 by construction: (p2-p1) and
+    // ln(p2/p1) always share a sign
+    rows.filterNot(_.isNullAt(5)).foreach { r =>
+      assert(r.getAs[Double]("psi_term") >= 0.0) }
+    val pb = rows.map(_.getAs[Double]("p_base")).sum
+    val pc = rows.map(_.getAs[Double]("p_cur")).sum
+    assert(math.abs(pb - 1.0) < 1e-2 && math.abs(pc - 1.0) < 1e-2)
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_base") + r.getAs[Long]("n_cur") > 0))
+  }
+
+  test("qMarkovSurprisal: non-negative bits, bounded by matrix min-prob") {
+    val rows = ThreatOps.qMarkovSurprisal(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_transitions") > 0)
+      assert(r.getAs[Double]("avg_surprisal_bits") >= 0.0)
+    }
+    // the per-user mean can never exceed the surprisal of the rarest
+    // transition in the global matrix
+    val minP = ThreatOps.qEventTransitions(spark, sf).collect()
+      .map(_.getAs[Double]("prob")).filter(_ > 0).min
+    val cap = -math.log(minP) / math.log(2) + 0.1
+    rows.foreach(r => assert(r.getAs[Double]("avg_surprisal_bits") <= cap))
+  }
+
+  test("qHits: both score families present, L1-normalized, non-negative") {
+    val rows = ThreatOps.qHits(spark, sf).collect()
+    val byKind = rows.groupBy(_.getAs[String]("kind"))
+    assert(byKind.keySet === Set("hub", "authority"))
+    byKind.foreach { case (kind, rs) =>
+      rs.foreach(r => assert(r.getAs[Double]("score_x1000") >= 0.0))
+      val tot = rs.map(_.getAs[Double]("score_x1000")).sum
+      assert(math.abs(tot - 1000.0) < 1.0, s"$kind scores sum to $tot")
+    }
+    // node ids carry the kind prefix
+    rows.foreach { r =>
+      val (node, kind) = (r.getAs[String]("node"), r.getAs[String]("kind"))
+      assert(if (kind == "hub") node.startsWith("u") else node.startsWith("r"))
+    }
+  }
+
+  test("qSeasonalDecompose: additive identity holds, trend nulls only at edges") {
+    val rows = ThreatOps.qSeasonalDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(4)).foreach { r =>
+      val recomposed = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(recomposed - r.getAs[Long]("n")) < 2e-3,
+        s"decomposition does not re-add to the observation: $r")
+    }
+    // a 7-row centered MA is undefined exactly at the first/last 3 rows
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[String]("day"))
+      val nullIdx = sorted.zipWithIndex.filter(_._1.isNullAt(4)).map(_._2)
+      val n = sorted.length
+      assert(nullIdx.forall(i => i < 3 || i >= n - 3))
+    }
+  }
 }
