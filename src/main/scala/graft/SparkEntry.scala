@@ -179,6 +179,9 @@ object SparkEntry {
     "q_markov_surprisal" -> (ThreatOps.qMarkovSurprisal _),
     "q_hits" -> (ThreatOps.qHits _),
     "q_seasonal_decompose" -> (ThreatOps.qSeasonalDecompose _),
+    "q_benford" -> (RelationalOps.qBenford _),
+    "q_gini" -> (RelationalOps.qGini _),
+    "q_chi2" -> (ThreatOps.qChi2 _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1984,5 +1987,45 @@ object SparkEntry {
          FROM t2 LEFT JOIN s
            ON t2.event_type = s.event_type AND t2.dow = s.dow
          ORDER BY t2.event_type, day""",
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+         tot AS (SELECT sum(n)::DOUBLE AS t FROM c)
+         SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / t, 4) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
+           round((n - t * log10(1.0 + 1.0 / digit))
+                 * (n - t * log10(1.0 + 1.0 / digit))
+                 / (t * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+         FROM c CROSS JOIN tot ORDER BY digit""",
+    "q_gini" ->
+      """WITH x AS (SELECT event_type, user_id, count(*) AS x
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, user_id)
+               AS rk
+           FROM x),
+         g AS (SELECT event_type, CAST(sum(rk * x) AS BIGINT) AS srx,
+             CAST(sum(x) AS BIGINT) AS sx, count(*) AS nu
+           FROM r GROUP BY 1)
+         SELECT event_type, CAST(nu AS BIGINT) AS n_users,
+           sx AS total_events,
+           round(2.0 * srx / (nu * sx) - (nu + 1.0) / nu, 4) AS gini
+         FROM g ORDER BY event_type""",
+    "q_chi2" ->
+      """WITH cell AS (SELECT event_type, count(*) AS n_total,
+             CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 8
+                        OR EXTRACT(hour FROM ts) > 18
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+           FROM events GROUP BY event_type),
+         tot AS (SELECT sum(n_total)::DOUBLE AS t, sum(n_after)::DOUBLE AS a
+           FROM cell)
+         SELECT event_type, CAST(n_total AS BIGINT) AS n_total, n_after,
+           round(n_total * a / t, 4) AS expected_after,
+           round((n_after - n_total * a / t) * (n_after - n_total * a / t)
+                 * (1.0 / (n_total * a / t)
+                    + 1.0 / (n_total * (t - a) / t)), 4) AS chi2_term
+         FROM cell CROSS JOIN tot ORDER BY event_type""",
   )
 }

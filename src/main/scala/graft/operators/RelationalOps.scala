@@ -1668,4 +1668,60 @@ object RelationalOps {
         col("n_days"), col("n_events"), col("is_current"))
       .orderBy(col("user_id"), col("valid_from"))
   }
+
+  /** Benford first-digit conformance of order totals — the classic
+    * fabricated-numbers screen (naturally-occurring amounts follow
+    * P(d) = log₁₀(1 + 1/d); synthetic or tampered figures don't). The
+    * digit is taken from the INTEGER part's decimal string, so both
+    * engines bucket identically with no float log/pow at the bucketing
+    * step; expected shares and the χ² term are pure arithmetic on exact
+    * counts. One map-combined 9-group aggregation + a one-row total
+    * broadcast — scan-bound at any scale.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val counts = orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("t"))
+    val bp = log10(lit(1.0) + lit(1.0) / col("digit"))
+    val e = col("t") * bp
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        r4(col("n") / col("t")).as("observed_p"),
+        r4(bp).as("benford_p"),
+        r4((col("n") - e) * (col("n") - e) / e).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** Gini coefficient of per-user activity concentration within each
+    * event type — the inequality gauge behind "is this traffic a broad
+    * habit or three power users?" (G = 2·Σ rank·x / (n·Σx) − (n+1)/n
+    * over ascending per-user counts). The rank is ONE two-phase global
+    * pass ([[RankOps.withGlobalRank]] on (type, count, user)) — never an
+    * unpartitioned sort, and never a per-type window whose partition
+    * would be |users|-sized at 100×; within-type ranks are recovered by
+    * subtracting each type's first global rank (a |types|-row broadcast
+    * join). All sums are exact longs, so the final double is
+    * bit-identical across engines.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val x = events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val ranked = RankOps.withGlobalRank(x, "grk",
+      Seq(col("event_type"), col("x"), col("user_id")))
+    val off = ranked.groupBy(col("event_type").as("oe"))
+      .agg(min(col("grk")).as("g0"))
+    val g = ranked.join(broadcast(off), col("event_type") === col("oe"))
+      .withColumn("rk", col("grk") - col("g0") + 1)
+      .groupBy(col("event_type"))
+      .agg(sum(col("rk") * col("x")).as("srx"), sum(col("x")).as("sx"),
+        count(lit(1)).as("nu"))
+    g.select(col("event_type"), col("nu").as("n_users"),
+        col("sx").as("total_events"),
+        r4(lit(2.0) * col("srx") / (col("nu") * col("sx"))
+          - (col("nu") + lit(1.0)) / col("nu")).as("gini"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1081,6 +1081,34 @@ object ThreatOps {
         r4(col("n") - col("trend") - col("seasonal_raw")).as("residual"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** χ² test of independence between event type and the after-hours flag:
+    * is off-hours traffic a uniform slice of all activity, or do specific
+    * event types (deletes, exports) concentrate after dark? Each type
+    * contributes (observed − expected)² · (1/e_ah + 1/e_bh) — both cells
+    * of its contingency row — where expected counts assume independence
+    * (row total × column share). Everything derives from one
+    * map-combined per-type aggregation plus a one-row totals broadcast;
+    * all inputs are exact longs, so expected counts and χ² terms are
+    * bit-identical across engines. The spec checks Σ terms against the
+    * matrix recomputed by hand.
+    */
+  def qChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cell = events(spark, dir)
+      .select(col("event_type"), isAfterHours.as("ah"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sum(col("ah")).as("n_after"))
+    val tot = cell.agg(sum(col("n_total")).cast("double").as("t"),
+      sum(col("n_after")).cast("double").as("a"))
+    val eAh = col("n_total") * col("a") / col("t")
+    val eBh = col("n_total") * (col("t") - col("a")) / col("t")
+    val dev = col("n_after") - eAh
+    cell.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_total"), col("n_after"),
+        r4(eAh).as("expected_after"),
+        r4(dev * dev * (lit(1.0) / eAh + lit(1.0) / eBh)).as("chi2_term"))
+      .orderBy(col("event_type"))
+  }
 }
 
 /** Primitive open-addressed long→long counter for partition-local pair

@@ -39,7 +39,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_source_mix",
       // one-row broadcast crosses: the date-midpoint row + the
       // period-total row (q_psi); the L1-norm scalar per HITS half-step
-      "q_psi", "q_hits")
+      "q_psi", "q_hits",
+      // one-row broadcast crosses: the digit grand total / the
+      // contingency totals row
+      "q_benford", "q_chi2")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -83,7 +86,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_zscore_anomaly", "q_quantile_outlier", "q_eval_metrics",
       "q_recon_error", "q_iforest_score", "q_roc_auc", "q_roc_points",
       "q_model_report",
-      "q_pareto_users", "q_rfm", "q_weighted_sample",
+      "q_pareto_users", "q_rfm", "q_weighted_sample", "q_gini",
       // detector composites: inherit the offset window from the
       // withGlobalRank-based members they vote over (no windows of
       // their own — MLOps has zero direct Window usage)

@@ -788,4 +788,42 @@ class RelationalOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("qBenford: valid digit buckets, shares sum to 1, exact Benford expectation") {
+    val rows = RelationalOps.qBenford(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1 && d <= 9)
+      val expect = math.rint(math.log10(1.0 + 1.0 / d) * 10000) / 10000
+      assert(r.getAs[Double]("benford_p") === expect)
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("observed_p")).sum - 1.0) < 1e-2)
+    // counts reconcile with the orders table
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.orders(spark, sf).count())
+  }
+
+  test("qGini: bounded in [0,1), hand-recomputed for one event type") {
+    val rows = RelationalOps.qGini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    // replay the formula for the first event type from raw counts
+    val et = rows.head.getAs[String]("event_type")
+    val xs = Tables.cleanEvents(spark, sf)
+      .filter(col("event_type") === et)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("user_id")))
+      .sortBy(identity).map(_._1)
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val srx = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val expect = math.rint(
+      (2.0 * srx / (n.toDouble * sx) - (n + 1.0) / n) * 10000) / 10000
+    assert(rows.head.getAs[Double]("gini") === expect)
+  }
 }

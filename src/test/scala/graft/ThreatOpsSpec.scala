@@ -491,4 +491,28 @@ class ThreatOpsSpec extends SparkSpec {
       assert(nullIdx.forall(i => i < 3 || i >= n - 3))
     }
   }
+
+  test("qChi2: terms non-negative, statistic matches a hand-built contingency table") {
+    val rows = ThreatOps.qChi2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+    // rebuild the contingency table from raw events and recompute chi2
+    val cells = Tables.cleanEvents(spark, sf)
+      .select(col("event_type"),
+        when(hour(col("ts")) < 8 || hour(col("ts")) > 18, 1L).otherwise(0L)
+          .as("ah"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nt"), sum(col("ah")).as("na"))
+      .collect().map(r => (r.getAs[Long]("nt"), r.getAs[Long]("na")))
+    val t = cells.map(_._1).sum.toDouble
+    val a = cells.map(_._2).sum.toDouble
+    val expect = cells.map { case (nt, na) =>
+      val eAh = nt * a / t; val eBh = nt * (t - a) / t
+      val dev = na - eAh
+      dev * dev * (1.0 / eAh + 1.0 / eBh)
+    }.sum
+    val got = rows.map(_.getAs[Double]("chi2_term")).sum
+    assert(math.abs(got - expect) < 1e-2,
+      s"chi2 sum $got diverges from the replayed $expect")
+  }
 }
