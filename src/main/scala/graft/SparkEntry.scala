@@ -182,6 +182,18 @@ object SparkEntry {
     "q_benford" -> (RelationalOps.qBenford _),
     "q_gini" -> (RelationalOps.qGini _),
     "q_chi2" -> (ThreatOps.qChi2 _),
+    // B. statistical hypothesis tests
+    "q_ks_test" -> (StatsOps.qKsTest _),
+    "q_welch_ttest" -> (StatsOps.qWelchTtest _),
+    "q_corr_matrix" -> (StatsOps.qCorrMatrix _),
+    // F. corpus analysis / tokenizer induction
+    "q_kl_divergence" -> (TextOps.qKlDivergence _),
+    "q_bpe_merges" -> (TextOps.qBpeMerges _),
+    // E. relational DQ
+    "q_ref_integrity" -> (RelationalOps.qRefIntegrity _),
+    // F. semantic dedup + diverse sampling
+    "q_semantic_dedup" -> (SimilarityOps.qSemanticDedup _),
+    "q_mmr_sample" -> (SimilarityOps.qMmrSample _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2027,5 +2039,169 @@ object SparkEntry {
                  * (1.0 / (n_total * a / t)
                     + 1.0 / (n_total * (t - a) / t)), 4) AS chi2_term
          FROM cell CROSS JOIN tot ORDER BY event_type""",
+    "q_ks_test" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+             CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS wk,
+             count(*) AS n
+           FROM events GROUP BY 1, 2, 3),
+         sup AS (SELECT n,
+             CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_wd,
+             CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_we
+           FROM daily GROUP BY n),
+         tot AS (SELECT CAST(sum(c_wd) AS BIGINT) AS n_wd,
+             CAST(sum(c_we) AS BIGINT) AS n_we FROM sup),
+         ecdf AS (SELECT n_wd, n_we,
+             abs(CAST(sum(c_wd) OVER (ORDER BY n) AS DOUBLE)
+                   / CAST(n_wd AS DOUBLE)
+               - CAST(sum(c_we) OVER (ORDER BY n) AS DOUBLE)
+                   / CAST(n_we AS DOUBLE)) AS diff
+           FROM sup CROSS JOIN tot)
+         SELECT n_wd AS n_weekday, n_we AS n_weekend,
+           round(max(diff), 4) AS d_stat,
+           round(1.358 * sqrt(CAST(n_wd + n_we AS DOUBLE)
+             / CAST(n_wd * n_we AS DOUBLE)), 4) AS crit_05,
+           CAST(CASE WHEN max(diff) > 1.358 * sqrt(CAST(n_wd + n_we AS DOUBLE)
+             / CAST(n_wd * n_we AS DOUBLE)) THEN 1 ELSE 0 END AS BIGINT)
+             AS drift_flag
+         FROM ecdf GROUP BY n_wd, n_we""",
+    "q_welch_ttest" ->
+      """WITH g AS (SELECT
+             CAST(sum(CASE WHEN isodow(ts)-1 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             sum(CASE WHEN isodow(ts)-1 < 5
+               THEN CAST(value AS DECIMAL(18,2)) END) AS s0,
+             sum(CASE WHEN isodow(ts)-1 < 5
+               THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS ss0,
+             CAST(sum(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             sum(CASE WHEN isodow(ts)-1 >= 5
+               THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+             sum(CASE WHEN isodow(ts)-1 >= 5
+               THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS ss1
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT n0, n1,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+           FROM g),
+         e AS (SELECT n0, n1, m0, m1,
+             v0 / CAST(n0 AS DOUBLE) AS se0, v1 / CAST(n1 AS DOUBLE) AS se1
+           FROM m)
+         SELECT n0 AS n_weekday, n1 AS n_weekend,
+           round(m0, 4) AS mean_weekday, round(m1, 4) AS mean_weekend,
+           round((m1 - m0) / sqrt(se0 + se1), 4) AS t_stat,
+           round((se0 + se1) * (se0 + se1)
+             / (se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)
+                + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)), 2) AS df,
+           CAST(CASE WHEN abs((m1 - m0) / sqrt(se0 + se1)) > 1.96
+             THEN 1 ELSE 0 END AS BIGINT) AS significant
+         FROM e""",
+    "q_corr_matrix" -> corrMatrixSql,
+    "q_kl_divergence" ->
+      s"""WITH t AS (SELECT doc_id, unnest(t) AS term
+             FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+         dtf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         ltf AS (SELECT d.lang, x.term, CAST(sum(x.tf) AS BIGINT) AS ltf
+           FROM dtf x JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         ctf AS (SELECT term, CAST(sum(ltf) AS BIGINT) AS ctf
+           FROM ltf GROUP BY term),
+         cn AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_all,
+             count(*) AS v FROM ctf),
+         lnorm AS (SELECT lang, CAST(sum(ltf) AS BIGINT) AS t_lang
+           FROM ltf GROUP BY lang),
+         grid AS (SELECT l.lang, c.term, c.ctf, l.t_lang,
+             coalesce(f.ltf, 0) AS ltf
+           FROM ctf c CROSS JOIN lnorm l
+           LEFT JOIN ltf f ON f.lang = l.lang AND f.term = c.term)
+         SELECT g.lang, CAST(max(t_lang) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN ltf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_used,
+           round(sum(((ltf + 1.0) / (t_lang + v))
+             * ln(((ltf + 1.0) / (t_lang + v))
+                  / ((ctf + 1.0) / (t_all + v)))), 4) AS kl_nats
+         FROM grid g CROSS JOIN cn GROUP BY g.lang ORDER BY lang""",
+    "q_bpe_merges" ->
+      s"""WITH t AS (SELECT unnest(t) AS term
+             FROM (SELECT $tokSql AS t FROM documents)),
+         tf AS (SELECT term, count(*) AS ctf FROM t GROUP BY term),
+         pos AS (SELECT term, ctf,
+             unnest(generate_series(1, length(term)-1)) AS i
+           FROM tf WHERE length(term) >= 2),
+         pr AS (SELECT substr(term, i, 2) AS pair, ctf FROM pos)
+         SELECT pair, CAST(sum(ctf) AS BIGINT) AS freq,
+           count(*) AS n_contexts
+         FROM pr GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""",
+    "q_ref_integrity" -> refIntegritySql,
   )
+
+  /** Oracle for q_corr_matrix, generated from the same feature list the
+    * operator uses so the two can never drift: exact DECIMAL sums of the
+    * per-user LONG features, then the closed-form Pearson ratio in
+    * double with the same operand order as the Spark side.
+    */
+  private def corrMatrixSql: String = {
+    val fs = graft.operators.StatsOps.CorrFeatures
+    val featSel = Seq(
+      "count(*) AS n_events",
+      "count(DISTINCT event_type) AS n_types",
+      "count(DISTINCT CAST(ts AS DATE)) AS n_days",
+      """CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 8
+          OR EXTRACT(hour FROM ts) > 18 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_after_hours""",
+      """CAST(sum(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_weekend""").mkString(",\n           ")
+    def d(f: String) = s"CAST($f AS DECIMAL(18,0))"
+    val sums = (fs.map(f => s"sum(${d(f)}) AS s_$f") ++
+      fs.map(f => s"sum(${d(f)} * ${d(f)}) AS ss_$f") ++
+      (for (i <- fs.indices; j <- fs.indices if i < j)
+        yield s"sum(${d(fs(i))} * ${d(fs(j))}) AS sx_${fs(i)}_${fs(j)}"))
+      .mkString(",\n             ")
+    def dbl(c: String) = s"CAST($c AS DOUBLE)"
+    val rows = (for (i <- fs.indices; j <- fs.indices if i < j) yield {
+      val (a, b) = (fs(i), fs(j))
+      val varA = s"""(${dbl("n")} * ${dbl(s"ss_$a")}
+                 - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})"""
+      val varB = s"""(${dbl("n")} * ${dbl(s"ss_$b")}
+                 - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})"""
+      s"""SELECT '$a' AS feat_a, '$b' AS feat_b,
+           CASE WHEN $varA > 0 AND $varB > 0 THEN
+             round((${dbl("n")} * ${dbl(s"sx_${a}_$b")}
+                 - ${dbl(s"s_$a")} * ${dbl(s"s_$b")})
+               / sqrt($varA * $varB), 4)
+           ELSE NULL END AS corr
+         FROM s"""
+    }).mkString("\n UNION ALL ")
+    s"""WITH u AS (SELECT user_id,
+           $featSel
+         FROM events GROUP BY user_id),
+       s AS (SELECT count(*) AS n,
+             $sums
+         FROM u)
+       SELECT * FROM ($rows) ORDER BY feat_a, feat_b"""
+  }
+
+  /** Oracle for q_ref_integrity: one LEFT-JOIN audit per FK edge,
+    * generated from the same (child, fk, parent, pk) list shape the
+    * operator unions over.
+    */
+  private def refIntegritySql: String = {
+    val edges = Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    edges.map { case (rel, child, fk, parent, pk) =>
+      s"""SELECT '$rel' AS relation,
+           count($fk) AS fk_rows,
+           CAST(sum(CASE WHEN $fk IS NOT NULL AND $pk IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+           CASE WHEN count($fk) = 0 THEN 0.0
+             ELSE round(CAST(sum(CASE WHEN $fk IS NOT NULL AND $pk IS NULL
+               THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count($fk) AS DOUBLE), 4)
+           END AS orphan_pct
+         FROM $child LEFT JOIN $parent ON $fk = $pk"""
+    }.mkString("SELECT * FROM (\n", "\n UNION ALL ", "\n) ORDER BY relation")
+  }
 }

@@ -1724,4 +1724,44 @@ object RelationalOps {
           - (col("nu") + lit(1.0)) / col("nu")).as("gini"))
       .orderBy(col("event_type"))
   }
+
+  /** Referential-integrity audit over the star schema's FK chain:
+    * for each child→parent edge, the non-null FK row count, how many of
+    * those rows reference a missing parent, and the orphan rate — the
+    * ingest-time DQ gate ([[qDqChecks]] covers value-level rules; this
+    * covers the RELATIONAL ones a warehouse load must pass before any
+    * join-based query can be trusted).
+    *
+    * Each edge is ONE left join + one map-combined aggregate projecting
+    * only the two key columns; a null FK is "no reference", not an
+    * orphan, so it counts toward neither numerator nor denominator.
+    * Catalyst/AQE picks the join strategy per edge (nation/region
+    * broadcast; orders/customer hash-join on the key) — nothing here
+    * assumes a side fits in memory. Five one-row aggregates union into
+    * the report.
+    */
+  def qRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left")
+        .agg(count(col(fk)).as("fk_rows"),
+          sum(when(col(fk).isNotNull && col(pk).isNull, 1L).otherwise(0L))
+            .as("orphan_rows"))
+        .select(lit(rel).as("relation"), col("fk_rows"), col("orphan_rows"),
+          when(col("fk_rows") === 0, lit(0.0))
+            .otherwise(r4(col("orphan_rows").cast("double")
+              / col("fk_rows").cast("double"))).as("orphan_pct"))
+    audit("customer.c_nationkey->nation", customer(spark, dir), "c_nationkey",
+        nation(spark, dir), "n_nationkey")
+      .unionAll(audit("lineitem.l_orderkey->orders", lineitem(spark, dir),
+        "l_orderkey", orders(spark, dir), "o_orderkey"))
+      .unionAll(audit("nation.n_regionkey->region", nation(spark, dir),
+        "n_regionkey", region(spark, dir), "r_regionkey"))
+      .unionAll(audit("orders.o_custkey->customer", orders(spark, dir),
+        "o_custkey", customer(spark, dir), "c_custkey"))
+      .unionAll(audit("supplier.s_nationkey->nation", supplier(spark, dir),
+        "s_nationkey", nation(spark, dir), "n_nationkey"))
+      .orderBy(col("relation"))
+  }
 }

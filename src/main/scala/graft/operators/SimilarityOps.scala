@@ -352,4 +352,130 @@ object SimilarityOps {
         r4(sqrt(array_max(errs))).as("max_err"))
       .orderBy(col("vec_id"))
   }
+
+  /** Cosine threshold above which two same-cluster embeddings are
+    * semantic duplicates ([[qSemanticDedup]]). */
+  val SemDedupTau = 0.9
+
+  /** SemDeDup (Abbas 2023): embedding-space near-duplicate PRUNING —
+    * cluster the corpus with a seeded KMeans coarse quantizer, then
+    * within each cluster drop every vector that has a more-senior
+    * (smaller-id) neighbor above [[SemDedupTau]] cosine. Textually
+    * distinct rewrites of the same content land in the same cluster with
+    * high cosine, which MinHash/SimHash ([[DedupOps]]) can never see —
+    * this is the semantic layer of the dedup ladder.
+    *
+    * Scale shape is SemDeDup's own recipe: the quadratic term is bounded
+    * per CLUSTER, and in production k grows with the corpus so cluster
+    * size stays constant — candidate generation is a cluster-keyed
+    * self-join, never all-pairs. The survivor rule (min-id neighbor)
+    * needs no iteration, unlike the connected-components labeling of
+    * [[DedupOps.qDedupClusters]]: one join, one per-victim aggregate.
+    */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("semantic_dedup", spark, dir) {
+      semanticDedupFrame(
+        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        SemDedupTau)
+    }
+
+  /** [[qSemanticDedup]]'s body over an explicit `(vec_id, embedding)`
+    * frame — package-visible so the spec can plant known duplicates and
+    * assert the verdicts directly. The quantizer is fit on a bounded
+    * deterministic id-range sample (same contract as [[qAnnIvf]]).
+    */
+  private[graft] def semanticDedupFrame(e: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val model = new KMeans().setK(k).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("list_id")
+      .fit(e.filter(col("vec_id") < 2000)
+        .select(array_to_vector(toDouble(col("embedding"))).as("fv")))
+    val centroids = model.clusterCenters.map(_.toArray)
+    def dist2(vec: Column, c: Array[Double]): Column = {
+      val cc = array(c.map(lit): _*)
+      dotProd(vec, vec) - lit(2.0) * dotProd(vec, cc) + lit(c.map(x => x * x).sum)
+    }
+    val nearest = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(col("embedding"), c).as("d"), lit(i).as("i"))
+    }: _*)).getItem(0).getField("i")
+    val lists = e.select(col("vec_id"), col("embedding"), nearest.as("list_id"))
+    // every (senior, junior) same-cluster pair above the threshold;
+    // the junior keeps its SMALLEST senior as the canonical dup_of
+    val dups = lists.as("a").join(lists.as("b"),
+        col("a.list_id") === col("b.list_id")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        col("a.vec_id").as("senior"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("senior")).as("dup_of"), max(col("cos")).as("max_cos"))
+    lists.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("is_kept"),
+        col("dup_of"), r4(col("max_cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** MMR selection size, shortlist width, and relevance/diversity mix. */
+  val MmrK = 10
+  val MmrShortlist = 64
+  val MmrLambda = 0.7
+
+  /** Maximal-marginal-relevance sampling (Carbonell 1998): pick
+    * [[MmrK]] vectors that are RELEVANT to a probe but mutually DIVERSE
+    * — greedily maximizing λ·rel(x) − (1−λ)·max_{s∈S} cos(x, s). Plain
+    * top-k by relevance returns near-clones of the probe; MMR is the
+    * de-clumped version every retrieval-augmented sampler uses.
+    *
+    * The distributed work is the relevance scan + TakeOrdered shortlist
+    * ([[MmrShortlist]] rows — per-partition top-k then a k·partitions
+    * driver merge, no global sort). The greedy refinement is inherently
+    * sequential (each pick changes the next argmax), so it runs on the
+    * CONSTANT-size shortlist at the driver — O(k·shortlist) scalar ops
+    * on 64 rows, the same bounded-driver-set shape as the probe-set
+    * broadcasts. Deterministic: seeded nothing, ties break on vec_id.
+    */
+  def qMmrSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    val shortlist = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("probe_emb"), col("embedding")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(MmrShortlist)
+      .collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val cand = scala.collection.mutable.ArrayBuffer(shortlist.map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2))
+    }: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val pickedEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    while (picked.length < MmrK && cand.nonEmpty) {
+      val best = cand.map { case (id, emb, rel) =>
+        val maxSim = if (pickedEmb.isEmpty) 0.0
+          else pickedEmb.map(p => cos(emb, p)).max
+        (id, emb, rel, MmrLambda * rel - (1 - MmrLambda) * maxSim)
+      }.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      picked += ((best._1, best._3, best._4))
+      pickedEmb += best._2
+      cand --= cand.filter(_._1 == best._1)
+    }
+    val s = spark
+    import s.implicits._
+    picked.toSeq.zipWithIndex.map { case ((id, rel, mmr), i) =>
+      ((i + 1).toLong, id, math.rint(rel * 1e4) / 1e4, math.rint(mmr * 1e4) / 1e4)
+    }.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

@@ -549,4 +549,65 @@ object TextOps {
         col("block"), col("p.seq").as("seq_in_block"))
       .orderBy(col("doc_id"))
   }
+
+  /** KL divergence of each language slice's unigram distribution from
+    * the corpus distribution, add-one smoothed over the SHARED corpus
+    * vocabulary: KL(p_lang ‖ p_corpus) = Σ_t p̂·ln(p̂/q̂) with
+    * p̂ = (ltf+1)/(T_lang+V), q̂ = (ctf+1)/(T+V) — the domain-mixing
+    * diagnostic (which slice's token distribution is furthest from the
+    * blend it contributes to) a training-data pipeline reads before
+    * reweighting sources, and the quantitative form of the language-ID
+    * signal [[qLangId]] thresholds.
+    *
+    * Everything derives from the shared (doc, term) tf frame: lang term
+    * frequencies are one (lang, term)-keyed rollup, corpus frequencies a
+    * term-keyed rollup of THAT, and the smoothing grid is corpus-vocab ×
+    * |langs| via a bounded broadcast cross (|langs| is fixed at any
+    * corpus size; absent terms still contribute their smoothed floor, so
+    * the left join keeps the full vocab). The summed ln terms are
+    * irrational, so 4-dp rounding is boundary-safe.
+    */
+  def qKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val langTf = termFreq(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("term")).agg(sum(col("tf")).as("ltf"))
+    val ctf = langTf.groupBy(col("term")).agg(sum(col("ltf")).as("ctf"))
+    val cn = ctf.agg(sum(col("ctf")).as("t_all"), count(lit(1)).as("v"))
+    val langN = langTf.groupBy(col("lang")).agg(sum(col("ltf")).as("t_lang"))
+    val grid = ctf.crossJoin(broadcast(langN))
+      .join(langTf, Seq("lang", "term"), "left")
+      .withColumn("ltf", coalesce(col("ltf"), lit(0L)))
+    val p = (col("ltf") + lit(1.0)) / (col("t_lang") + col("v"))
+    val q = (col("ctf") + lit(1.0)) / (col("t_all") + col("v"))
+    grid.crossJoin(broadcast(cn))
+      .groupBy(col("lang"))
+      .agg(max(col("t_lang")).as("n_tokens"),
+        sum(when(col("ltf") > 0, 1L).otherwise(0L)).as("vocab_used"),
+        r4(sum(p * log(p / q))).as("kl_nats"))
+      .orderBy(col("lang"))
+  }
+
+  /** First-round byte-pair-encoding merge candidates: corpus-weighted
+    * frequency of every adjacent CHARACTER pair inside whitespace
+    * tokens, top-50 — the statistic the first BPE merge maximizes
+    * (Sennrich 2016), and the vocabulary-induction primitive a tokenizer
+    * build runs over the whole corpus. Pair extraction happens on the
+    * DISTINCT-term frame weighted by corpus term frequency (|vocab|
+    * rows, not |tokens| — a term's pairs are counted once and multiplied
+    * by its frequency), so the per-row work is bounded by term length
+    * and the only shuffle is the |pairs|-keyed rollup. Counts are exact
+    * longs end to end.
+    */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val ctf = termFreq(spark, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      .filter(length(col("term")) >= 2)
+    ctf.select(col("ctf"), explode(transform(
+        sequence(lit(1), length(col("term")) - 1),
+        i => col("term").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("ctf")).as("freq"), count(lit(1)).as("n_contexts"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(50)
+  }
 }

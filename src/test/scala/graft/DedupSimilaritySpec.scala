@@ -316,4 +316,62 @@ class DedupSimilaritySpec extends SparkSpec {
     val uncapped = DedupOps.containmentPairs(d, dfCap = Int.MaxValue).count()
     assert(uncapped === 202L * 201L / 2L)
   }
+
+  test("semanticDedupFrame: planted exact clones are dropped, seniors kept") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // clone vec_id < 5 at id+10000: cosine(original, clone) = 1 ≥ τ and
+    // both land in the same KMeans cell, so every clone must be dropped
+    // with its original (or an earlier clone-mate) as dup_of
+    val planted = base.unionAll(
+      base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val out = SimilarityOps.semanticDedupFrame(planted, SimilarityOps.SemDedupTau)
+      .collect()
+    assert(out.length === base.count().toInt + 5)
+    val clones = out.filter(_.getAs[Long]("vec_id") >= 10000)
+    assert(clones.length === 5)
+    clones.foreach { r =>
+      assert(r.getAs[Long]("is_kept") === 0L,
+        s"planted clone survived: ${r.mkString(",")}")
+      assert(r.getAs[Long]("dup_of") <= r.getAs[Long]("vec_id") - 10000)
+      assert(r.getAs[Double]("max_cos") >= SimilarityOps.SemDedupTau)
+    }
+    // nothing is dropped without a recorded senior above the threshold
+    out.filter(_.getAs[Long]("is_kept") === 0L).foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dup_of")))
+      assert(r.getAs[Double]("max_cos") >= SimilarityOps.SemDedupTau)
+    }
+  }
+
+  test("qMmrSample: deterministic, diverse vs plain top-k, led by top relevance") {
+    val a = SimilarityOps.qMmrSample(spark, sf).collect()
+    val b = SimilarityOps.qMmrSample(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.length === SimilarityOps.MmrK)
+    assert(a.map(_.getAs[Long]("rank")).toSeq === (1L to SimilarityOps.MmrK).toSeq)
+    // first pick is the relevance argmax; scores never exceed relevance
+    assert(a.head.getAs[Double]("relevance") ===
+      a.map(_.getAs[Double]("relevance")).max)
+    // diversity: the MMR set's max pairwise cosine is no worse than the
+    // plain top-k-by-relevance set's
+    import graft.functions.VectorExpressions.cosineSim
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    def maxPairCos(ids: Seq[Long]): Double = {
+      val sel = e.filter(col("vec_id").isin(ids: _*))
+      sel.as("a").join(sel.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(cosineSim(col("a.embedding"), col("b.embedding")).as("c"))
+        .agg(max(col("c"))).head.getDouble(0)
+    }
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    val topk = e.filter(col("vec_id") =!= 0).join(broadcast(probe))
+      .select(col("vec_id"),
+        cosineSim(col("probe_emb"), col("embedding")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(SimilarityOps.MmrK).collect().map(_.getLong(0)).toSeq
+    val mmrIds = a.map(_.getAs[Long]("vec_id")).toSeq
+    assert(maxPairCos(mmrIds) <= maxPairCos(topk) + 1e-9,
+      "MMR selection must not be more clumped than plain top-k")
+  }
 }

@@ -42,7 +42,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_psi", "q_hits",
       // one-row broadcast crosses: the digit grand total / the
       // contingency totals row
-      "q_benford", "q_chi2")
+      "q_benford", "q_chi2",
+      // one-row broadcast crosses: the group-totals row (KS), the
+      // |langs|-row smoothing grid + one-row corpus normalizer (KL),
+      // the one-row probe embedding (MMR shortlist scan)
+      "q_ks_test", "q_kl_divergence", "q_mmr_sample")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -87,6 +91,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_recon_error", "q_iforest_score", "q_roc_auc", "q_roc_points",
       "q_model_report",
       "q_pareto_users", "q_rfm", "q_weighted_sample", "q_gini",
+      // q_ks_test's ECDF window runs on the distinct-daily-count
+      // support frame — tens of rows at any corpus size
+      "q_ks_test",
       // detector composites: inherit the offset window from the
       // withGlobalRank-based members they vote over (no windows of
       // their own — MLOps has zero direct Window usage)

@@ -826,4 +826,24 @@ class RelationalOpsSpec extends SparkSpec {
       (2.0 * srx / (n.toDouble * sx) - (n + 1.0) / n) * 10000) / 10000
     assert(rows.head.getAs[Double]("gini") === expect)
   }
+
+  test("qRefIntegrity: orphan counts match independent anti-joins") {
+    val rows = RelationalOps.qRefIntegrity(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("orphan_pct")
+      assert(pct >= 0.0 && pct <= 1.0)
+      assert(r.getAs[Long]("orphan_rows") <= r.getAs[Long]("fk_rows"))
+    }
+    // independent recount of one edge via a left-anti join
+    val li = Tables.lineitem(spark, sf)
+    val antiOrphans = li.filter(col("l_orderkey").isNotNull)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"),
+        "left_anti").count()
+    val reported = rows.find(_.getAs[String]("relation")
+      == "lineitem.l_orderkey->orders").get
+    assert(reported.getAs[Long]("orphan_rows") === antiOrphans)
+    assert(reported.getAs[Long]("fk_rows") ===
+      li.filter(col("l_orderkey").isNotNull).count())
+  }
 }

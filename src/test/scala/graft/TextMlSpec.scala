@@ -528,4 +528,37 @@ class TextMlSpec extends SparkSpec {
       assert(brier >= 0.0 && brier <= 1.0 + 1e-9)
     }
   }
+
+  test("qKlDivergence: one row per language, KL non-negative, tokens conserve") {
+    val rows = TextOps.qKlDivergence(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows.length === langs.toInt)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl_nats") >= -1e-9,
+        s"KL must be non-negative: ${r.mkString(",")}")
+      assert(r.getAs[Long]("n_tokens") > 0L)
+      assert(r.getAs[Long]("vocab_used") > 0L)
+    }
+    // Σ per-language tokens == corpus tokens (the slices partition it)
+    val total = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+  }
+
+  test("qBpeMerges: pairs are 2 chars, counts consistent, order stable") {
+    val rows = TextOps.qBpeMerges(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length === 2)
+      // every context contributes at least one corpus occurrence
+      assert(r.getAs[Long]("freq") >= r.getAs[Long]("n_contexts"))
+      assert(r.getAs[Long]("n_contexts") >= 1L)
+    }
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      "freq must be non-increasing")
+    val again = TextOps.qBpeMerges(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
