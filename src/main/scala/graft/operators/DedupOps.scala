@@ -358,66 +358,117 @@ object DedupOps {
     * join). Exact set arithmetic verifies.
     */
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
-    // Pinned: the shingle-hash frame is consumed FOUR times (anchors,
-    // postings, both verify joins) — shingling the corpus once, not 4×.
-    val d = graft.Memo.cached("containmentShingles", spark, dir) {
-      spread(spark, documents(spark, dir))
+    // Pinned: the shingled, clone-keyed frame is consumed by the group
+    // fold AND the two member-expansion joins — shingling the corpus
+    // once, not 3×.
+    val keyed = graft.Memo.cached("containmentShingles", spark, dir) {
+      cloneKeyed(spread(spark, documents(spark, dir))
         .select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("h"))
-        .filter(size(col("h")) > 0)
+        .filter(size(col("h")) > 0))
     }
-    // The hot set is bounded by the number of planet-hot keys (tiny at
-    // ANY corpus size) and costs a full postings aggregation to find —
-    // pin it per (session, dir) so repeat calls don't re-count df.
-    val hot = graft.Memo.cached("containmentHot", spark, dir) {
-      hotShingles(d, ContainmentDfCap)
+    // The distinct-set group frame feeds df counting, anchors, postings
+    // and both scoring joins — pin it per (session, dir) so repeat calls
+    // don't re-aggregate.
+    val groups = graft.Memo.cached("containmentGroups", spark, dir) {
+      cloneGroups(keyed)
     }
-    containmentPairs(d, hot)
+    containmentPairsGrouped(keyed, groups, ContainmentDfCap)
   }
 
-  /** Shingle hashes whose document frequency exceeds `dfCap` over the
-    * shingle frame `d` — the postings keys the candidate join drops. */
-  private def hotShingles(d: DataFrame, dfCap: Int): DataFrame =
-    d.select(explode(col("h")).as("hh"))
-      .groupBy(col("hh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("hh"))
+  /** Exact-clone collapse key: documents with IDENTICAL shingle sets get
+    * one group key — md5 over the sorted hash list (128-bit, so key
+    * collisions are off the table at any corpus size). In a dup-heavy
+    * corpus (the 100 TB reality: mirrors, crawl re-fetches, templated
+    * boilerplate) this is the difference between scoring every clone
+    * pair and scoring each distinct CONTENT once: a clone group of F
+    * copies costs C(F,2) candidate+intersect evaluations uncollapsed but
+    * exactly its share of ONE rep-level evaluation collapsed, with the
+    * clones re-entering only in the final output-sized expansion.
+    */
+  private def cloneKeyed(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), array_sort(col("h")).as("h"))
+      .withColumn("gk",
+        md5(concat_ws(",", transform(col("h"), _.cast("string")))))
+
+  /** One row per DISTINCT shingle set: group key, member count, the set. */
+  private def cloneGroups(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("gk")).agg(
+      count(lit(1)).as("n_members"),
+      // all members carry the identical array — first() is deterministic
+      first(col("h")).as("h"))
 
   /** Anchor⋈postings containment over a `(doc_id, h: array<long>)`
     * shingle frame with the hot-shingle df cap applied to the postings
-    * side (see [[ContainmentDfCap]]). Package-visible so the spec can
-    * plant a hot shingle and assert the candidate bound directly.
-    * Verification (the array_intersect arithmetic) runs on the FULL
-    * shingle arrays — the cap gates candidate GENERATION only, so any
+    * side (see [[ContainmentDfCap]]) and exact clones collapsed before
+    * any candidate work (see [[cloneKeyed]]). Package-visible so the
+    * spec can plant a hot shingle and assert the candidate bound
+    * directly. Verification (the array_intersect arithmetic) runs on the
+    * FULL shingle sets — the cap gates candidate GENERATION only, so any
     * pair that survives is scored exactly.
     */
-  private[graft] def containmentPairs(d: DataFrame, dfCap: Int): DataFrame =
-    containmentPairs(d, hotShingles(d, dfCap))
+  private[graft] def containmentPairs(d: DataFrame, dfCap: Int): DataFrame = {
+    val keyed = cloneKeyed(d)
+    containmentPairsGrouped(keyed, cloneGroups(keyed), dfCap)
+  }
 
-  private[graft] def containmentPairs(d: DataFrame, hot: DataFrame): DataFrame = {
-    val anch = d.select(col("doc_id"),
-      explode(slice(array_sort(col("h")), 1, ContainmentAnchors)).as("a"))
-    // df per shingle hash is counted in [[hotShingles]] — rows are
-    // distinct per (doc, hash) because h is array_distinct'd, so
-    // count(*) IS document frequency. The hot set is tiny by
-    // construction (only keys beyond the cap), so the anti-join
-    // broadcasts it; the cold postings never re-shuffle.
-    val allPostings = d.select(col("doc_id"), explode(col("h")).as("hh"))
-    val postings = allPostings.join(broadcast(hot), Seq("hh"), "left_anti")
+  private def containmentPairsGrouped(
+      keyed: DataFrame, groups: DataFrame, dfCap: Int): DataFrame = {
+    // df is CORPUS document frequency, so clone members count: weight
+    // each distinct set by its group size. The hot set is bounded by the
+    // number of planet-hot keys (tiny at ANY corpus size), so the
+    // anti-joins broadcast it; the cold postings never re-shuffle.
+    val hot = groups.select(explode(col("h")).as("hh"), col("n_members"))
+      .groupBy(col("hh")).agg(sum(col("n_members")).as("df"))
+      .filter(col("df") > dfCap).select(col("hh"))
+    // h is array_sort'd in cloneKeyed, so slice(…, 1, k) IS bottom-k.
+    val anch = groups.select(col("gk"),
+      explode(slice(col("h"), 1, ContainmentAnchors)).as("a"))
+    val postings = groups.select(col("gk"), explode(col("h")).as("hh"))
+      .join(broadcast(hot), Seq("hh"), "left_anti")
     val cands = anch.as("x").join(postings.as("y"),
-        col("x.a") === col("y.hh") && col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        col("x.a") === col("y.hh") && col("x.gk") =!= col("y.gk"))
+      .select(least(col("x.gk"), col("y.gk")).as("gk_a"),
+        greatest(col("x.gk"), col("y.gk")).as("gk_b"))
       .distinct()
-    cands
-      .join(d.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    // Score ONCE per distinct-set pair; c_a is containment of gk_a's set,
+    // c_b of gk_b's. r4-then-filter here matches the uncollapsed order of
+    // operations exactly (the member-level values are the same numbers).
+    val scored = cands
+      .join(groups.select(col("gk").as("gk_a"), col("h").as("ha")), Seq("gk_a"))
+      .join(groups.select(col("gk").as("gk_b"), col("h").as("hb")), Seq("gk_b"))
+      .select(col("gk_a"), col("gk_b"),
         size(array_intersect(col("ha"), col("hb"))).cast("double").as("inter"),
         size(col("ha")).cast("double").as("na"),
         size(col("hb")).cast("double").as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        r4(col("inter") / col("na")).as("c_ab"),
-        r4(col("inter") / col("nb")).as("c_ba"))
-      .filter(greatest(col("c_ab"), col("c_ba")) >= ContainmentMin)
+      .select(col("gk_a"), col("gk_b"),
+        r4(col("inter") / col("na")).as("c_a"),
+        r4(col("inter") / col("nb")).as("c_b"))
+      .filter(greatest(col("c_a"), col("c_b")) >= ContainmentMin)
+    // Output-sized expansion: every member pair of a surviving rep pair.
+    // doc_a is the smaller id, and the asymmetric scores follow the ids:
+    // c_ab always reads "containment of doc_a's set".
+    val mem = keyed.select(col("gk"), col("doc_id"))
+    val cross = scored
+      .join(mem.select(col("gk").as("gk_a"), col("doc_id").as("ma")), Seq("gk_a"))
+      .join(mem.select(col("gk").as("gk_b"), col("doc_id").as("mb")), Seq("gk_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"),
+        when(col("ma") < col("mb"), col("c_a")).otherwise(col("c_b")).as("c_ab"),
+        when(col("ma") < col("mb"), col("c_b")).otherwise(col("c_a")).as("c_ba"))
+    // Within-group pairs: identical sets ⇒ containment 1.0 both ways —
+    // but only where the uncollapsed join would have met them at all,
+    // i.e. at least one of the group's bottom-k anchors survives the df
+    // cap (a group whose every anchor is capped boilerplate generates no
+    // candidates, collapsed or not).
+    val eligible = anch
+      .join(broadcast(hot.withColumnRenamed("hh", "a")), Seq("a"), "left_anti")
+      .select(col("gk")).distinct()
+    val within = mem.as("m1").join(mem.as("m2"),
+        col("m1.gk") === col("m2.gk") && col("m1.doc_id") < col("m2.doc_id"))
+      .join(eligible.as("e"), col("m1.gk") === col("e.gk"), "left_semi")
+      .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
+        lit(1.0).as("c_ab"), lit(1.0).as("c_ba"))
+    cross.unionAll(within)
       .orderBy(greatest(col("c_ab"), col("c_ba")).desc, col("doc_a"), col("doc_b"))
   }
 }
