@@ -340,22 +340,35 @@ object MLOps {
   /** Gradient-boosted trees on the binary anomaly target (label 0 vs
     * rest) — the MLlib stand-in for the reference's XGBoost track
     * (Comparaison_ML.py:551-707; XGBoost itself isn't on the cluster
-    * classpath, and GBT is the same boosted-ensemble family).
+    * classpath, and GBT is the same boosted-ensemble family). The
+    * reference grid-searches XGBoost like its other supervised tracks,
+    * so this one gets the same CrossValidator treatment as SVC/RF:
+    * 3-fold, seed 42, areaUnderROC-scored, maxDepth grid (boosting
+    * depth is the capacity knob that actually moves GBT). The CV folds
+    * and every candidate fit run as cluster jobs; only the winning
+    * params live on the driver. Deterministic hash split: vec_id % 5
+    * == 0 is the held-out test fold, never seen by CV.
     */
   def qSupervisedGbt(spark: SparkSession, dir: String): DataFrame =
     graft.Memo("gbt", spark, dir) {
     import org.apache.spark.ml.classification.GBTClassifier
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val e = embeddings(spark, dir).select(
       col("vec_id"),
       when(col("label") === 0, 1.0).otherwise(0.0).as("label"),
       array_to_vector(toDouble(col("embedding"))).as("fv"))
     val train = e.filter(col("vec_id") % 5 =!= 0)
     val test = e.filter(col("vec_id") % 5 === 0)
-    val model = new GBTClassifier()
-      .setMaxIter(20).setMaxDepth(4).setSeed(42)
+    val gbt = new GBTClassifier()
+      .setMaxIter(20).setSeed(42)
       .setFeaturesCol("fv").setLabelCol("label")
-      .fit(train)
-    model.transform(test)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, Array(3, 4)).build()
+    val cv = new CrossValidator().setEstimator(gbt)
+      .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label"))
+      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
+    cv.fit(train).transform(test)
       .select(col("vec_id"),
         col("label").cast("long").as("label"),
         col("prediction").cast("long").as("prediction"),
