@@ -425,7 +425,13 @@ object DedupOps {
       explode(slice(col("h"), 1, ContainmentAnchors)).as("a"))
     val postings = groups.select(col("gk"), explode(col("h")).as("hh"))
       .join(broadcast(hot), Seq("hh"), "left_anti")
-    val cands = anch.as("x").join(postings.as("y"),
+    // The postings side is the BIG side (every cold shingle of every
+    // distinct set) but its size estimate downstream of the cached,
+    // exploded group frame reads tiny — left alone the planner broadcasts
+    // the inverted index, which thrashes at sf0.1 and is impossible at
+    // 100 TB. Pin a shuffle-hash join with the bottom-k anchor side
+    // (k·ǀgroupsǀ rows, the provably smaller side) as build.
+    val cands = anch.as("x").hint("shuffle_hash").join(postings.as("y"),
         col("x.a") === col("y.hh") && col("x.gk") =!= col("y.gk"))
       .select(least(col("x.gk"), col("y.gk")).as("gk_a"),
         greatest(col("x.gk"), col("y.gk")).as("gk_b"))
