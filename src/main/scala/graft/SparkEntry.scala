@@ -194,6 +194,13 @@ object SparkEntry {
     // F. semantic dedup + diverse sampling
     "q_semantic_dedup" -> (SimilarityOps.qSemanticDedup _),
     "q_mmr_sample" -> (SimilarityOps.qMmrSample _),
+    // B. association / effect-size screens + multivariate outliers
+    "q_mutual_info" -> (StatsOps.qMutualInfo _),
+    "q_cramers_v" -> (StatsOps.qCramersV _),
+    "q_mahalanobis" -> (StatsOps.qMahalanobis _),
+    // F. corpus statistics + substring-level dedup
+    "q_zipf_fit" -> (TextOps.qZipfFit _),
+    "q_window_dup" -> (TextOps.qWindowDup _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2133,6 +2140,92 @@ object SparkEntry {
            count(*) AS n_contexts
          FROM pr GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""",
     "q_ref_integrity" -> refIntegritySql,
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT event_type,
+             CASE WHEN EXTRACT(hour FROM ts) < 8 OR EXTRACT(hour FROM ts) > 18
+               THEN 1 ELSE 0 END AS ah,
+             count(*) AS n_tc
+           FROM events GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(n_tc) AS BIGINT) AS n_t
+           FROM cells GROUP BY 1),
+         ct AS (SELECT ah, CAST(sum(n_tc) AS BIGINT) AS n_c
+           FROM cells GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_tc) AS BIGINT) AS n FROM cells),
+         mi AS (SELECT sum((CAST(n_tc AS DOUBLE) / n)
+               * ln((CAST(n_tc AS DOUBLE) / n)
+                    / ((CAST(n_t AS DOUBLE) / n) * (CAST(n_c AS DOUBLE) / n))))
+             AS mi
+           FROM cells JOIN rt USING (event_type) JOIN ct USING (ah)
+           CROSS JOIN tt),
+         ht AS (SELECT -sum((CAST(n_t AS DOUBLE) / n)
+             * ln(CAST(n_t AS DOUBLE) / n)) AS h_type FROM rt CROSS JOIN tt),
+         hc AS (SELECT -sum((CAST(n_c AS DOUBLE) / n)
+             * ln(CAST(n_c AS DOUBLE) / n)) AS h_flag FROM ct CROSS JOIN tt)
+         SELECT n AS n_events, round(mi, 4) AS mi_nats,
+           round(h_type, 4) AS h_type, round(h_flag, 4) AS h_flag,
+           round(mi / least(h_type, h_flag), 4) AS nmi
+         FROM mi CROSS JOIN ht CROSS JOIN hc CROSS JOIN tt""",
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT event_type, CAST(isodow(ts)-1 AS BIGINT) AS dw,
+             count(*) AS n_tc
+           FROM events GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(n_tc) AS BIGINT) AS n_t
+           FROM cells GROUP BY 1),
+         ct AS (SELECT dw, CAST(sum(n_tc) AS BIGINT) AS n_c
+           FROM cells GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_tc) AS BIGINT) AS n,
+             count(DISTINCT event_type) AS r, count(DISTINCT dw) AS c
+           FROM cells),
+         o AS (SELECT sum(
+             (CAST(n_tc AS DOUBLE) - CAST(n_t AS DOUBLE) * n_c / n)
+               * (CAST(n_tc AS DOUBLE) - CAST(n_t AS DOUBLE) * n_c / n)
+               / (CAST(n_t AS DOUBLE) * n_c / n)
+             - CAST(n_t AS DOUBLE) * n_c / n) AS chi2_obs
+           FROM cells JOIN rt USING (event_type) JOIN ct USING (dw)
+           CROSS JOIN tt)
+         SELECT n AS n_events, r AS n_types, c AS n_dows,
+           round(chi2_obs + n, 4) AS chi2,
+           round(sqrt((chi2_obs + n)
+             / (CAST(n AS DOUBLE) * (least(r, c) - 1))), 4) AS cramers_v
+         FROM o CROSS JOIN tt""",
+    "q_mahalanobis" -> mahalanobisSql,
+    "q_zipf_fit" ->
+      s"""WITH t AS (SELECT unnest(t) AS term
+             FROM (SELECT $tokSql AS t FROM documents)),
+         ctf AS (SELECT term, count(*) AS ctf FROM t GROUP BY term),
+         rk AS (SELECT ctf,
+             row_number() OVER (ORDER BY ctf DESC, term ASC) AS rank
+           FROM ctf),
+         top AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+             ln(CAST(ctf AS DOUBLE)) AS y
+           FROM rk WHERE rank <= ${graft.operators.TextOps.ZipfTopK}),
+         s AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM top)
+         SELECT n_terms,
+           round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 4)
+             AS zipf_slope,
+           round((sy - ((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx)) * sx)
+             / n_terms, 4) AS intercept,
+           round((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy)
+             / ((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy)), 4) AS r2
+         FROM s""",
+    "q_window_dup" ->
+      s"""WITH w AS (SELECT doc_id,
+             md5(substr(text, CAST(pos AS INTEGER),
+               ${graft.operators.TextOps.DupWindow})) AS wh
+           FROM (SELECT doc_id, text,
+               unnest(generate_series(1,
+                 greatest(length(text) - ${graft.operators.TextOps.DupWindow - 1},
+                   1),
+                 ${graft.operators.TextOps.DupStride})) AS pos
+             FROM documents)),
+         df AS (SELECT wh, count(DISTINCT doc_id) AS wdf FROM w GROUP BY wh)
+         SELECT doc_id, count(*) AS n_windows,
+           CAST(sum(CASE WHEN wdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN wdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_frac
+         FROM w JOIN df USING (wh) GROUP BY doc_id ORDER BY doc_id""",
   )
 
   /** Oracle for q_corr_matrix, generated from the same feature list the
@@ -2140,17 +2233,23 @@ object SparkEntry {
     * per-user LONG features, then the closed-form Pearson ratio in
     * double with the same operand order as the Spark side.
     */
+  /** The per-user feature aggregation both [[corrMatrixSql]] and
+    * [[mahalanobisSql]] build on — one definition so the oracles can't
+    * drift from each other (they mirror StatsOps.userFeatures).
+    */
+  private val featSelSql: String = Seq(
+    "count(*) AS n_events",
+    "count(DISTINCT event_type) AS n_types",
+    "count(DISTINCT CAST(ts AS DATE)) AS n_days",
+    """CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 8
+        OR EXTRACT(hour FROM ts) > 18 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_after_hours""",
+    """CAST(sum(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_weekend""").mkString(",\n           ")
+
   private def corrMatrixSql: String = {
     val fs = graft.operators.StatsOps.CorrFeatures
-    val featSel = Seq(
-      "count(*) AS n_events",
-      "count(DISTINCT event_type) AS n_types",
-      "count(DISTINCT CAST(ts AS DATE)) AS n_days",
-      """CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 8
-          OR EXTRACT(hour FROM ts) > 18 THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_after_hours""",
-      """CAST(sum(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_weekend""").mkString(",\n           ")
+    val featSel = featSelSql
     def d(f: String) = s"CAST($f AS DECIMAL(18,0))"
     val sums = (fs.map(f => s"sum(${d(f)}) AS s_$f") ++
       fs.map(f => s"sum(${d(f)} * ${d(f)}) AS ss_$f") ++
@@ -2179,6 +2278,39 @@ object SparkEntry {
              $sums
          FROM u)
        SELECT * FROM ($rows) ORDER BY feat_a, feat_b"""
+  }
+
+  /** Oracle for q_mahalanobis, generated from the same feature list the
+    * operator uses: exact DECIMAL sums feed per-feature (μ, σ²) on ONE
+    * stats row, the distance is per-row scalar arithmetic, zero-variance
+    * features contribute 0 — mirroring StatsOps.qMahalanobis term for
+    * term.
+    */
+  private def mahalanobisSql: String = {
+    val fs = graft.operators.StatsOps.CorrFeatures
+    def d(f: String) = s"CAST($f AS DECIMAL(18,0))"
+    val sums = (fs.map(f => s"sum(${d(f)}) AS s_$f") ++
+      fs.map(f => s"sum(${d(f)} * ${d(f)}) AS ss_$f")).mkString(",\n             ")
+    def dbl(c: String) = s"CAST($c AS DOUBLE)"
+    val dist = fs.map { f =>
+      val m = s"${dbl(s"s_$f")} / ${dbl("n")}"
+      val v = s"""(${dbl(s"ss_$f")} - ${dbl(s"s_$f")} * ${dbl(s"s_$f")}
+               / ${dbl("n")}) / (${dbl("n")} - 1.0)"""
+      s"""CASE WHEN $v > 0 THEN (${dbl(f)} - $m) * (${dbl(f)} - $m) / ($v)
+           ELSE 0.0 END"""
+    }.mkString("\n         + ")
+    val cut = graft.operators.StatsOps.Chi2k5p99
+    s"""WITH u AS (SELECT user_id,
+           $featSelSql
+         FROM events GROUP BY user_id),
+       s AS (SELECT count(*) AS n,
+             $sums
+         FROM u)
+       SELECT user_id, ${fs.mkString(", ")},
+         round($dist, 4) AS m_dist2,
+         CAST(CASE WHEN ($dist) > $cut THEN 1 ELSE 0 END AS BIGINT)
+           AS is_outlier
+       FROM u CROSS JOIN s ORDER BY user_id"""
   }
 
   /** Oracle for q_ref_integrity: one LEFT-JOIN audit per FK edge,

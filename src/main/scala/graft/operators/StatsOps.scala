@@ -126,14 +126,21 @@ object StatsOps {
     * double arithmetic on that row — no per-pair passes, no windows, no
     * MLlib. corr = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)).
     */
-  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val u = cleanEvents(spark, dir)
+  /** The per-user behavioral feature frame [[CorrFeatures]] describes —
+    * ONE map-combined user-keyed aggregation over the cleaned log,
+    * shared by [[qCorrMatrix]] and [[qMahalanobis]].
+    */
+  private def userFeatures(spark: SparkSession, dir: String): DataFrame =
+    cleanEvents(spark, dir)
       .groupBy(col("user_id")).agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("event_type")).as("n_types"),
         countDistinct(to_date(col("ts"))).as("n_days"),
         sum(isAfterHours).as("n_after_hours"),
         sum(isWeekend).as("n_weekend"))
+
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val u = userFeatures(spark, dir)
     val fs = CorrFeatures
     def d(f: String): Column = col(f).cast("decimal(18,0)")
     val sums =
@@ -158,5 +165,134 @@ object StatsOps {
     one.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.feat_a"), col("p.feat_b"), col("p.corr"))
       .orderBy(col("feat_a"), col("feat_b"))
+  }
+
+  /** Mutual information between event type and the after-hours flag —
+    * "how much does KNOWING the event type tell you about WHEN it
+    * happens" in nats, with the entropies that normalize it. Where
+    * [[graft.operators.ThreatOps.qChi2]] answers "is the association
+    * statistically real", NMI answers "is it big enough to matter as a
+    * feature" — the standard feature-selection screen before one-hot
+    * encoding a categorical into a detector.
+    *
+    * Shape: ONE map-combined (type, flag) contingency aggregation
+    * (ǀtypesǀ·2 rows), then every p·ln(p) term is scalar arithmetic on
+    * that tiny frame; marginals come from two rollups of the SAME cell
+    * frame, joined back by type / broadcast as one row. All
+    * probabilities divide exact longs; the handful of double ln-terms
+    * sum on a ǀcellsǀ-row frame before the single r4.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = cleanEvents(spark, dir)
+      .groupBy(col("event_type"), isAfterHours.as("ah"))
+      .agg(count(lit(1)).as("n_tc"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("n_tc")).as("n_t"))
+    val colTot = cells.groupBy(col("ah")).agg(sum(col("n_tc")).as("n_c"))
+    val tot = cells.agg(sum(col("n_tc")).as("n"))
+    val joined = cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("ah"))
+      .crossJoin(broadcast(tot))
+    def d(c: Column): Column = c.cast("double")
+    val pTc = d(col("n_tc")) / d(col("n"))
+    val miTerm = pTc * log(pTc / (d(col("n_t")) / d(col("n")) *
+      (d(col("n_c")) / d(col("n")))))
+    val hT = -sum((d(col("n_t")) / d(col("n"))) *
+      log(d(col("n_t")) / d(col("n"))))
+    val hC = -sum((d(col("n_c")) / d(col("n"))) *
+      log(d(col("n_c")) / d(col("n"))))
+    // entropies recomputed from the marginal frames (not the joined
+    // cells, which repeat each marginal once per partner level)
+    val ent = rowTot.crossJoin(broadcast(tot)).agg(hT.as("h_type")).crossJoin(
+      broadcast(colTot.crossJoin(broadcast(tot)).agg(hC.as("h_flag"))))
+    joined.agg(max(col("n")).as("n_events"), sum(miTerm).as("mi"))
+      .crossJoin(broadcast(ent))
+      .select(col("n_events"), r4(col("mi")).as("mi_nats"),
+        r4(col("h_type")).as("h_type"), r4(col("h_flag")).as("h_flag"),
+        r4(col("mi") / least(col("h_type"), col("h_flag"))).as("nmi"))
+  }
+
+  /** Cramér's V over the full event-type × day-of-week contingency table
+    * — the r×c generalization of [[graft.operators.ThreatOps.qChi2]]'s
+    * 2-column test, scaled to [0,1] effect size: V = √(χ²/(n·min(r−1,
+    * c−1))). One row: table dims, χ², V.
+    *
+    * Shape: one map-combined (type, dow) cell aggregation, marginals as
+    * two rollups of the cell frame (broadcast joins), χ² summed over the
+    * ≤ ǀtypesǀ·7 cell rows. Counts are exact longs; the χ² terms are the
+    * only doubles and they're summed on the tiny cell frame before ONE
+    * r4. Cells with zero count contribute (0−e)²/e = e, so the expected
+    * mass of MISSING cells must be added too — done by summing e over
+    * the full marginal cross product and subtracting the observed-cell
+    * e's, no dense grid materialized.
+    */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val dow = expr("weekday(ts)").cast("long")
+    val cells = cleanEvents(spark, dir)
+      .groupBy(col("event_type"), dow.as("dw"))
+      .agg(count(lit(1)).as("n_tc"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("n_tc")).as("n_t"))
+    val colTot = cells.groupBy(col("dw")).agg(sum(col("n_tc")).as("n_c"))
+    val tot = cells.agg(sum(col("n_tc")).as("n"),
+      count_distinct(col("event_type")).as("r"),
+      count_distinct(col("dw")).as("c"))
+    def d(c: Column): Column = c.cast("double")
+    val e = d(col("n_t")) * d(col("n_c")) / d(col("n"))
+    // observed cells: (o−e)²/e − e  (the −e cancels the full-grid Σe=n)
+    val obs = cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dw"))
+      .crossJoin(broadcast(tot))
+      .agg(sum((d(col("n_tc")) - e) * (d(col("n_tc")) - e) / e - e)
+        .as("chi2_obs"))
+    // Σe over ALL (r×c) grid cells is exactly n, so χ² = chi2_obs + n.
+    obs.crossJoin(broadcast(tot))
+      .select(col("n").as("n_events"), col("r").as("n_types"),
+        col("c").as("n_dows"),
+        r4(col("chi2_obs") + d(col("n"))).as("chi2"),
+        r4(sqrt((col("chi2_obs") + d(col("n"))) /
+          (d(col("n")) * d(least(col("r"), col("c")) - lit(1L)))))
+          .as("cramers_v"))
+  }
+
+  /** χ²(k=5) 99th percentile — the gate for [[qMahalanobis]]'s flag. */
+  private[graft] val Chi2k5p99 = 15.0863
+
+  /** Mahalanobis distance (diagonal covariance) over the per-user
+    * behavioral feature vector — multivariate outlier screening that
+    * respects each feature's own scale, where a z-score looks at one
+    * axis at a time. Full covariance needs a matrix inverse (driver-side
+    * linear algebra the 5-feature case doesn't justify); the diagonal
+    * form Σᵢ (xᵢ−μᵢ)²/σᵢ² is the standard large-scale compromise and is
+    * exactly scipy's standardized euclidean. Flag at the χ²(5) 99%
+    * quantile, the textbook multivariate-normal cut.
+    *
+    * Shape: the user-feature aggregation, then ONE global aggregation
+    * for (μ, σ²) of the 5 features as exact DECIMAL sums → a 1-row
+    * broadcast; the distance is per-row scalar arithmetic (5 terms
+    * summed INSIDE one row expression — no cross-row double
+    * accumulation anywhere, so r4 is boundary-safe). Zero-variance
+    * features contribute 0 on both engines (undefined axis carries no
+    * outlier signal).
+    */
+  def qMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    val u = userFeatures(spark, dir)
+    val fs = CorrFeatures
+    def dd(f: String): Column = col(f).cast("decimal(18,0)")
+    val stats = u.agg(count(lit(1)).as("n"),
+      fs.map(f => sum(dd(f)).as(s"s_$f")) ++
+        fs.map(f => sum(dd(f) * dd(f)).as(s"ss_$f")): _*)
+    def d(c: Column): Column = c.cast("double")
+    val dist2 = fs.map { f =>
+      val m = d(col(s"s_$f")) / d(col("n"))
+      val v = (d(col(s"ss_$f")) - d(col(s"s_$f")) * d(col(s"s_$f")) /
+        d(col("n"))) / (d(col("n")) - lit(1.0))
+      when(v > 0, (d(col(f)) - m) * (d(col(f)) - m) / v).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    u.crossJoin(broadcast(stats))
+      .select(col("user_id") +: fs.map(col) :+
+        r4(dist2).as("m_dist2") :+
+        when(dist2 > Chi2k5p99, 1L).otherwise(0L).as("is_outlier"): _*)
+      .orderBy(col("user_id"))
   }
 }

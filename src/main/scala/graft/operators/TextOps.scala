@@ -610,4 +610,95 @@ object TextOps {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(50)
   }
+
+  /** Rank cutoff for [[qZipfFit]]'s regression — the OLS runs on the
+    * head of the frequency distribution, where Zipf behavior lives (the
+    * long tail of hapaxes flattens the log-log line in every corpus). */
+  val ZipfTopK = 1000
+
+  /** Zipf's-law fit over the corpus unigram distribution: OLS of
+    * ln(freq) on ln(rank) for the top-[[ZipfTopK]] terms. A natural
+    * corpus runs slope ≈ −1; a heavily templated or machine-generated
+    * corpus bends away from it, so the slope (with r² as fit quality) is
+    * a one-row corpus-health gauge the curation funnel can gate on.
+    *
+    * Shape: term frequencies are a rollup of the pinned (doc, term) tf
+    * frame; ranking the ǀvocabǀ-sized frequency table runs through the
+    * two-phase exact rank ([[graft.operators.RankOps.withGlobalRank]]
+    * on (ctf DESC, term ASC)) — never an unpartitioned window — and the
+    * regression itself is ONE aggregation over the ≤ [[ZipfTopK]]
+    * surviving rows: slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) on ln doubles,
+    * r4-rounded once like every derived double here.
+    */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val ctf = termFreq(spark, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val ranked = graft.operators.RankOps.withGlobalRank(ctf, "rank",
+        Seq(col("ctf").desc, col("term").asc))
+      .filter(col("rank") <= ZipfTopK)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("ctf").cast("double"))
+    val s = ranked.agg(count(lit(1)).as("n_terms"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = d("n_terms")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val varY = n * col("syy") - col("sy") * col("sy")
+    s.select(col("n_terms"),
+      r4(cov / varX).as("zipf_slope"),
+      r4((col("sy") - (cov / varX) * col("sx")) / n).as("intercept"),
+      r4(cov * cov / (varX * varY)).as("r2"))
+  }
+
+  /** Character-window width and stride for [[qWindowDup]]. 64-char
+    * windows at stride 32 (50% overlap) — small enough to catch a
+    * repeated sentence, overlapping so a duplicated span can't hide by
+    * straddling a boundary. Recall caveat: the grid is position-based,
+    * so matches require the repeat to sit at offsets congruent mod
+    * stride in both documents — whole-doc clones, shared prefixes and
+    * templated layouts qualify; an arbitrary-offset shared span needs
+    * stride→1 (the suffix-array regime, ×stride the windows). */
+  val DupWindow = 64
+  val DupStride = 32
+
+  /** Exact substring-level duplication profile (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" signal,
+    * at window granularity): every doc is cut into overlapping
+    * [[DupWindow]]-char windows, windows are content-hashed, and a
+    * window whose hash occurs in MORE THAN ONE document marks a
+    * duplicated span. Per doc: window count, duplicated-window count,
+    * duplicated fraction — the gate that catches partial boilerplate
+    * (headers, footers, templated paragraphs) which document-level
+    * near-dup scoring dilutes below any threshold.
+    *
+    * Shape: window generation is a narrow per-row explode (positions
+    * from an in-row sequence — nothing token-level shuffles); df is ONE
+    * md5-keyed count aggregation; the per-doc rollup joins window→df on
+    * the hash key (big⋈big equi join, linear in corpus size) and
+    * aggregates by doc. No pair, no quadratic term anywhere — this is
+    * the scale-safe exact-substring complement to the MinHash/SimHash
+    * document-level family.
+    */
+  def qWindowDup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = spread(spark, documents(spark, dir))
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - lit(DupWindow - 1), lit(1)),
+          lit(DupStride))).as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(col("text").substr(col("pos"), lit(DupWindow))).as("wh"))
+    val df = wins.groupBy(col("wh"))
+      .agg(count_distinct(col("doc_id")).as("wdf"))
+    wins.join(df, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("wdf") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        r4(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -46,7 +46,11 @@ class PlanAuditSpec extends SparkSpec {
       // one-row broadcast crosses: the group-totals row (KS), the
       // |langs|-row smoothing grid + one-row corpus normalizer (KL),
       // the one-row probe embedding (MMR shortlist scan)
-      "q_ks_test", "q_kl_divergence", "q_mmr_sample")
+      "q_ks_test", "q_kl_divergence", "q_mmr_sample",
+      // one-row broadcast crosses: the contingency grand-total row
+      // (MI / Cramér's V) and the 1-row (μ, σ²) stats frame the
+      // per-user distance reads (Mahalanobis)
+      "q_mutual_info", "q_cramers_v", "q_mahalanobis")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -97,7 +101,9 @@ class PlanAuditSpec extends SparkSpec {
       // detector composites: inherit the offset window from the
       // withGlobalRank-based members they vote over (no windows of
       // their own — MLOps has zero direct Window usage)
-      "q_ensemble_vote", "q_anomaly_report")
+      "q_ensemble_vote", "q_anomaly_report",
+      // withGlobalRank consumer (vocab ranking for the OLS head)
+      "q_zipf_fit")
 
   test("unpartitioned windows appear only over provably-tiny frames") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -99,4 +99,80 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(got - builtin) < 2e-4,
       s"closed-form $got vs built-in $builtin")
   }
+
+  test("qMutualInfo: MI from a local contingency table, bounds hold") {
+    val r = StatsOps.qMutualInfo(spark, sf).collect().head
+    val cells = Tables.cleanEvents(spark, sf)
+      .select(col("event_type"),
+        when(hour(col("ts")) < 8 || hour(col("ts")) > 18, 1).otherwise(0))
+      .collect().map(x => (x.getString(0), x.getInt(1)))
+    val n = cells.length.toDouble
+    val byTc = cells.groupBy(identity).view.mapValues(_.length).toMap
+    val byT = cells.groupBy(_._1).view.mapValues(_.length).toMap
+    val byC = cells.groupBy(_._2).view.mapValues(_.length).toMap
+    val mi = byTc.map { case ((t, c), k) =>
+      (k / n) * math.log((k / n) / ((byT(t) / n) * (byC(c) / n)))
+    }.sum
+    def h(m: Map[_, Int]): Double =
+      -m.values.map(k => (k / n) * math.log(k / n)).sum
+    assert(r.getAs[Long]("n_events") === cells.length.toLong)
+    assert(math.abs(r.getAs[Double]("mi_nats") - math.rint(mi * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("h_type") - math.rint(h(byT) * 1e4) / 1e4) < 1e-9)
+    // MI ≤ min(H) and nmi in [0,1]
+    assert(r.getAs[Double]("mi_nats") <= math.min(h(byT), h(byC)) + 1e-9)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+  }
+
+  test("qCramersV: chi2 matches a local dense-grid recomputation, V in [0,1]") {
+    val r = StatsOps.qCramersV(spark, sf).collect().head
+    val cells = Tables.cleanEvents(spark, sf)
+      .select(col("event_type"), expr("weekday(ts)"))
+      .collect().map(x => (x.getString(0), x.getInt(1)))
+    val n = cells.length.toDouble
+    val byTc = cells.groupBy(identity).view.mapValues(_.length).toMap
+    val byT = cells.groupBy(_._1).view.mapValues(_.length).toMap
+    val byC = cells.groupBy(_._2).view.mapValues(_.length).toMap
+    // dense grid INCLUDING zero cells — the operator recovers their mass
+    // via the Σe = n identity
+    val chi2 = (for (t <- byT.keys; c <- byC.keys) yield {
+      val e = byT(t) * byC(c) / n
+      val o = byTc.getOrElse((t, c), 0).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    assert(r.getAs[Long]("n_events") === cells.length.toLong)
+    assert(r.getAs[Long]("n_types") === byT.size.toLong)
+    assert(r.getAs[Long]("n_dows") === byC.size.toLong)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9)
+    assert(math.abs(v - math.sqrt(chi2 / (n * (math.min(byT.size, byC.size) - 1)))) < 1e-4)
+  }
+
+  test("qMahalanobis: distance matches a local recomputation, flag consistent") {
+    val rows = StatsOps.qMahalanobis(spark, sf).collect()
+    val fs = StatsOps.CorrFeatures
+    val feats = rows.map(r => (r.getAs[Long]("user_id"),
+      fs.map(f => r.getAs[Long](f).toDouble).toArray))
+    val n = feats.length.toDouble
+    val means = fs.indices.map(i => feats.map(_._2(i)).sum / n)
+    val vars = fs.indices.map { i =>
+      val m = means(i)
+      feats.map(x => (x._2(i) - m) * (x._2(i) - m)).sum / (n - 1)
+    }
+    rows.zip(feats).foreach { case (r, (_, x)) =>
+      val d2 = fs.indices.map { i =>
+        if (vars(i) > 0) (x(i) - means(i)) * (x(i) - means(i)) / vars(i) else 0.0
+      }.sum
+      // operator r4-rounds the reported distance: tolerance ≥ 5e-5
+      assert(math.abs(r.getAs[Double]("m_dist2") - d2) < 1e-3,
+        s"user ${r.getAs[Long]("user_id")}: ${r.getAs[Double]("m_dist2")} vs $d2")
+      assert(r.getAs[Long]("is_outlier") ===
+        (if (d2 > StatsOps.Chi2k5p99) 1L else 0L))
+    }
+    // the 99% gate keeps the flag rare but the query must surface SOME
+    // structure: distances are nonnegative and nonconstant
+    assert(rows.forall(_.getAs[Double]("m_dist2") >= 0.0))
+    assert(rows.map(_.getAs[Double]("m_dist2")).distinct.length > 1)
+  }
 }

@@ -561,4 +561,46 @@ class TextMlSpec extends SparkSpec {
     val again = TextOps.qBpeMerges(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("qZipfFit: slope negative on natural text, r2 valid, rank cap respected") {
+    val r = TextOps.qZipfFit(spark, sf).collect().head
+    val vocab = TextOps.qVocab(spark, sf) // top-50 presentation of the same tf
+    assert(vocab.count() > 0)
+    assert(r.getAs[Long]("n_terms") <= TextOps.ZipfTopK.toLong)
+    // frequency is non-increasing in rank, so the log-log OLS slope must
+    // be strictly negative on any corpus with >1 distinct frequency
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+    // intercept ≈ ln(max freq) order of magnitude: must be positive
+    assert(r.getAs[Double]("intercept") > 0.0)
+  }
+
+  test("qWindowDup: planted aligned boilerplate is flagged, unique doc is clean") {
+    val s = spark; import s.implicits._
+    val tmp = s"/tmp/graft-windup-${System.nanoTime()}"
+    val boiler = ("HEADER " * 20).take(96) // ≥ window, grid-aligned at pos 1
+    val uniqA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val uniqB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val uniqC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    Seq((1L, "en", boiler + uniqA), (2L, "en", boiler + uniqB),
+        (3L, "en", uniqC))
+      .map { case (id, lang, t) => (id, t, lang, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.qWindowDup(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_frac"))).toMap
+    // docs 1 and 2 share the leading 96-char boilerplate: windows at pos
+    // 1 and 33 are identical across them (64-char windows inside the
+    // shared span); doc 3 shares nothing
+    assert(rows(1L)._2 >= 2L, s"doc 1 dup windows: ${rows(1L)}")
+    assert(rows(2L)._2 >= 2L, s"doc 2 dup windows: ${rows(2L)}")
+    assert(rows(3L)._2 === 0L, s"doc 3 must be clean: ${rows(3L)}")
+    rows.values.foreach { case (nw, nd, frac) =>
+      assert(nd <= nw)
+      assert(math.abs(frac - math.rint(nd.toDouble / nw * 1e4) / 1e4) < 1e-9)
+    }
+  }
 }
