@@ -23,13 +23,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses to map
-    * to its microsecond timestamp type; read nanos as long and truncate to
-    * micros (`ts div 1000` — integer division, no double round-trip).
+  /** Normalize the `ts` column of an events frame to a session-timezone
+    * TIMESTAMP, whatever physical type the parquet writer chose. The
+    * testdata generator has shipped `ts` as TIMESTAMP(NANOS) (arrives as
+    * LongType under the legacy nanosAsLong conf) and as timestamp[us]
+    * without UTC adjustment (arrives as TIMESTAMP_NTZ) in different
+    * rounds; a reader hard-wired to one physical type breaks on the
+    * other. Dispatching on the OBSERVED dtype makes both batch and
+    * streaming readers drift-proof:
+    *   - LongType          → nanos: integer-truncate to micros
+    *   - TIMESTAMP_NTZ     → cast to TIMESTAMP (identity under the UTC
+    *                         session; matches DuckDB's naive read)
+    *   - TIMESTAMP         → already micros in session tz, as-is
+    */
+  def adaptEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
+
+  /** Schema-adaptive events loader: see [[adaptEventTs]]. The legacy
+    * nanosAsLong conf must be set BEFORE the read (Spark 4 refuses to map
+    * TIMESTAMP(NANOS) at all without it); it only affects NANOS-annotated
+    * INT64 columns, so it is a no-op on micros/NTZ files and safe to set
+    * unconditionally.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    adaptEventTs(table(s, d, "events"))
   }
   /** [[events]] through the reference pipeline's preprocess null-drop
     * policy (data_preprocessing.py:29-31: rows with a null critical

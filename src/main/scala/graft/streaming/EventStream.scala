@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
@@ -656,11 +657,8 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
-    // events.parquet stores TIMESTAMP(NANOS) read as long (see Tables.events)
-    val withTs =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    windowedCounts(withTs)
+    // Same physical-type dispatch as the batch reader — ONE helper so the
+    // two paths can never drift apart again (they did once; see Tables).
+    windowedCounts(Tables.adaptEventTs(raw))
   }
 }
