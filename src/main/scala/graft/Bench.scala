@@ -48,7 +48,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.flatten.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The full line above exceeds the ~2KB stdout tail the driver keeps,
+    // so it also lands in a FILE any consumer can read whole…
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // …and the LAST stdout line is a compact summary guaranteed to fit the
+    // tail: suite totals + the per-family headliner timings + the pointer
+    // to the full file. Failures must be LOUD — a half-broken suite must
+    // not read as a passing run, hence the marker line and nonzero exit.
+    val hq = ScaleProbe.Headliners.flatMap(h => results.getOrElse(h, None).map(h -> _))
+      .map { case (k, v) => s"\"$k\":${math.rint(v * 1000) / 1000}" }.mkString("{", ",", "}")
+    if (failed.nonEmpty)
+      println(s"[bench] FAILED n=${failed.size}: ${failed.take(30).mkString(",")}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"headliners":$hq,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

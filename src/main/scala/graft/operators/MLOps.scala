@@ -142,11 +142,10 @@ object MLOps {
       .select(col("vec_id"),
         when(col("label") === 0, 1L).otherwise(0L).as("truth"),
         r4(l2norm(toDouble(col("embedding")))).as("score"))
-    val cnt = scored.agg(count(lit(1)).as("cnt"))
-    // Two-phase rank + 1-row count broadcast — no whole-frame window.
+    // Two-phase rank; the total count rides on the rank's own offset
+    // frame (totalName) instead of a separate whole-input count job.
     val pred = RankOps.withGlobalRank(scored, "_rk",
-        Seq(col("score").desc, col("vec_id").asc))
-      .crossJoin(broadcast(cnt))
+        Seq(col("score").desc, col("vec_id").asc), totalName = Some("cnt"))
       .withColumn("pred",
         when(col("_rk") <= ceil(col("cnt") * Contamination), 1L).otherwise(0L))
     pred.agg(
@@ -221,16 +220,42 @@ object MLOps {
       .orderBy("user_id")
   }
 
-  /** Majority vote across six detectors, mirroring the reference's
-    * ensemble (Comparaison_ML.py:291-321 votes IsolationForest, OCSVM,
-    * KMeans, DBSCAN, autoencoder): z-score/quantile stand in for the
-    * OCSVM/threshold detectors, plus KMeans, density (DBSCAN-noise),
-    * reconstruction error (autoencoder), and the seeded
-    * isolation-forest analogue ([[qIforestScore]]) completing the
-    * member-for-member roster. All six are keyed by user_id — AQE sees
-    * the co-partitioning, so the joins add no exchange of a big side.
-    * The vote gate stays at ≥3 (at least half of six), matching the
-    * reference's ≥3-of-5 threshold on its five voters.
+  /** Explained-variance ratio of the 2-component PCA — the number the
+    * reference prints alongside its projection
+    * (Comparaison_ML.py:323-325, `pca.explained_variance_ratio_`) and
+    * the one an analyst actually quotes ("PC1+PC2 carry X% of the
+    * variance"). One row per component plus the cumulative total; the
+    * fit iterates over the pinned |users|-row standardized matrix and
+    * only k scalars reach the driver. Fitted-model output → rows-only
+    * (deterministic: covariance eigendecomposition has no seed).
+    */
+  def qPcaVariance(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("pcaVariance", spark, dir) {
+      val sfr = standardizedFeatures(spark, dir)
+      val model = new PCA().setK(2).setInputCol("sfv").setOutputCol("pc").fit(sfr)
+      val evr = model.explainedVariance.toArray
+      val rows = evr.zipWithIndex.map { case (v, i) =>
+        (s"pc${i + 1}", math.rint(v * 10000) / 10000)
+      } :+ ("cumulative", math.rint(evr.sum * 10000) / 10000)
+      val s = spark
+      import s.implicits._
+      rows.toSeq.toDF("component", "explained_variance_ratio")
+    }
+
+  /** Majority vote across seven detectors, mirroring the reference's
+    * ensemble member-for-member (Comparaison_ML.py:291-321 votes
+    * IsolationForest, OCSVM, KMeans, DBSCAN, autoencoder):
+    * z-score/quantile stand in for the threshold detectors, KMeans,
+    * density (DBSCAN-noise), reconstruction error (autoencoder), the
+    * seeded isolation-forest analogue ([[qIforestScore]]), and a
+    * Mahalanobis-gate boundary detector (flag = squared distance outside
+    * the χ²₅ 99% ellipsoid, [[StatsOps.qMahalanobis]]) standing in for
+    * One-Class SVM — both learn a closed decision boundary around the
+    * inlier mass and flag points outside it; a diagonal-covariance
+    * ellipsoid is that boundary's closed form. All seven are keyed by
+    * user_id — AQE sees the co-partitioning, so the joins add no
+    * exchange of a big side. The vote gate is ≥4 (a strict majority of
+    * seven), matching the reference's majority-of-voters rule.
     */
   def qEnsembleVote(spark: SparkSession, dir: String): DataFrame = {
     val z = qZscoreAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_z"))
@@ -239,11 +264,13 @@ object MLOps {
     val d = qDensityOutlier(spark, dir).select(col("user_id"), col("is_noise").as("flag_d"))
     val r = qReconError(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_r"))
     val i = qIforestScore(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_i"))
-    val flags = Seq("flag_z", "flag_q", "flag_k", "flag_d", "flag_r", "flag_i")
+    val m = StatsOps.qMahalanobis(spark, dir)
+      .select(col("user_id"), col("is_outlier").as("flag_m"))
+    val flags = Seq("flag_z", "flag_q", "flag_k", "flag_d", "flag_r", "flag_i", "flag_m")
     z.join(q, "user_id").join(k, "user_id").join(d, "user_id").join(r, "user_id")
-      .join(i, "user_id")
+      .join(i, "user_id").join(m, "user_id")
       .withColumn("votes", flags.map(col).reduce(_ + _))
-      .withColumn("is_anomaly", when(col("votes") >= 3, 1L).otherwise(0L))
+      .withColumn("is_anomaly", when(col("votes") >= 4, 1L).otherwise(0L))
       .select((Seq(col("user_id")) ++ flags.map(col) ++
         Seq(col("votes"), col("is_anomaly"))): _*)
       .orderBy("user_id")
@@ -266,7 +293,7 @@ object MLOps {
         col("weekend_ratio"), col("activity_entropy"), col("temporal_entropy"),
         col("anomaly_score"), col("z_l2"), col("pc1"), col("pc2"),
         col("flag_z"), col("flag_q"), col("flag_k"), col("flag_d"), col("flag_r"),
-        col("flag_i"), col("votes"), col("is_anomaly"))
+        col("flag_i"), col("flag_m"), col("votes"), col("is_anomaly"))
       .orderBy(col("user_id"))
   }
 
@@ -554,28 +581,50 @@ object MLOps {
     * the detector's start offset (a broadcast |detectors|-row frame) —
     * no unpartitioned window, no per-row sort, any corpus size.
     */
-  def qRocPoints(spark: SparkSession, dir: String): DataFrame = {
-    val g = detectorScores(spark, dir).groupBy(col("detector"), col("score"))
+  def qRocPoints(spark: SparkSession, dir: String): DataFrame =
+    rocPointsOver(detectorScores(spark, dir), "detector")
+
+  /** The curve machinery of [[qRocPoints]] over ANY stacked
+    * `(grp, truth, score)` frame — shared by the deterministic-detector
+    * curves (hash-oracled) and the supervised-model curves (rows-only,
+    * fitted-model scores). Same scale shape as documented on
+    * [[qRocPoints]]: tie-group collapse, one two-phase rank carrying
+    * both running sums, per-group prefixes via broadcast start offsets.
+    */
+  private[graft] def rocPointsOver(scores: DataFrame, grp: String): DataFrame = {
+    val g = scores.groupBy(col(grp), col("score"))
       .agg(count(lit(1)).as("n"), sum(col("truth")).as("np"))
     val ranked = RankOps.withGlobalRank(g, "_rk",
-      Seq(col("detector").asc, col("score").desc),
+      Seq(col(grp).asc, col("score").desc),
       cumSums = Seq(("_cum", col("n")), ("_cumnp", col("np"))))
-    val starts = ranked.groupBy(col("detector"))
+    val starts = ranked.groupBy(col(grp))
       .agg(min(col("_cum") - col("n")).as("_before"),
         min(col("_cumnp") - col("np")).as("_beforeNp"))
-    val totals = g.groupBy(col("detector"))
+    val totals = g.groupBy(col(grp))
       .agg(sum(col("np")).as("pos"), (sum(col("n")) - sum(col("np"))).as("neg"))
-    ranked.join(broadcast(starts), Seq("detector"))
-      .join(broadcast(totals), Seq("detector"))
-      .select(col("detector"), r4(col("score")).as("threshold"),
+    ranked.join(broadcast(starts), Seq(grp))
+      .join(broadcast(totals), Seq(grp))
+      .select(col(grp), r4(col("score")).as("threshold"),
         (col("_cumnp") - col("_beforeNp")).cast("long").as("tp"),
         (col("_cum") - col("_before") - col("_cumnp") + col("_beforeNp"))
           .cast("long").as("fp"),
         r4((col("_cumnp") - col("_beforeNp")) / col("pos")).as("tpr"),
         r4((col("_cum") - col("_before") - col("_cumnp") + col("_beforeNp"))
           / col("neg")).as("fpr"))
-      .orderBy(col("detector"), col("threshold").desc)
+      .orderBy(col(grp), col("threshold").desc)
   }
+
+  /** Per-supervised-model ROC curves on the held-out fold — the curves
+    * the reference PLOTS for its RF/SVC/XGB tracks
+    * (Comparaison_ML.py:551-707 calls roc_curve per model; [[qRocPoints]]
+    * only covered the unsupervised detector scores). Reuses the stacked
+    * (model, truth, score) frame [[qModelReport]] scores its AUC on —
+    * rf/gbt score with P(anomaly), svc with its margin (any monotone
+    * score yields the same curve). Fitted-model scores → rows-only.
+    */
+  def qRocPointsSupervised(spark: SparkSession, dir: String): DataFrame =
+    rocPointsOver(supervisedScores(spark, dir).withColumnRenamed("model", "detector"),
+      "detector")
 
   /** Consolidated supervised comparison — the reference's
     * rapport_performances.csv / resultats_supervise.csv analogue
@@ -588,7 +637,14 @@ object MLOps {
     * P(anomaly) and SVC's margin. Model internals aren't
     * SQL-expressible → rows-only, contract-specced.
     */
-  def qModelReport(spark: SparkSession, dir: String): DataFrame = {
+  /** Stacked `(model, truth, pred, score)` frame over the three
+    * supervised tracks' held-out predictions — shared by
+    * [[qModelReport]] (confusion + AUC) and [[qRocPointsSupervised]]
+    * (the curves). All three binarize to the anomaly target; the
+    * underlying track outputs are Memo-pinned, so stacking re-reads
+    * cached |test-fold|-row frames, not refits.
+    */
+  private def supervisedScores(spark: SparkSession, dir: String): DataFrame = {
     val rf = qSupervisedRf(spark, dir).select(lit("rf").as("model"),
       when(col("label") === 0, 1L).otherwise(0L).as("truth"),
       when(col("prediction") === 0, 1L).otherwise(0L).as("pred"),
@@ -599,7 +655,11 @@ object MLOps {
     val svc = qSupervisedSvc(spark, dir).select(lit("svc").as("model"),
       col("label").as("truth"), col("prediction").as("pred"),
       col("margin").as("score"))
-    val stacked = rf.unionByName(gbt).unionByName(svc)
+    rf.unionByName(gbt).unionByName(svc)
+  }
+
+  def qModelReport(spark: SparkSession, dir: String): DataFrame = {
+    val stacked = supervisedScores(spark, dir)
     val cm = stacked.groupBy(col("model")).agg(
         sum(col("pred") * col("truth")).as("tp"),
         sum(col("pred") * (lit(1) - col("truth"))).as("fp"),

@@ -30,13 +30,27 @@ object RankOps {
     * row_number. Each `(name, expr)` in `cumSums` adds a column `name`
     * holding the running sum of `expr` up to and including the current
     * row in `sort` order.
+    *
+    * `pin` (default on) caches the input before ranking:
+    * `repartitionByRange` runs a SAMPLING job over its input and then
+    * re-reads it for the shuffle write, so un-pinned input lineage
+    * executes 2-3× per action (measured 36× wall-clock on a scoring
+    * frame whose lineage scanned parquet each time). Every consumer
+    * ranks an already-reduced frame (scores, per-user totals, vocab) —
+    * the thing you'd pin on a cluster anyway. CacheManager matches
+    * plans by equivalence, so repeated calls with the same input reuse
+    * one InMemoryRelation rather than stacking new ones. Pass
+    * `pin = false` when the input is a trivial projection of an
+    * already-cached frame.
     */
   def withGlobalRank(df: DataFrame, rankName: String, sort: Seq[Column],
-      cumSums: Seq[(String, Column)] = Nil): DataFrame = {
+      cumSums: Seq[(String, Column)] = Nil, pin: Boolean = true,
+      totalName: Option[String] = None): DataFrame = {
+    val in = if (pin) df.cache() else df
     val n = df.sparkSession.sparkContext.defaultParallelism
     // Explicit numPartitions: a user-specified width AQE won't coalesce,
     // so spark_partition_id() stays aligned with the range ordering.
-    val parted = df.repartitionByRange(n, sort: _*)
+    val parted = in.repartitionByRange(n, sort: _*)
       .withColumn("_pid", spark_partition_id())
     val sumAliases = cumSums.zipWithIndex.map { case ((_, e), i) => (s"_s$i", e) }
     val aggs = count(lit(1)).as("_n") +: sumAliases.map { case (a, e) => sum(e).as(a) }
@@ -44,13 +58,22 @@ object RankOps {
     // Offsets = totals of all partitions strictly BEFORE this one.
     // numParts rows; the global orderBy here is over that tiny frame.
     val wOff = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sumAliases.foldLeft(
+    // The TOTAL row count rides along on the same tiny frame when asked
+    // for (`totalName`): consumers cutting at ceil(cnt·q) would otherwise
+    // pay a separate whole-input aggregation job + crossJoin just to
+    // learn N — here it's one more window over the numParts-row frame.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTot = totalName.foldLeft(
         perPart.withColumn("_rk_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))) {
+      case (acc, t) => acc.withColumn(t, sum(col("_n")).over(wAll))
+    }
+    val offsets = sumAliases.foldLeft(withTot) {
         case (acc, (a, _)) =>
           acc.withColumn(s"${a}_off", coalesce(sum(col(a)).over(wOff), lit(0)))
       }
       .select(col("_pid") +: col("_rk_off") +:
-        sumAliases.map { case (a, _) => col(s"${a}_off") }: _*)
+        (totalName.map(col).toSeq ++
+          sumAliases.map { case (a, _) => col(s"${a}_off") }): _*)
     val wLoc = Window.partitionBy(col("_pid")).orderBy(sort: _*)
     val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = parted.join(broadcast(offsets), Seq("_pid"))
