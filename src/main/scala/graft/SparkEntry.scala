@@ -24,6 +24,7 @@ object SparkEntry {
     "q_temporal_entropy" -> (ThreatOps.qTemporalEntropy _),
     "q_resource_entropy" -> (ThreatOps.qResourceEntropy _),
     "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
+    "q_coaccess_capped" -> (ThreatOps.qCoaccessCapped _),
     "q_funnel" -> (ThreatOps.qFunnel _),
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
@@ -157,6 +158,8 @@ object SparkEntry {
     "q_eval_metrics" -> (MLOps.qEvalMetrics _),
     "q_kmeans_anomaly" -> (MLOps.qKmeansAnomaly _),
     "q_pca_project" -> (MLOps.qPcaProject _),
+    "q_pca_variance" -> (MLOps.qPcaVariance _),
+    "q_roc_points_supervised" -> (MLOps.qRocPointsSupervised _),
     "q_ensemble_vote" -> (MLOps.qEnsembleVote _),
     "q_anomaly_report" -> (MLOps.qAnomalyReport _),
     "q_supervised_rf" -> (MLOps.qSupervisedRf _),
@@ -488,6 +491,20 @@ object SparkEntry {
            FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL)
          SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared_resources
          FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY shared_resources DESC, user_a, user_b LIMIT 100""",
+    // Same projection with the production degree cap: resources touched by
+    // more than 1000 distinct users are dropped before pairing (the Spark
+    // side's CoaccessMaxDegree) — the oracle applies the identical filter,
+    // so the capped entry is hash-checked, not rows-only.
+    "q_coaccess_capped" ->
+      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000)
+         SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared_resources
+         FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+         WHERE a.res IN (SELECT res FROM keep)
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY shared_resources DESC, user_a, user_b LIMIT 100""",
     "q_hourly_heatmap" -> {

@@ -213,6 +213,25 @@ object ThreatOps {
   def qCoaccessPairs(spark: SparkSession, dir: String): DataFrame =
     coaccessPairs(spark, dir, maxDegree = Int.MaxValue)
 
+  /** Degree cap used by the REGISTERED production entry
+    * [[qCoaccessCapped]]: generous enough that no sf0.1 resource is
+    * anywhere near it (results match the uncapped oracle bit-for-bit on
+    * driver data), tight enough to bound the quadratic pair term at
+    * cap²/2 per resource when a planet-hot key shows up at corpus scale.
+    */
+  val CoaccessMaxDegree = 1000
+
+  /** The capped co-access entry — the form you'd actually run at 100 TB.
+    * [[qCoaccessPairs]] (uncapped, exact) stays as the oracle-parity
+    * variant; this one drops resources with more than
+    * [[CoaccessMaxDegree]] distinct users BEFORE pairing (see
+    * [[coaccessPairs]]), so Σ deg² — the ×10-probe's measured scale
+    * killer on the uncapped path — is bounded by construction. Its
+    * oracle applies the same degree filter, so it is hash-checked too.
+    */
+  def qCoaccessCapped(spark: SparkSession, dir: String): DataFrame =
+    coaccessPairs(spark, dir, maxDegree = CoaccessMaxDegree)
+
   /** [[qCoaccessPairs]] with an explicit hot-resource degree cap: a
     * resource touched by more than `maxDegree` users contributes
     * C(deg,2) pairs — one planet-hot key (a login portal every employee

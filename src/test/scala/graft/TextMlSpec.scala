@@ -103,13 +103,18 @@ class TextMlSpec extends SparkSpec {
     k.unpersist()
   }
 
-  test("qEnsembleVote: votes equal sum of six flags, majority rule holds") {
+  test("qEnsembleVote: votes equal sum of seven flags, majority rule holds") {
     val v = MLOps.qEnsembleVote(spark, sf)
     val total = col("flag_z") + col("flag_q") + col("flag_k") +
-      col("flag_d") + col("flag_r") + col("flag_i")
+      col("flag_d") + col("flag_r") + col("flag_i") + col("flag_m")
     val bad = v.filter(
-      col("votes") =!= total || (col("is_anomaly") === 1) =!= (col("votes") >= 3))
+      col("votes") =!= total || (col("is_anomaly") === 1) =!= (col("votes") >= 4))
     assert(bad.count() === 0)
+    // The OCSVM-analogue member must agree with its source detector.
+    val m = graft.operators.StatsOps.qMahalanobis(spark, sf)
+      .select(col("user_id"), col("is_outlier"))
+    assert(v.join(m, "user_id")
+      .filter(col("flag_m") =!= col("is_outlier")).count() === 0)
   }
 
   test("qIforestScore: deterministic, valid score range, contamination cut") {

@@ -71,7 +71,7 @@ class ThreatOpsSpec extends SparkSpec {
     val r = graft.operators.MLOps.qAnomalyReport(spark, sf).cache()
     assert(r.count() === graft.operators.ThreatOps.qUserFeatures(spark, sf).count())
     assert(r.filter(col("votes") =!= col("flag_z") + col("flag_q") + col("flag_k")
-      + col("flag_d") + col("flag_r") + col("flag_i")).count() === 0)
+      + col("flag_d") + col("flag_r") + col("flag_i") + col("flag_m")).count() === 0)
     r.unpersist()
   }
 
