@@ -38,6 +38,10 @@ object ScaleProbe {
     "q_ann_brute", "q_zscore_anomaly",
     // composites + sketch + text + transition families
     "q_ensemble_vote", "q_heavy_hitters", "q_tfidf", "q_coaccess_pairs",
+    // the capped production co-access entry probes alongside the uncapped
+    // oracle variant: its slope must stay ≤ factor while uncapped grows
+    // quadratically in amplified degree — that contrast IS the point
+    "q_coaccess_capped",
     "q_event_transitions", "q_embed_quantize")
 
   // ×10⁸: >> any base key (all < 2×10⁵ at sf0.1), divisible by 5 and 2

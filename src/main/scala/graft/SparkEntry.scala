@@ -169,6 +169,7 @@ object SparkEntry {
     "q_density_outlier" -> (MLOps.qDensityOutlier _),
     "q_roc_auc" -> (MLOps.qRocAuc _),
     "q_roc_points" -> (MLOps.qRocPoints _),
+    "q_pr_points" -> (MLOps.qPrPoints _),
     "q_model_report" -> (MLOps.qModelReport _),
     "q_iforest_score" -> (MLOps.qIforestScore _),
     "q_silhouette" -> (MLOps.qSilhouette _),
@@ -651,6 +652,38 @@ object SparkEntry {
            CAST(cum_n - cum_np AS BIGINT) AS fp,
            round(cum_np * 1.0 / pos, 4) AS tpr,
            round((cum_n - cum_np) * 1.0 / neg, 4) AS fpr
+         FROM c JOIN t ON c.detector = t.detector
+         ORDER BY c.detector, threshold DESC""",
+    // PR curve: identical CTE chain to q_roc_points, projected to
+    // precision (tp / threshold-predicted-positives) and recall (≡ tpr).
+    "q_pr_points" ->
+      """WITH e AS (
+           SELECT vec_id,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS truth,
+             round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))), 4) AS l2,
+             round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 4) AS mx
+           FROM embeddings),
+         s AS (
+           SELECT 'l2_norm' AS detector, truth, l2 AS score FROM e
+           UNION ALL
+           SELECT 'max_abs' AS detector, truth, mx AS score FROM e),
+         g AS (
+           SELECT detector, score,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(truth) AS BIGINT) AS np
+           FROM s GROUP BY detector, score),
+         c AS (
+           SELECT detector, score, n, np,
+             sum(n) OVER w AS cum_n, sum(np) OVER w AS cum_np
+           FROM g WINDOW w AS (PARTITION BY detector ORDER BY score DESC)),
+         t AS (
+           SELECT detector, sum(np) AS pos, sum(n) - sum(np) AS neg
+           FROM g GROUP BY detector)
+         SELECT c.detector,
+           round(score, 4) AS threshold,
+           CAST(cum_np AS BIGINT) AS tp,
+           CAST(cum_n - cum_np AS BIGINT) AS fp,
+           round(cum_np * 1.0 / cum_n, 4) AS precision,
+           round(cum_np * 1.0 / pos, 4) AS recall
          FROM c JOIN t ON c.detector = t.detector
          ORDER BY c.detector, threshold DESC""",
     "q_eval_metrics" ->

@@ -614,6 +614,20 @@ object MLOps {
       .orderBy(col(grp), col("threshold").desc)
   }
 
+  /** Precision-recall curve per deterministic detector — the standard
+    * companion to [[qRocPoints]] for the class-imbalanced regime this
+    * data lives in (10% anomalies: a ROC curve flatters a detector that
+    * false-positives freely; PR does not). Same tie-group + two-phase
+    * rank machinery, one extra projection: precision = tp/(tp+fp) at
+    * each threshold, recall ≡ tpr. SQL-expressible → hash-oracled.
+    */
+  def qPrPoints(spark: SparkSession, dir: String): DataFrame =
+    rocPointsOver(detectorScores(spark, dir), "detector")
+      .select(col("detector"), col("threshold"), col("tp"), col("fp"),
+        r4(col("tp") / (col("tp") + col("fp"))).as("precision"),
+        col("tpr").as("recall"))
+      .orderBy(col("detector"), col("threshold").desc)
+
   /** Per-supervised-model ROC curves on the held-out fold — the curves
     * the reference PLOTS for its RF/SVC/XGB tracks
     * (Comparaison_ML.py:551-707 calls roc_curve per model; [[qRocPoints]]
