@@ -1033,6 +1033,17 @@ object ThreatOps {
     * query, scores ×1000.
     */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
+    // NOTE on (non-)pinning: unlike qPagerank's contribs, ur stays
+    // UN-cached here — measured 4.3s uncached vs 50-140s with a
+    // .cache() on this frame at sf0.1. The L1-normalization broadcast
+    // subqueries (one per half-step, six total) each re-plan the tree;
+    // with an InMemoryRelation leaf those broadcast builds serialize on
+    // the cache's materialization/locks and lose the parquet-derived
+    // size estimates that keep the auth/hub sides broadcast, while the
+    // uncached tree re-reads a columnar scan Spark pipelines freely.
+    // The 3-iteration lineage is shallow enough that re-derivation is
+    // the cheaper trade at every scale (each re-read is one pushed-down
+    // two-column scan + map-side-combined distinct).
     val ur = activityLog(spark, dir)
       .filter(col("resource").isNotNull)
       .select(col("user_id"), col("resource")).distinct()
