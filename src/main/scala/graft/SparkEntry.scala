@@ -170,6 +170,7 @@ object SparkEntry {
     "q_roc_auc" -> (MLOps.qRocAuc _),
     "q_roc_points" -> (MLOps.qRocPoints _),
     "q_pr_points" -> (MLOps.qPrPoints _),
+    "q_pr_auc" -> (MLOps.qPrAuc _),
     "q_model_report" -> (MLOps.qModelReport _),
     "q_iforest_score" -> (MLOps.qIforestScore _),
     "q_silhouette" -> (MLOps.qSilhouette _),
@@ -686,6 +687,32 @@ object SparkEntry {
            round(cum_np * 1.0 / pos, 4) AS recall
          FROM c JOIN t ON c.detector = t.detector
          ORDER BY c.detector, threshold DESC""",
+    // Average precision: AP = sum over descending-threshold tie groups of
+    // (np/pos) * (cum_np/cum_n) — sklearn's step interpolation.
+    "q_pr_auc" ->
+      """WITH e AS (
+           SELECT vec_id,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS truth,
+             round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))), 4) AS l2,
+             round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 4) AS mx
+           FROM embeddings),
+         s AS (
+           SELECT 'l2_norm' AS detector, truth, l2 AS score FROM e
+           UNION ALL
+           SELECT 'max_abs' AS detector, truth, mx AS score FROM e),
+         g AS (
+           SELECT detector, score,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(truth) AS BIGINT) AS np
+           FROM s GROUP BY detector, score),
+         c AS (
+           SELECT detector, score, n, np,
+             sum(n) OVER w AS cum_n, sum(np) OVER w AS cum_np
+           FROM g WINDOW w AS (PARTITION BY detector ORDER BY score DESC)),
+         t AS (SELECT detector, sum(np) AS pos FROM g GROUP BY detector)
+         SELECT c.detector,
+           round(sum(np * 1.0 / pos * (cum_np * 1.0 / cum_n)), 4) AS avg_precision
+         FROM c JOIN t ON c.detector = t.detector
+         GROUP BY c.detector ORDER BY c.detector""",
     "q_eval_metrics" ->
       """WITH e AS (
            SELECT vec_id,

@@ -47,6 +47,14 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Declared rows-only queries, explicitly: a query absent from
+    // oracle_sql.json is rows-only BY DESIGN (fitted-model / sketch /
+    // sampling outputs that ANSI SQL can't reproduce), not a missing
+    // oracle — this manifest makes that declaration machine-readable so
+    // a "no_oracle" marker downstream can't be misread as a failure.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"),
+      rowsOnly.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

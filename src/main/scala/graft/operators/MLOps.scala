@@ -628,6 +628,29 @@ object MLOps {
         col("tpr").as("recall"))
       .orderBy(col("detector"), col("threshold").desc)
 
+  /** Average precision per detector — the PR curve's integral under the
+    * step-interpolation sklearn uses (average_precision_score):
+    * AP = Σ_t ΔR_t · P_t over descending thresholds, where a tie group
+    * contributes ΔR = np/pos and P = tp/(tp+fp). One aggregation over
+    * [[rocPointsOver]]'s tie-group rows — no extra pass, no window.
+    * SQL-expressible → hash-oracled.
+    */
+  def qPrAuc(spark: SparkSession, dir: String): DataFrame = {
+    val pts = rocPointsOver(detectorScores(spark, dir), "detector")
+    // ΔR of a tie group = its positives / all positives; tp is cumulative,
+    // so the group's np is tp − lag(tp). The lag window is PARTITIONED
+    // (per detector, over distinct-score rows) — bounded support.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("detector")).orderBy(col("threshold").desc)
+    val totals = pts.groupBy(col("detector")).agg(max(col("tp")).as("pos"))
+    pts.withColumn("_np", col("tp") - coalesce(lag(col("tp"), 1).over(w), lit(0L)))
+      .join(broadcast(totals), Seq("detector"))
+      .groupBy(col("detector"))
+      .agg(r4(sum(col("_np").cast("double") / col("pos")
+        * (col("tp").cast("double") / (col("tp") + col("fp"))))).as("avg_precision"))
+      .orderBy(col("detector"))
+  }
+
   /** Per-supervised-model ROC curves on the held-out fold — the curves
     * the reference PLOTS for its RF/SVC/XGB tracks
     * (Comparaison_ML.py:551-707 calls roc_curve per model; [[qRocPoints]]

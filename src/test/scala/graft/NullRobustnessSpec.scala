@@ -41,6 +41,7 @@ class NullRobustnessSpec extends SparkSpec {
     "q_after_hours_top" -> (ThreatOps.qAfterHoursTop _),
     "q_activity_entropy" -> (ThreatOps.qActivityEntropy _),
     "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
+    "q_coaccess_capped" -> (ThreatOps.qCoaccessCapped _),
     "q_coaccess_jaccard" -> (ThreatOps.qCoaccessJaccard _),
     "q_burstiness" -> (ThreatOps.qBurstiness _),
     "q_autocorr" -> (ThreatOps.qAutocorr _),

@@ -93,7 +93,7 @@ class PlanAuditSpec extends SparkSpec {
       // withGlobalRank consumers (numParts-row offset window):
       "q_zscore_anomaly", "q_quantile_outlier", "q_eval_metrics",
       "q_recon_error", "q_iforest_score", "q_roc_auc", "q_roc_points",
-      "q_model_report", "q_roc_points_supervised", "q_pr_points",
+      "q_model_report", "q_roc_points_supervised", "q_pr_points", "q_pr_auc",
       "q_pareto_users", "q_rfm", "q_weighted_sample", "q_gini",
       // q_ks_test's ECDF window runs on the distinct-daily-count
       // support frame — tens of rows at any corpus size
