@@ -2037,28 +2037,25 @@ object SparkEntry {
            ON ue.from_type = p.from_type AND ue.to_type = p.to_type
          GROUP BY user_id
          ORDER BY avg_surprisal_bits DESC, user_id LIMIT 50""",
+    // End-only L1 normalization, mirroring the operator: the per-step
+    // rescale is a positive scalar that commutes through the linear
+    // updates, so only the final hub/auth frames are normalized.
     "q_hits" ->
       """WITH ur AS (SELECT DISTINCT user_id AS u,
              json_extract_string(props,'$.k') AS r
            FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL),
-         a0 AS (SELECT r, 1.0 / (SELECT count(DISTINCT r) FROM ur) AS a
-           FROM (SELECT DISTINCT r FROM ur)),
-         h1r AS (SELECT u, sum(a) AS h FROM ur JOIN a0 USING (r) GROUP BY u),
-         h1 AS (SELECT u, h / (SELECT sum(h) FROM h1r) AS h FROM h1r),
-         a1r AS (SELECT r, sum(h) AS a FROM ur JOIN h1 USING (u) GROUP BY r),
-         a1 AS (SELECT r, a / (SELECT sum(a) FROM a1r) AS a FROM a1r),
-         h2r AS (SELECT u, sum(a) AS h FROM ur JOIN a1 USING (r) GROUP BY u),
-         h2 AS (SELECT u, h / (SELECT sum(h) FROM h2r) AS h FROM h2r),
-         a2r AS (SELECT r, sum(h) AS a FROM ur JOIN h2 USING (u) GROUP BY r),
-         a2 AS (SELECT r, a / (SELECT sum(a) FROM a2r) AS a FROM a2r),
-         h3r AS (SELECT u, sum(a) AS h FROM ur JOIN a2 USING (r) GROUP BY u),
-         h3 AS (SELECT u, h / (SELECT sum(h) FROM h3r) AS h FROM h3r),
-         a3r AS (SELECT r, sum(h) AS a FROM ur JOIN h3 USING (u) GROUP BY r),
-         a3 AS (SELECT r, a / (SELECT sum(a) FROM a3r) AS a FROM a3r)
+         a0 AS (SELECT DISTINCT r, 1.0 AS a FROM ur),
+         h1 AS (SELECT u, sum(a) AS h FROM ur JOIN a0 USING (r) GROUP BY u),
+         a1 AS (SELECT r, sum(h) AS a FROM ur JOIN h1 USING (u) GROUP BY r),
+         h2 AS (SELECT u, sum(a) AS h FROM ur JOIN a1 USING (r) GROUP BY u),
+         a2 AS (SELECT r, sum(h) AS a FROM ur JOIN h2 USING (u) GROUP BY r),
+         h3 AS (SELECT u, sum(a) AS h FROM ur JOIN a2 USING (r) GROUP BY u),
+         a3 AS (SELECT r, sum(h) AS a FROM ur JOIN h3 USING (u) GROUP BY r)
          SELECT 'u' || u::VARCHAR AS node, 'hub' AS kind,
-           round(h * 1000, 4) AS score_x1000 FROM h3
+           round(h / (SELECT sum(h) FROM h3) * 1000, 4) AS score_x1000 FROM h3
          UNION ALL
-         SELECT 'r' || r, 'authority', round(a * 1000, 4) FROM a3
+         SELECT 'r' || r, 'authority',
+           round(a / (SELECT sum(a) FROM a3) * 1000, 4) FROM a3
          ORDER BY node""",
     "q_seasonal_decompose" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n

@@ -1052,15 +1052,23 @@ object ThreatOps {
       df.crossJoin(broadcast(tot))
         .select(col(df.columns.head), (col(score) / col("_t")).as(score))
     }
-    val nR = ur.select(col("resource")).distinct()
-    var auth = l1(nR.withColumn("a", lit(1.0)), "a")
+    // END-ONLY normalization: HITS' per-half-step L1 rescale divides by a
+    // positive scalar that commutes through the linear updates (all
+    // scores positive), so normalizing hub/auth ONCE after the last
+    // iteration yields identical values in exact arithmetic — and drops
+    // six broadcast-subquery total-aggregations (measured 4.5s → ~2s at
+    // sf0.1). Unnormalized magnitudes stay ≤ deg^(2k) ≪ double range for
+    // any feasible degree; the oracle applies the same end-only rescale.
+    var auth = ur.select(col("resource")).distinct().withColumn("a", lit(1.0))
     var hub: DataFrame = null
     for (_ <- 1 to 3) {
-      hub = l1(ur.join(auth, Seq("resource"))
-        .groupBy(col("user_id")).agg(sum(col("a")).as("h")), "h")
-      auth = l1(ur.join(hub, Seq("user_id"))
-        .groupBy(col("resource")).agg(sum(col("h")).as("a")), "a")
+      hub = ur.join(auth, Seq("resource"))
+        .groupBy(col("user_id")).agg(sum(col("a")).as("h"))
+      auth = ur.join(hub, Seq("user_id"))
+        .groupBy(col("resource")).agg(sum(col("h")).as("a"))
     }
+    hub = l1(hub, "h")
+    auth = l1(auth, "a")
     hub.select(concat(lit("u"), col("user_id").cast("string")).as("node"),
         lit("hub").as("kind"), r4(col("h") * 1000).as("score_x1000"))
       .unionByName(auth.select(concat(lit("r"), col("resource")).as("node"),
