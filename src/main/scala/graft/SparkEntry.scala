@@ -25,6 +25,7 @@ object SparkEntry {
     "q_resource_entropy" -> (ThreatOps.qResourceEntropy _),
     "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
     "q_coaccess_capped" -> (ThreatOps.qCoaccessCapped _),
+    "q_coaccess_components" -> (ThreatOps.qCoaccessComponents _),
     "q_funnel" -> (ThreatOps.qFunnel _),
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
@@ -509,6 +510,30 @@ object SparkEntry {
          WHERE a.res IN (SELECT res FROM keep)
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY shared_resources DESC, user_a, user_b LIMIT 100""",
+    // Transitive closure over the capped pair graph; component id = min
+    // reachable user id, singletons = users with no qualifying edge.
+    "q_coaccess_components" ->
+      """WITH RECURSIVE ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT ua AS a, ub AS b FROM pr UNION ALL SELECT ub, ua FROM pr),
+         reach(s, d) AS (
+           SELECT DISTINCT a AS s, a AS d FROM e
+           UNION
+           SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+         comp AS (SELECT s AS uid, min(d) AS cid FROM reach GROUP BY s),
+         users AS (SELECT DISTINCT user_id FROM events),
+         c AS (SELECT u.user_id, COALESCE(comp.cid, u.user_id) AS component_id
+           FROM users u LEFT JOIN comp ON u.user_id = comp.uid),
+         sz AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+           FROM c GROUP BY 1)
+         SELECT c.user_id, c.component_id, sz.component_size
+         FROM c JOIN sz USING (component_id) ORDER BY c.user_id""",
     "q_hourly_heatmap" -> {
       val cols = (0 until 24).map(h =>
         f"CAST(sum(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS h_$h%02d")

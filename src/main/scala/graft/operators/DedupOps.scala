@@ -258,32 +258,7 @@ object DedupOps {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint()
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
-    val MaxRounds = 100 // safety valve ≫ any real near-dup component diameter
-    var prevSum = Long.MaxValue
-    var curSum = lblSum(labels)
-    var rounds = 0
-    while (curSum < prevSum && rounds < MaxRounds) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      labels = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      prevSum = curSum
-      curSum = lblSum(labels)
-      rounds += 1
-    }
-    // Never exit un-converged: labels past the cap would carry non-minimal
-    // cluster ids (two "survivors" in one component), and Memo would serve
-    // the wrong labels for the rest of the session.
-    if (curSum < prevSum)
-      throw new IllegalStateException(s"qDedupClusters: label propagation " +
-        s"hit $MaxRounds rounds before convergence — component diameter " +
-        s"exceeds the cap; raise MaxRounds or check the edge set")
-    labels
+    GraphOps.minLabelPropagation(edges)
   }
 
   /** Edit-distance verification of the SimHash candidate pairs: exact

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via Pregel-style min-label
+  * propagation — the shared kernel behind the near-dup cluster query
+  * ([[DedupOps.qDedupClusters]]) and the co-access ring query
+  * ([[ThreatOps.qCoaccessComponents]]).
+  *
+  * Each round is one edge-keyed join + node-keyed min aggregate; labels
+  * are localCheckpointed so lineage stays flat across rounds, and
+  * convergence is detected by the monotonically decreasing label sum —
+  * ONE scalar to the driver per round, never the data. Rounds needed =
+  * component diameter (graph-dependent, small for the dense components
+  * both consumers see); the safety valve guards against a pathological
+  * path graph rather than bounding real workloads.
+  */
+object GraphOps {
+
+  /** Min-label propagation over an UNDIRECTED edge list given as a
+    * `(src, dst)` frame already symmetrized by the caller (both
+    * directions present). Returns `(id, lbl)` for every node appearing
+    * in an edge, with `lbl` converged to the component minimum. The
+    * caller should localCheckpoint `edges` first if its lineage is
+    * expensive — every round re-reads it.
+    */
+  def minLabelPropagation(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
+    var prevSum = Long.MaxValue
+    var curSum = lblSum(labels)
+    var rounds = 0
+    while (curSum < prevSum && rounds < maxRounds) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      labels = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = lblSum(labels)
+      rounds += 1
+    }
+    // Never exit un-converged: labels past the cap would carry
+    // non-minimal component ids (two "survivors" in one component), and
+    // a Memo would serve the wrong labels for the rest of the session.
+    if (curSum < prevSum)
+      throw new IllegalStateException("minLabelPropagation: hit " +
+        s"$maxRounds rounds before convergence — component diameter " +
+        "exceeds the cap; raise maxRounds or check the edge set")
+    labels
+  }
+}

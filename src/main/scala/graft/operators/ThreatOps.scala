@@ -232,6 +232,38 @@ object ThreatOps {
   def qCoaccessCapped(spark: SparkSession, dir: String): DataFrame =
     coaccessPairs(spark, dir, maxDegree = CoaccessMaxDegree)
 
+  /** Insider-ring detection: connected components of the capped
+    * co-access graph (nodes = users, edges = pairs sharing ≥2 resources
+    * from [[coaccessPairFrame]] under [[CoaccessMaxDegree]]). The graph
+    * intuition the reference's Neo4j model sells — "who operates in the
+    * same resource neighborhood" — without a graph store:
+    * [[GraphOps.minLabelPropagation]] converges in diameter rounds, one
+    * edge join + min-agg each. Users with no qualifying co-access edge
+    * are singleton components of themselves. Emits component sizes (the
+    * ring-size signal an analyst triages by) alongside the membership;
+    * size attaches via a component-keyed join (components can approach
+    * |users|, so never a broadcast). Deterministic (component id = min
+    * user id) → hash-oracled against a recursive-CTE transitive closure.
+    */
+  def qCoaccessComponents(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.Memo("coaccessCompLabels", spark, dir) {
+      val pairs = coaccessPairFrame(spark, dir, CoaccessMaxDegree)
+      val edges = pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
+        .union(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
+        .localCheckpoint()
+      GraphOps.minLabelPropagation(edges)
+    }
+    val users = graft.Tables.cleanEvents(spark, dir).select(col("user_id")).distinct()
+    val comp = users.join(labels, col("user_id") === col("id"), "left")
+      .select(col("user_id"),
+        coalesce(col("lbl"), col("user_id")).as("component_id"))
+    val sizes = comp.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, Seq("component_id"))
+      .select(col("user_id"), col("component_id"), col("component_size"))
+      .orderBy(col("user_id"))
+  }
+
   /** [[qCoaccessPairs]] with an explicit hot-resource degree cap: a
     * resource touched by more than `maxDegree` users contributes
     * C(deg,2) pairs — one planet-hot key (a login portal every employee

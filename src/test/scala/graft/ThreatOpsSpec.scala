@@ -260,6 +260,28 @@ class ThreatOpsSpec extends SparkSpec {
     assert(inflated.count() === 0)
   }
 
+  test("qCoaccessComponents: edges stay within components, ids are minima, sizes reconcile") {
+    val comp = ThreatOps.qCoaccessComponents(spark, sf).cache()
+    // one row per clean user
+    assert(comp.count() ===
+      Tables.cleanEvents(spark, sf).select("user_id").distinct().count())
+    // every co-access edge's endpoints share a component
+    val pairs = ThreatOps.qCoaccessCapped(spark, sf)
+      .select(col("user_a"), col("user_b"))
+    val a = comp.select(col("user_id").as("user_a"), col("component_id").as("ca"))
+    val b = comp.select(col("user_id").as("user_b"), col("component_id").as("cb"))
+    assert(pairs.join(a, "user_a").join(b, "user_b")
+      .filter(col("ca") =!= col("cb")).count() === 0,
+      "a co-access edge crossed two components")
+    // component id is the member minimum, and sizes reconcile with members
+    val agg = comp.groupBy(col("component_id"))
+      .agg(min(col("user_id")).as("min_uid"), count(lit(1)).as("n"),
+        first(col("component_size")).as("sz"))
+    assert(agg.filter(col("component_id") =!= col("min_uid")).count() === 0)
+    assert(agg.filter(col("n") =!= col("sz")).count() === 0)
+    comp.unpersist()
+  }
+
   test("qCusumDrift: one row per active user, peak is a true window maximum") {
     val df = ThreatOps.qCusumDrift(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
