@@ -26,6 +26,7 @@ object SparkEntry {
     "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
     "q_coaccess_capped" -> (ThreatOps.qCoaccessCapped _),
     "q_coaccess_components" -> (ThreatOps.qCoaccessComponents _),
+    "q_peer_anomaly" -> (ThreatOps.qPeerAnomaly _),
     "q_funnel" -> (ThreatOps.qFunnel _),
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
@@ -534,6 +535,61 @@ object SparkEntry {
            FROM c GROUP BY 1)
          SELECT c.user_id, c.component_id, sz.component_size
          FROM c JOIN sz USING (component_id) ORDER BY c.user_id""",
+    // Peer z-scores from exact-DECIMAL sufficient statistics per
+    // component (population variance); mirrors the Mahalanobis oracle's
+    // integer-exact accumulation so r4 is boundary-safe.
+    "q_peer_anomaly" ->
+      s"""WITH RECURSIVE uf AS ($userFeaturesSql),
+         ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT ua AS a, ub AS b FROM pr UNION ALL SELECT ub, ua FROM pr),
+         reach(s, d) AS (
+           SELECT DISTINCT a AS s, a AS d FROM e
+           UNION
+           SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+         comp AS (SELECT s AS uid, min(d) AS cid FROM reach GROUP BY s),
+         users AS (SELECT DISTINCT user_id FROM events),
+         c AS (SELECT u.user_id, COALESCE(comp.cid, u.user_id) AS component_id
+           FROM users u LEFT JOIN comp ON u.user_id = comp.uid),
+         x AS (SELECT c.user_id, c.component_id,
+             CAST(uf.total_activities AS DECIMAL(18,0)) AS ta,
+             CAST(uf.unique_resources AS DECIMAL(18,0)) AS uq,
+             CAST(round(uf.after_hours_ratio * 10000) AS DECIMAL(18,0)) AS ahr4
+           FROM c JOIN uf USING (user_id)),
+         st AS (SELECT component_id, count(*) AS n,
+             sum(ta) AS s_ta, sum(ta*ta) AS ss_ta,
+             sum(uq) AS s_uq, sum(uq*uq) AS ss_uq,
+             sum(ahr4) AS s_ah, sum(ahr4*ahr4) AS ss_ah
+           FROM x GROUP BY 1)
+         SELECT x.user_id, x.component_id, CAST(st.n AS BIGINT) AS peer_n,
+           round(greatest(
+             CASE WHEN (ss_ta::DOUBLE - s_ta::DOUBLE*s_ta::DOUBLE/n::DOUBLE)/n::DOUBLE > 0
+               THEN abs(ta::DOUBLE - s_ta::DOUBLE/n::DOUBLE)
+                 / sqrt((ss_ta::DOUBLE - s_ta::DOUBLE*s_ta::DOUBLE/n::DOUBLE)/n::DOUBLE) ELSE 0 END,
+             CASE WHEN (ss_uq::DOUBLE - s_uq::DOUBLE*s_uq::DOUBLE/n::DOUBLE)/n::DOUBLE > 0
+               THEN abs(uq::DOUBLE - s_uq::DOUBLE/n::DOUBLE)
+                 / sqrt((ss_uq::DOUBLE - s_uq::DOUBLE*s_uq::DOUBLE/n::DOUBLE)/n::DOUBLE) ELSE 0 END,
+             CASE WHEN (ss_ah::DOUBLE - s_ah::DOUBLE*s_ah::DOUBLE/n::DOUBLE)/n::DOUBLE > 0
+               THEN abs(ahr4::DOUBLE - s_ah::DOUBLE/n::DOUBLE)
+                 / sqrt((ss_ah::DOUBLE - s_ah::DOUBLE*s_ah::DOUBLE/n::DOUBLE)/n::DOUBLE) ELSE 0 END), 4) AS peer_z,
+           CAST(CASE WHEN round(greatest(
+             CASE WHEN (ss_ta::DOUBLE - s_ta::DOUBLE*s_ta::DOUBLE/n::DOUBLE)/n::DOUBLE > 0
+               THEN abs(ta::DOUBLE - s_ta::DOUBLE/n::DOUBLE)
+                 / sqrt((ss_ta::DOUBLE - s_ta::DOUBLE*s_ta::DOUBLE/n::DOUBLE)/n::DOUBLE) ELSE 0 END,
+             CASE WHEN (ss_uq::DOUBLE - s_uq::DOUBLE*s_uq::DOUBLE/n::DOUBLE)/n::DOUBLE > 0
+               THEN abs(uq::DOUBLE - s_uq::DOUBLE/n::DOUBLE)
+                 / sqrt((ss_uq::DOUBLE - s_uq::DOUBLE*s_uq::DOUBLE/n::DOUBLE)/n::DOUBLE) ELSE 0 END,
+             CASE WHEN (ss_ah::DOUBLE - s_ah::DOUBLE*s_ah::DOUBLE/n::DOUBLE)/n::DOUBLE > 0
+               THEN abs(ahr4::DOUBLE - s_ah::DOUBLE/n::DOUBLE)
+                 / sqrt((ss_ah::DOUBLE - s_ah::DOUBLE*s_ah::DOUBLE/n::DOUBLE)/n::DOUBLE) ELSE 0 END), 4) > 3.0
+             THEN 1 ELSE 0 END AS BIGINT) AS is_peer_outlier
+         FROM x JOIN st USING (component_id) ORDER BY x.user_id""",
     "q_hourly_heatmap" -> {
       val cols = (0 until 24).map(h =>
         f"CAST(sum(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS h_$h%02d")

@@ -264,6 +264,46 @@ object ThreatOps {
       .orderBy(col("user_id"))
   }
 
+  /** Peer-group anomaly: score each user against their OWN co-access
+    * component ("acts unlike their team"), not the global population —
+    * the peer-baseline refinement of [[graft.operators.MLOps.qZscoreAnomaly]]
+    * an insider-threat analyst reaches for next (a sysadmin's 2am logins
+    * are normal among sysadmins, anomalous globally). Per component:
+    * exact-DECIMAL sufficient statistics (Σ, Σ²) for three features
+    * (total activities, unique resources, after-hours ratio ×10⁴ as an
+    * integer), then per-user z = |x−μ|/σ (population σ, zero-variance and
+    * singleton components contribute 0), peer_z = max over features,
+    * outlier gate at 3σ. Stats attach via a component-keyed join (never
+    * broadcast: |components| can approach |users|); all cross-row
+    * accumulation is integer-exact, so r4 is boundary-safe cross-engine.
+    */
+  def qPeerAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val comp = qCoaccessComponents(spark, dir)
+      .select(col("user_id"), col("component_id"))
+    val x = qUserFeatures(spark, dir)
+      .select(col("user_id"), col("total_activities"), col("unique_resources"),
+        col("after_hours_ratio"))
+      .withColumn("ahr4",
+        round(col("after_hours_ratio") * 10000).cast("decimal(18,0)"))
+      .join(comp, "user_id")
+    def dd(name: String): Column = col(name).cast("decimal(18,0)")
+    val feats = Seq("total_activities", "unique_resources", "ahr4")
+    val aggs = count(lit(1)).as("n") +: feats.flatMap(f => Seq(
+      sum(dd(f)).as(s"s_$f"), sum(dd(f) * dd(f)).as(s"ss_$f")))
+    val st = x.groupBy(col("component_id")).agg(aggs.head, aggs.tail: _*)
+    def d(c: Column): Column = c.cast("double")
+    val zs = feats.map { f =>
+      val m = d(col(s"s_$f")) / d(col("n"))
+      val v = (d(col(s"ss_$f")) - d(col(s"s_$f")) * d(col(s"s_$f")) / d(col("n"))) / d(col("n"))
+      when(v > 0, abs(d(col(f)) - m) / sqrt(v)).otherwise(lit(0.0))
+    }
+    x.join(st, Seq("component_id"))
+      .select(col("user_id"), col("component_id"), col("n").as("peer_n"),
+        r4(greatest(zs: _*)).as("peer_z"))
+      .withColumn("is_peer_outlier", when(col("peer_z") > 3.0, 1L).otherwise(0L))
+      .orderBy(col("user_id"))
+  }
+
   /** [[qCoaccessPairs]] with an explicit hot-resource degree cap: a
     * resource touched by more than `maxDegree` users contributes
     * C(deg,2) pairs — one planet-hot key (a login portal every employee

@@ -282,6 +282,18 @@ class ThreatOpsSpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("qPeerAnomaly: z nonnegative, singleton components score zero, gate matches") {
+    val p = ThreatOps.qPeerAnomaly(spark, sf).cache()
+    assert(p.count() ===
+      Tables.cleanEvents(spark, sf).select("user_id").distinct().count())
+    assert(p.filter(col("peer_z") < 0).count() === 0)
+    assert(p.filter(col("peer_n") === 1 && col("peer_z") =!= 0.0).count() === 0,
+      "a singleton component produced a nonzero peer z-score")
+    assert(p.filter((col("peer_z") > 3.0) =!= (col("is_peer_outlier") === 1L))
+      .count() === 0)
+    p.unpersist()
+  }
+
   test("qCusumDrift: one row per active user, peak is a true window maximum") {
     val df = ThreatOps.qCusumDrift(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
