@@ -42,6 +42,8 @@ class NullRobustnessSpec extends SparkSpec {
     "q_activity_entropy" -> (ThreatOps.qActivityEntropy _),
     "q_coaccess_pairs" -> (ThreatOps.qCoaccessPairs _),
     "q_coaccess_capped" -> (ThreatOps.qCoaccessCapped _),
+    "q_coaccess_components" -> (ThreatOps.qCoaccessComponents _),
+    "q_peer_anomaly" -> (ThreatOps.qPeerAnomaly _),
     "q_coaccess_jaccard" -> (ThreatOps.qCoaccessJaccard _),
     "q_burstiness" -> (ThreatOps.qBurstiness _),
     "q_autocorr" -> (ThreatOps.qAutocorr _),
