@@ -581,8 +581,18 @@ object MLOps {
     * the detector's start offset (a broadcast |detectors|-row frame) —
     * no unpartitioned window, no per-row sort, any corpus size.
     */
+  /** The deterministic-detector curve frame, Memo-pinned: three queries
+    * consume it (the curve itself, its PR projection, and the AP
+    * integral) — one rank pass serves all three, |distinct scores| rows.
+    */
+  private def detectorRocPoints(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("detectorRocPoints", spark, dir) {
+      rocPointsOver(detectorScores(spark, dir), "detector")
+    }
+
   def qRocPoints(spark: SparkSession, dir: String): DataFrame =
-    rocPointsOver(detectorScores(spark, dir), "detector")
+    detectorRocPoints(spark, dir)
+      .orderBy(col("detector"), col("threshold").desc)
 
   /** The curve machinery of [[qRocPoints]] over ANY stacked
     * `(grp, truth, score)` frame — shared by the deterministic-detector
@@ -622,7 +632,7 @@ object MLOps {
     * each threshold, recall ≡ tpr. SQL-expressible → hash-oracled.
     */
   def qPrPoints(spark: SparkSession, dir: String): DataFrame =
-    rocPointsOver(detectorScores(spark, dir), "detector")
+    detectorRocPoints(spark, dir)
       .select(col("detector"), col("threshold"), col("tp"), col("fp"),
         r4(col("tp") / (col("tp") + col("fp"))).as("precision"),
         col("tpr").as("recall"))
@@ -636,7 +646,7 @@ object MLOps {
     * SQL-expressible → hash-oracled.
     */
   def qPrAuc(spark: SparkSession, dir: String): DataFrame = {
-    val pts = rocPointsOver(detectorScores(spark, dir), "detector")
+    val pts = detectorRocPoints(spark, dir)
     // ΔR of a tie group = its positives / all positives; tp is cumulative,
     // so the group's np is tp − lag(tp). The lag window is PARTITIONED
     // (per detector, over distinct-score rows) — bounded support.
