@@ -82,10 +82,13 @@ object Memo {
   }
 
   /** Full reset: unpersist and forget everything (e.g. between test
-    * suites or at session teardown). */
+    * suites or at session teardown). Also releases RankOps' pinned rank
+    * inputs — they aren't dir-keyed (RankOps sees only a frame), so the
+    * session-wide reset is their deterministic unpersist point. */
   def clear(): Unit = {
     store.values().forEach(df =>
       try df.unpersist() catch { case _: Throwable => () })
     store.clear()
+    operators.RankOps.releasePins()
   }
 }

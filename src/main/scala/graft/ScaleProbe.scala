@@ -42,12 +42,16 @@ object ScaleProbe {
     // oracle variant: its slope must stay ≤ factor while uncapped grows
     // quadratically in amplified degree — that contrast IS the point
     "q_coaccess_capped",
-    "q_event_transitions", "q_embed_quantize")
+    "q_event_transitions", "q_embed_quantize",
+    // graph-kernel family (components + peer stats) and HITS
+    "q_coaccess_components", "q_peer_anomaly", "q_hits")
 
-  // ×10⁸: >> any base key (all < 2×10⁵ at sf0.1), divisible by 5 and 2
-  // (preserves vec_id%5 fold splits), and factor·stride stays inside the
-  // [0, 2³¹) range qCoaccessPairs' packed-long pair key requires.
-  private val Stride = 100000000L
+  // ×10⁷: >> any base key (all < 2×10⁵ at sf0.1, 50× margin), divisible
+  // by 5 and 2 (preserves vec_id%5 fold splits), and factor·stride stays
+  // inside the [0, 2³¹) range qCoaccessPairs' packed-long pair key
+  // requires for every factor up to 214 (the prior 10⁸ capped factor at
+  // 21, too small for the ×30 tail probe).
+  private val Stride = 10000000L
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

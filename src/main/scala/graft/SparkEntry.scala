@@ -169,6 +169,7 @@ object SparkEntry {
     "q_supervised_svc" -> (MLOps.qSupervisedSvc _),
     "q_recon_error" -> (MLOps.qReconError _),
     "q_density_outlier" -> (MLOps.qDensityOutlier _),
+    "q_dbscan_clusters" -> (MLOps.qDbscanClusters _),
     "q_roc_auc" -> (MLOps.qRocAuc _),
     "q_roc_points" -> (MLOps.qRocPoints _),
     "q_pr_points" -> (MLOps.qPrPoints _),

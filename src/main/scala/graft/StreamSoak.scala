@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStream}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming scale-posture soak: pushes a synthetic event load through
+  * the two `transformWithState` stateful operators whose 100 TB claim
+  * is "state stays bounded no matter how many events flow" — the
+  * sessionizer (state ~ |concurrently-active users|, timers close quiet
+  * users) and the sharded Space-Saving heavy hitters (state =
+  * shards × capacity FOREVER, at any key cardinality) — and records
+  * measured rows/s plus the state-store metrics Spark reports per
+  * micro-batch (`StateOperatorProgress.numRowsTotal` / RocksDB custom
+  * metrics). The §G specs pin the operators' SEMANTICS; this harness
+  * supplies the missing throughput/state-size datapoint.
+  *
+  * The load shape is adversarial for state: event time advances 15 min
+  * per batch (watermark keeps moving, timers keep firing), the active
+  * user window SLIDES (sessions continuously open AND close — a static
+  * user set would never exercise eviction), and heavy-hitter keys mix
+  * a hot head with a hash-spread tail over far more distinct resources
+  * than the sketch capacity (exact-top-k state would grow with
+  * cardinality; the sketch must not).
+  *
+  * Usage: runMain graft.StreamSoak [nEvents] [outPath]
+  */
+object StreamSoak {
+
+  final case class OpSoak(rows: Long, wallSec: Double, rowsPerSec: Double,
+      peakStateRows: Long, finalStateRows: Long, batches: Int,
+      peakStateBytes: Long)
+
+  /** Event time base for batch `b`: batches are 15 min apart starting
+    * one day past the epoch (clear of the initial watermark), events
+    * spread across the first 15 min inside the batch.
+    */
+  private def eventMs(b: Int, i: Int): Long =
+    (1440L + b * 15) * 60000L + (i % 900) * 1000L
+
+  /** Runs `addBatch` + processAllAvailable `nBatches` times against an
+    * already-started query and distills throughput + state metrics from
+    * its progress reports.
+    */
+  private def drive(q: StreamingQuery, nBatches: Int, batchSize: Int)(
+      addBatch: Int => Unit): OpSoak =
+    try {
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches) {
+        addBatch(b)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progresses = q.recentProgress.toSeq
+      val stateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val stateBytes = progresses.flatMap(_.stateOperators.map { so =>
+        // RocksDB reports usage via custom metrics; memoryUsedBytes is
+        // the HDFS-store field and stays ~0 there
+        val custom = Option(so.customMetrics)
+          .map(m => Seq("rocksdbTotalMemoryUsage", "rocksdbSstFileSize")
+            .map(k => Option(m.get(k)).map(_.longValue()).getOrElse(0L)).max)
+          .getOrElse(0L)
+        math.max(so.memoryUsedBytes, custom)
+      })
+      val rows = nBatches.toLong * batchSize
+      OpSoak(rows, wall, rows / wall,
+        if (stateRows.isEmpty) 0L else stateRows.max,
+        if (stateRows.isEmpty) 0L else stateRows.last,
+        nBatches, if (stateBytes.isEmpty) 0L else stateBytes.max)
+    } finally q.stop()
+
+  /** Sessionizer soak on `transformWithState` (ValueState + event-time
+    * timers on RocksDB). The sliding active-user window means total
+    * distinct users grows with the soak length while concurrently-open
+    * sessions stay ~`nUsers` — the boundedness claim under test is
+    * peak state rows ~ active window, NOT total users or events.
+    */
+  def soakSessionizer(spark: SparkSession, nBatches: Int, batchSize: Int,
+      nUsers: Int): OpSoak = {
+    import spark.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sessionizeTws(mem.toDS())
+      .writeStream.format("memory").queryName("soak_sess")
+      .outputMode("append").start()
+    drive(q, nBatches, batchSize) { b =>
+      mem.addData((0 until batchSize).map { i =>
+        // window front advances nUsers/8 per batch; the tail goes quiet
+        val user = b.toLong * nUsers / 8 + i % nUsers
+        Event((b.toLong * batchSize + i), new Timestamp(eventMs(b, i)),
+          user, "access", 1.0)
+      })
+    }
+  }
+
+  /** Heavy-hitters soak: state rows must equal the SHARD count (one
+    * ValueState summary per shard) regardless of event count or
+    * distinct-key cardinality — ~30% of traffic on 5 hot keys, the
+    * rest hash-spread over ~4096 tail keys (64× the default capacity).
+    */
+  def soakHeavyHitters(spark: SparkSession, nBatches: Int, batchSize: Int,
+      shards: Int = 8): OpSoak = {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val df = mem.toDF().toDF("event_id", "ts", "props")
+    val q = EventStream.topResourcesStream(df, shards = shards)
+      .writeStream.format("memory").queryName("soak_hh")
+      .outputMode("append").start()
+    drive(q, nBatches, batchSize) { b =>
+      mem.addData((0 until batchSize).map { i =>
+        val r =
+          if (i % 10 < 3) (i % 5).toLong
+          else (math.pow(i.toDouble % 9973 + 1, 1.7) % 4096).toLong + 100
+        ((b.toLong * batchSize + i), new Timestamp(eventMs(b, i)),
+          s"""{"k":"res$r"}""")
+      })
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.length > 0) args(0).toInt else 1000000
+    val outPath = if (args.length > 1) args(1) else "STREAM_SOAK.json"
+    val nBatches = 50
+    val batchSize = nEvents / nBatches
+    val nUsers = 5000
+    val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sess = soakSessionizer(spark, nBatches, batchSize, nUsers)
+    val hh = soakHeavyHitters(spark, nBatches, batchSize)
+    def j(o: OpSoak): String =
+      f"""{"rows":${o.rows},"wall_sec":${o.wallSec}%.3f,""" +
+        f""""rows_per_sec":${o.rowsPerSec}%.0f,"batches":${o.batches},""" +
+        s""""peak_state_rows":${o.peakStateRows},""" +
+        s""""final_state_rows":${o.finalStateRows},""" +
+        s""""peak_state_bytes":${o.peakStateBytes}}"""
+    val out = s"""{"metric":"stream_soak","n_events":${sess.rows},""" +
+      s""""n_users_active":$nUsers,"store":"rocksdb",""" +
+      s""""sessionizer_tws":${j(sess)},"heavy_hitters_tws":${j(hh)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      out.getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}

@@ -47,6 +47,16 @@ object MLOps {
   /** Expected anomaly fraction (ref Comparaison_ML.py contamination=0.1). */
   val Contamination = 0.1
 
+  /** Euclidean distance from a row's standardized vector to a fitted
+    * centroid, shared by the KMeans detector and the silhouette proxy.
+    * A udf is unavoidable here (and acceptable off the hot path): `sfv`
+    * is MLlib's VectorUDT, which no built-in Catalyst expression can
+    * open — `Vectors.sqdist` over the UDT is the supported access path,
+    * and the frame is the |users|-row feature matrix, not the log.
+    */
+  private def centroidDist(centers: Array[Vector]) =
+    udf((v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))))
+
   /** The feature matrix every detector consumes. Memo.cached returns the
     * SAME pinned DataFrame per (session, dir), so the z-score/quantile/
     * KMeans branches (and the ensemble that runs all three) resolve to ONE
@@ -197,8 +207,7 @@ object MLOps {
     val pred = model.transform(sf)
     val sizes = pred.groupBy("cluster").count().collect()
     val anomalous = sizes.minBy(r => (r.getLong(1), r.getInt(0))).getInt(0)
-    val centers = model.clusterCenters
-    val dist = udf((v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))))
+    val dist = centroidDist(model.clusterCenters)
     pred.select(col("user_id"), col("cluster").cast("long").as("cluster"),
         r4(dist(col("sfv"), col("cluster"))).as("dist_to_centroid"),
         when(col("cluster") === anomalous, 1L).otherwise(0L).as("is_anomaly"))
@@ -312,28 +321,99 @@ object MLOps {
     val eps = 0.5
     val minPts = 4
     val pts = qPcaProject(spark, dir)
-      .select(col("user_id"), col("pc1"), col("pc2"),
-        floor(col("pc1") / eps).as("cx"), floor(col("pc2") / eps).as("cy"))
-    // each point is joined against the 9 cells around its own: emit the
-    // point under its own cell key, and probe with all 9 neighbor keys
-    val probes = pts.select(col("user_id").as("uid_p"), col("pc1").as("x_p"),
+      .select(col("user_id"), col("pc1"), col("pc2"))
+    val neighbors = epsPairs(pts, eps)
+      .groupBy(col("a").as("user_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    pts.join(neighbors, Seq("user_id"), "left")
+      .na.fill(0, Seq("n_neighbors"))
+      .withColumn("is_noise", when(col("n_neighbors") < minPts, 1L).otherwise(0L))
+      .orderBy(col("user_id"))
+  }
+
+  /** All directed eps-neighbor pairs `(a, b)` (a ≠ b, both directions
+    * present) over a `(user_id, pc1, pc2)` frame, via the 3×3 grid-cell
+    * self-join: quantize into eps-sized cells, emit each point under its
+    * own cell key, probe with the 9 surrounding keys, verify by exact
+    * distance — the candidate set is cell-local, never all-pairs.
+    * Shared by the eps-ball noise screen and the DBSCAN cluster builder.
+    */
+  private def epsPairs(pts: DataFrame, eps: Double): DataFrame = {
+    val cells = pts.select(col("user_id"), col("pc1"), col("pc2"),
+      floor(col("pc1") / eps).as("cx"), floor(col("pc2") / eps).as("cy"))
+    val probes = cells.select(col("user_id").as("uid_p"), col("pc1").as("x_p"),
         col("pc2").as("y_p"),
         explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
           struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*)).as("cell"))
       .select(col("uid_p"), col("x_p"), col("y_p"),
         col("cell.cx").as("cx"), col("cell.cy").as("cy"))
-    val neighbors = probes.join(pts, Seq("cx", "cy"))
+    probes.join(cells, Seq("cx", "cy"))
       .filter(col("user_id") =!= col("uid_p"))
       .filter(pow(col("pc1") - col("x_p"), 2) + pow(col("pc2") - col("y_p"), 2)
         <= eps * eps)
-      .groupBy(col("uid_p").as("user_id"))
-      .agg(count(lit(1)).as("n_neighbors"))
-    pts.select(col("user_id"), col("pc1"), col("pc2"))
-      .join(neighbors, Seq("user_id"), "left")
-      .na.fill(0, Seq("n_neighbors"))
-      .withColumn("is_noise", when(col("n_neighbors") < minPts, 1L).otherwise(0L))
-      .orderBy(col("user_id"))
+      .select(col("uid_p").as("a"), col("user_id").as("b"))
   }
+
+  /** Full DBSCAN cluster ASSIGNMENT (not just the noise flag) over the
+    * PCA-2 projection — closes the gap between [[qDensityOutlier]]'s
+    * eps-ball screen and the reference's `DBSCAN(...).fit_predict`
+    * (Comparaison_ML.py:172-196), which labels every point with a
+    * cluster id (−1 = noise). Classic DBSCAN is sequential region
+    * growing; its output is equivalently: core points (≥ minPts
+    * eps-neighbors) clustered by connected components of the core-core
+    * eps-graph, border points (non-core with a core eps-neighbor)
+    * adopting a neighboring core's cluster, the rest noise. Components
+    * come from the shared Pregel kernel
+    * ([[GraphOps.minLabelPropagation]] — one edge join + min-agg per
+    * round); cluster id = min user_id in the component, border
+    * adoption = min over core-neighbor labels, so the assignment is
+    * deterministic where sklearn's is visit-order-dependent (the
+    * CLUSTERING is identical; only which of two adjacent clusters
+    * claims a shared border point can differ, a documented DBSCAN
+    * ambiguity). Never all-pairs: candidate edges are grid-cell-local.
+    */
+  private[graft] def dbscanClusters(pts: DataFrame, eps: Double,
+      minPts: Int): DataFrame = {
+    val pairs = epsPairs(pts, eps).localCheckpoint()
+    val counts = pairs.groupBy(col("a").as("user_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val withN = pts.join(counts, Seq("user_id"), "left")
+      .na.fill(0, Seq("n_neighbors"))
+    val coreIds = withN.filter(col("n_neighbors") >= minPts).select(col("user_id"))
+    val coreEdges = pairs
+      .join(coreIds.withColumnRenamed("user_id", "a"), Seq("a"))
+      .join(coreIds.withColumnRenamed("user_id", "b"), Seq("b"))
+      .select(col("a").as("src"), col("b").as("dst")).localCheckpoint()
+    val lbls = GraphOps.minLabelPropagation(coreEdges)
+    // isolated core (no core neighbor): its own singleton cluster
+    val coreLbl = coreIds.join(lbls, coreIds("user_id") === lbls("id"), "left")
+      .select(coreIds("user_id"), coalesce(col("lbl"), coreIds("user_id")).as("_core_cl"))
+    val borderLbl = pairs
+      .join(coreLbl.select(col("user_id").as("b"), col("_core_cl")), Seq("b"))
+      .groupBy(col("a").as("user_id")).agg(min(col("_core_cl")).as("_border_cl"))
+    withN.join(coreLbl, Seq("user_id"), "left")
+      .join(borderLbl, Seq("user_id"), "left")
+      .select(col("user_id"), col("pc1"), col("pc2"), col("n_neighbors"),
+        when(col("_core_cl").isNotNull, "core")
+          .when(col("_border_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("_core_cl"), col("_border_cl"), lit(-1L))
+          .cast("long").as("cluster_id"))
+  }
+
+  /** The registered DBSCAN query: eps=0.5, minPts=4 on the standardized
+    * PCA-2 projection, mirroring [[qDensityOutlier]]'s parameters so the
+    * noise flag there and `cluster_id = −1` here describe the same
+    * eps-graph (border points are the one deliberate difference: DBSCAN
+    * attaches them to a cluster, the coarser screen flags them).
+    */
+  def qDbscanClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("dbscan_clusters", spark, dir) {
+      dbscanClusters(
+        qPcaProject(spark, dir).select(col("user_id"), col("pc1"), col("pc2")),
+        eps = 0.5, minPts = 4)
+        .orderBy(col("user_id"))
+    }
 
   /** PCA reconstruction-error anomaly score — the deterministic analogue
     * of the reference's keras autoencoder (Comparaison_ML.py:198-289):
@@ -806,8 +886,7 @@ object MLOps {
     val sf = standardizedFeatures(spark, dir)
     val model = new KMeans().setK(2).setSeed(42)
       .setFeaturesCol("sfv").setPredictionCol("cluster").fit(sf)
-    val centers = model.clusterCenters
-    val dist = udf((v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))))
+    val dist = centroidDist(model.clusterCenters)
     model.transform(sf)
       .select(col("user_id"), col("cluster").cast("long").as("cluster"),
         dist(col("sfv"), col("cluster").cast("int")).as("a_own"),

@@ -24,6 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object RankOps {
 
+  /** Pinned rank inputs, deduplicated by the analyzed plan's semantic
+    * hash. CacheManager already reuses one InMemoryRelation for
+    * semantically-equal plans, so the map mirrors (not duplicates) its
+    * state — what it adds is ACCOUNTING: [[releasePins]] gives sessions
+    * a deterministic unpersist point (Memo.clear calls it), instead of
+    * cache entries living until session teardown.
+    */
+  private val pins =
+    new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+
+  private def registerPin(df: DataFrame): DataFrame = {
+    val key = try df.queryExecution.analyzed.semanticHash()
+              catch { case _: Throwable => System.identityHashCode(df) }
+    val prev = pins.putIfAbsent(key, df)
+    if (prev != null) prev else { df.cache(); df }
+  }
+
+  /** Unpersist every rank-pinned frame and forget it. Safe mid-session:
+    * a later rank of the same input just re-pins. */
+  def releasePins(): Unit = {
+    pins.values().forEach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    pins.clear()
+  }
+
   /** Adds `rankName` (1-based global rank, long) under the total order
     * `sort`. The caller MUST make `sort` a total order (unique
     * tiebreak), or ranks are nondeterministic — same contract as
@@ -39,14 +64,25 @@ object RankOps {
     * ranks an already-reduced frame (scores, per-user totals, vocab) —
     * the thing you'd pin on a cluster anyway. CacheManager matches
     * plans by equivalence, so repeated calls with the same input reuse
-    * one InMemoryRelation rather than stacking new ones. Pass
-    * `pin = false` when the input is a trivial projection of an
+    * one InMemoryRelation rather than stacking new ones; on top of that
+    * every pinned frame is registered (deduplicated by semantic hash)
+    * so [[releasePins]] can unpersist the lot deterministically — a
+    * long-lived session doesn't accrete unaccounted InMemoryRelations.
+    * Pass `pin = false` when the input is a trivial projection of an
     * already-cached frame.
+    *
+    * Each `cumSums` name present in `cumTotalNames` additionally emits
+    * that sum's GRAND total under the mapped column name — it rides the
+    * same numParts-row offset frame (one more window over tiny data),
+    * so consumers needing "running sum + total" (Pareto coverage,
+    * share-of-total cuts) don't pay a separate whole-input aggregation
+    * job + crossJoin.
     */
   def withGlobalRank(df: DataFrame, rankName: String, sort: Seq[Column],
       cumSums: Seq[(String, Column)] = Nil, pin: Boolean = true,
-      totalName: Option[String] = None): DataFrame = {
-    val in = if (pin) df.cache() else df
+      totalName: Option[String] = None,
+      cumTotalNames: Map[String, String] = Map.empty): DataFrame = {
+    val in = if (pin) registerPin(df) else df
     val n = df.sparkSession.sparkContext.defaultParallelism
     // Explicit numPartitions: a user-specified width AQE won't coalesce,
     // so spark_partition_id() stays aligned with the range ordering.
@@ -67,12 +103,20 @@ object RankOps {
         perPart.withColumn("_rk_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))) {
       case (acc, t) => acc.withColumn(t, sum(col("_n")).over(wAll))
     }
-    val offsets = sumAliases.foldLeft(withTot) {
+    // cumSum name → (partial-sum alias, requested grand-total column)
+    val sumTotals = cumSums.map(_._1).zip(sumAliases).collect {
+      case (name, (a, _)) if cumTotalNames.contains(name) =>
+        (a, cumTotalNames(name))
+    }
+    val withSumTots = sumTotals.foldLeft(withTot) {
+      case (acc, (a, tot)) => acc.withColumn(tot, sum(col(a)).over(wAll))
+    }
+    val offsets = sumAliases.foldLeft(withSumTots) {
         case (acc, (a, _)) =>
           acc.withColumn(s"${a}_off", coalesce(sum(col(a)).over(wOff), lit(0)))
       }
       .select(col("_pid") +: col("_rk_off") +:
-        (totalName.map(col).toSeq ++
+        (totalName.map(col).toSeq ++ sumTotals.map { case (_, t) => col(t) } ++
           sumAliases.map { case (a, _) => col(s"${a}_off") }): _*)
     val wLoc = Window.partitionBy(col("_pid")).orderBy(sort: _*)
     val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1448,21 +1448,23 @@ object RelationalOps {
     * 80% of the activity?". Per-user totals (one shuffle), ranked by a
     * deterministic (count desc, user) order; the coverage test
     * `cum·10000 ≥ threshold_bp·total` is pure integer arithmetic, so the
-    * boundary user is engine-exact. Rank AND running sum come from ONE
-    * two-phase exact-rank pass (RankOps: range-partition, per-partition
-    * prefix sums, broadcast offsets) — no unpartitioned window, so the
-    * per-user frame can be arbitrarily large.
+    * boundary user is engine-exact. Rank, running sum, AND both grand
+    * totals (event sum via `cumTotalNames`, user count via `totalName`)
+    * come from ONE two-phase exact-rank pass (RankOps: range-partition,
+    * per-partition prefix sums, broadcast offsets) — no unpartitioned
+    * window, and no separate whole-input aggregation job + crossJoin
+    * just to learn the totals (that extra pass was the r6 2×-vs-r4
+    * residual on this query).
     */
   def qParetoUsers(spark: SparkSession, dir: String): DataFrame = {
     val totals = events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     val ranked = RankOps.withGlobalRank(totals, "rk",
-        Seq(col("n").desc, col("user_id").asc), cumSums = Seq(("cum", col("n"))))
+        Seq(col("n").desc, col("user_id").asc), cumSums = Seq(("cum", col("n"))),
+        totalName = Some("n_users"), cumTotalNames = Map("cum" -> "total"))
       .withColumn("rk", col("rk").cast("long"))
-    val grand = totals.agg(sum(col("n")).as("total"),
-      count(lit(1)).as("n_users"))
     val th = Seq(5000L, 8000L, 9000L)
-    ranked.crossJoin(broadcast(grand))
+    ranked
       .select(col("rk"), col("cum"), col("total"), col("n_users"),
         explode(array(th.map(lit(_)): _*)).as("threshold_bp"))
       .filter(col("cum") * 10000L >= col("threshold_bp") * col("total"))

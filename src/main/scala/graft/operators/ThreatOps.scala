@@ -1095,14 +1095,16 @@ object ThreatOps {
   /** HITS hubs-and-authorities on the user→resource access graph
     * (Kleinberg 1999): 3 mutually-recursive rounds where a user's hub
     * score sums the authority of resources they touch and a resource's
-    * authority sums the hub scores of its users, L1-normalized each
-    * half-step. Unlike [[qPagerank]]'s single symmetric score, HITS
-    * separates "user who touches many important shares" (hub — the
-    * reconnaissance profile) from "share touched by many significant
-    * users" (authority — the crown-jewel resource). Pregel shape: each
-    * half-step is one key-partitioned join + aggregation; the L1 norms
-    * ride as one-row broadcasts. Emits every node like the PageRank
-    * query, scores ×1000.
+    * authority sums the hub scores of its users; both scores are
+    * L1-normalized ONCE after the final round (the textbook per-step
+    * rescale commutes through the positive linear updates — see the
+    * END-ONLY NOTE in the body). Unlike [[qPagerank]]'s single
+    * symmetric score, HITS separates "user who touches many important
+    * shares" (hub — the reconnaissance profile) from "share touched by
+    * many significant users" (authority — the crown-jewel resource).
+    * Pregel shape: each round is one key-partitioned join + aggregation
+    * per direction; the two final L1 norms ride as one-row broadcasts.
+    * Emits every node like the PageRank query, scores ×1000.
     */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
     // NOTE on (non-)pinning: unlike qPagerank's contribs, ur stays

@@ -234,6 +234,54 @@ class TextMlSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("dbscanClusters: planted blobs cluster, border adopts, stragglers are noise") {
+    val s = spark
+    import s.implicits._
+    // Blob A: 5 mutually-eps-close points (each has 4 neighbors = core).
+    // Blob B: same, far away. One border point within eps of only 3 blob-A
+    // points (non-core, core neighbor => border, adopts A's cluster). One
+    // straggler with no neighbors at all (noise, cluster_id -1).
+    val blobA = Seq((1L, 0.0, 0.0), (2L, 0.1, 0.0), (3L, 0.0, 0.1),
+      (4L, 0.1, 0.1), (5L, 0.05, 0.05))
+    val blobB = blobA.map { case (id, x, y) => (id + 10, x + 5.0, y + 5.0) }
+    val border = Seq((21L, 0.5, 0.05))
+    val noise = Seq((22L, 10.0, 10.0))
+    val pts = (blobA ++ blobB ++ border ++ noise)
+      .toDF("user_id", "pc1", "pc2")
+    val out = MLOps.dbscanClusters(pts, eps = 0.5, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(4), r.getLong(5))).toMap
+    for (id <- 1L to 5L) assert(out(id) === ("core", 1L), s"user $id")
+    for (id <- 11L to 15L) assert(out(id) === ("core", 11L), s"user $id")
+    assert(out(21L) === ("border", 1L))
+    assert(out(22L) === ("noise", -1L))
+  }
+
+  test("qDbscanClusters on the corpus: noise iff cluster -1, cores dominate clusters") {
+    val d = MLOps.qDbscanClusters(spark, sf).cache()
+    // every row labeled, role and cluster_id consistent
+    assert(d.filter(col("role").isNull || col("cluster_id").isNull).count() === 0)
+    assert(d.filter(col("role") === "noise").count()
+      === d.filter(col("cluster_id") === -1L).count())
+    assert(d.filter(col("role") =!= "noise" && col("cluster_id") === -1L).count() === 0)
+    // cluster ids are member user_ids (min-label invariant): every
+    // non-noise cluster id is a core member of its own cluster
+    val ids = d.filter(col("role") === "core")
+      .select(col("user_id"), col("cluster_id"))
+    val orphanCl = d.filter(col("cluster_id") =!= -1L)
+      .select(col("cluster_id")).distinct()
+      .join(ids.filter(col("user_id") === col("cluster_id"))
+        .select(col("cluster_id")).distinct(), Seq("cluster_id"), "left_anti")
+    assert(orphanCl.count() === 0, "every cluster id must be one of its own cores")
+    // consistency with the eps-ball screen: a DBSCAN core point can never
+    // be flagged as noise by qDensityOutlier (same eps and minPts)
+    val dens = MLOps.qDensityOutlier(spark, sf)
+      .select(col("user_id"), col("is_noise"))
+    assert(d.filter(col("role") === "core").join(dens, Seq("user_id"))
+      .filter(col("is_noise") === 1L).count() === 0)
+    d.unpersist()
+  }
+
   test("qReconError is non-negative and flags the contamination fraction") {
     val r = MLOps.qReconError(spark, sf).cache()
     assert(r.filter(col("recon_error") < -1e-6).count() === 0)
