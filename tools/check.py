@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonOut]
 
 Loads each <name>/ parquet result written by graft.Verify, runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB over views of the
 same testdata parquet tables, and compares (schema, rowcount, values).
+With a third arg, also writes a per-query JSON summary (driver-gate
+shaped: rows/schema/hash match flags) to that path.
 """
 import sys, json, glob, os
 import duckdb
@@ -28,7 +30,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -36,20 +38,33 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+            print(f"FAIL {name}: no spark output"); n_bad += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": "no spark output"}
+            continue
         try:
             spark_df = canon(pd.read_parquet(res_dir))
             duck_df = canon(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_bad += 1; continue
-        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: {e}"); n_bad += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": str(e)[:200]}
+            continue
+        rec = {"rows_match": len(spark_df) == len(duck_df),
+               "schema_match": list(spark_df.columns) == list(duck_df.columns),
+               "hash_match": False,
+               "spark_rows": len(spark_df), "oracle_rows": len(duck_df),
+               "err": None}
+        report[name] = rec
+        if not rec["schema_match"]:
             print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
             n_bad += 1; continue
-        if len(spark_df) != len(duck_df):
+        if not rec["rows_match"]:
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_bad += 1; continue
         bad_cols = []
@@ -68,8 +83,10 @@ def main(sf_dir, out_dir):
                 idx = diff[diff].index[:3]
                 for i in idx:
                     print(f"   row {i}: spark={spark_df[c][i]!r} duck={duck_df[c][i]!r}")
+            rec["err"] = f"value mismatch in {bad_cols}"
             n_bad += 1
         else:
+            rec["hash_match"] = True
             n_ok += 1
             print(f"ok   {name} ({len(spark_df)} rows, {len(spark_df.columns)} cols)")
     # queries without oracle: rows-only check
@@ -78,10 +95,19 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             n = len(pd.read_parquet(res_dir)) if glob.glob(f"{res_dir}/*.parquet") else 0
             print(f"{'ok  ' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": n,
+                            "oracle_rows": None, "err": "no_oracle"}
             if n == 0: n_bad += 1
             else: n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
+    if json_out:
+        summary = {"sf_dir": sf_dir, "ok": n_ok, "failed": n_bad,
+                   "queries": report}
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
