@@ -1128,14 +1128,14 @@ object SparkEntry {
                   CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
                 FROM daily GROUP BY 1)
          SELECT user_id, c AS n_days,
-           round(s::DOUBLE / c::DOUBLE, 4) AS mean_daily,
-           round((ss::DOUBLE / c::DOUBLE
+           s::DOUBLE / c::DOUBLE AS mean_daily,
+           (ss::DOUBLE / c::DOUBLE
               - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE))
-             / (s::DOUBLE / c::DOUBLE), 4) AS fano,
-           round((sqrt(ss::DOUBLE / c::DOUBLE
+             / (s::DOUBLE / c::DOUBLE) AS fano,
+           (sqrt(ss::DOUBLE / c::DOUBLE
                - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE)) - s::DOUBLE / c::DOUBLE)
              / (sqrt(ss::DOUBLE / c::DOUBLE
-               - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE)) + s::DOUBLE / c::DOUBLE), 4)
+               - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE)) + s::DOUBLE / c::DOUBLE)
              AS burstiness
          FROM st WHERE c >= 2 ORDER BY fano DESC, user_id""",
     "q_ohlc" ->
@@ -1524,10 +1524,10 @@ object SparkEntry {
            FROM events GROUP BY 1, 2)
          SELECT a.user_id, strftime(a.d, '%Y-%m-%d') AS day,
            CAST(a.n AS BIGINT) AS n,
-           round(sum(b.n * pow(0.5, (a.d - b.d) - 1))
-             / sum(pow(0.5, (a.d - b.d) - 1)), 4) AS ewma7,
-           round(a.n / (sum(b.n * pow(0.5, (a.d - b.d) - 1))
-             / sum(pow(0.5, (a.d - b.d) - 1))), 4) AS drift
+           sum(b.n * pow(0.5, (a.d - b.d) - 1))
+             / sum(pow(0.5, (a.d - b.d) - 1)) AS ewma7,
+           a.n / (sum(b.n * pow(0.5, (a.d - b.d) - 1))
+             / sum(pow(0.5, (a.d - b.d) - 1))) AS drift
          FROM daily a LEFT JOIN daily b
            ON b.user_id = a.user_id AND b.d >= a.d - 7 AND b.d < a.d
          GROUP BY a.user_id, a.d, a.n
@@ -1626,22 +1626,35 @@ object SparkEntry {
              AS running_total
          FROM spine s LEFT JOIN daily dd ON s.user_id = dd.user_id AND s.d = dd.d
          ORDER BY s.user_id, day""",
+    // Mirrors the integer-exact argmax: |c·S_k − k·s| is a pure BIGINT
+    // expression on both engines, so the changepoint day can't hinge on
+    // windowed float summation order (the sf0.1 gate caught a user whose
+    // cusum returned EXACTLY to its peak — a mathematical tie only
+    // integer arithmetic preserves on both engines). peak_cusum is one
+    // identically-shaped float expression over the integer inputs.
     "q_cusum_drift" ->
-      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*)::DOUBLE AS n
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY 1, 2),
-         stats AS (SELECT user_id, count(*) AS c,
-             sum(n) / count(*) AS mean,
-             sum(n * n) / count(*) - (sum(n) / count(*)) * (sum(n) / count(*)) AS variance
+         stats AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
            FROM daily GROUP BY 1),
-         cus AS (SELECT d.user_id, d.d, s.c,
-             sum(CASE WHEN s.variance > 0 THEN (d.n - s.mean) / sqrt(s.variance) ELSE 0 END)
-               OVER (PARTITION BY d.user_id ORDER BY d.d) AS cusum
-           FROM daily d JOIN stats s USING(user_id)),
-         pk AS (SELECT user_id, d, c, abs(cusum) AS ac,
-             row_number() OVER (PARTITION BY user_id ORDER BY abs(cusum) DESC, d) AS rk
-           FROM cus)
+         run AS (SELECT user_id, d,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS BIGINT) AS k,
+             CAST(sum(n) OVER (PARTITION BY user_id ORDER BY d) AS BIGINT) AS rs
+           FROM daily),
+         pk AS (SELECT r.user_id, r.d, st.c, st.s, st.ss,
+             abs(st.c * r.rs - r.k * st.s) AS num,
+             row_number() OVER (PARTITION BY r.user_id
+               ORDER BY abs(st.c * r.rs - r.k * st.s) DESC, r.d) AS rk
+           FROM run r JOIN stats st USING(user_id))
          SELECT user_id, strftime(d, '%Y-%m-%d') AS changepoint_day,
-           round(ac, 4) AS peak_cusum, c AS n_days
+           CASE WHEN ss::DOUBLE / c::DOUBLE
+               - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE) > 0
+             THEN num::DOUBLE / (c::DOUBLE * sqrt(ss::DOUBLE / c::DOUBLE
+               - (s::DOUBLE / c::DOUBLE) * (s::DOUBLE / c::DOUBLE)))
+             ELSE 0.0 END AS peak_cusum,
+           c AS n_days
          FROM pk WHERE rk = 1 ORDER BY user_id""",
     "q_seasonal_baseline" ->
       """WITH cells AS (SELECT user_id, isodow(ts)-1 AS day_of_week,

@@ -86,8 +86,24 @@ object RankOps {
     val n = df.sparkSession.sparkContext.defaultParallelism
     // Explicit numPartitions: a user-specified width AQE won't coalesce,
     // so spark_partition_id() stays aligned with the range ordering.
+    //
+    // localCheckpoint is CORRECTNESS, not tuning: `parted` is consumed
+    // twice (the per-partition count/offset frame rides a broadcast
+    // subtree, which materializes as its own job), and
+    // repartitionByRange SAMPLES its input to pick range bounds — two
+    // independent executions sample under different seeds and can pick
+    // DIFFERENT bounds, making phase-2 offsets inconsistent with the
+    // phase-1 row_numbers (duplicate + skipped ranks). The divergence
+    // only appears once the frame outgrows the exchange's sample size
+    // (~sampleSizePerPartition × partitions rows — below that the
+    // "sample" is the whole frame and every execution agrees), i.e.
+    // exactly at scale: caught by the sf0.1 oracle gate on q_gini's
+    // 7,500-row frame while every smaller consumer stayed green.
+    // Checkpointing materializes the partitioning ONCE; both the offset
+    // frame and the ranked join then read the same frozen bounds.
     val parted = in.repartitionByRange(n, sort: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val sumAliases = cumSums.zipWithIndex.map { case ((_, e), i) => (s"_s$i", e) }
     val aggs = count(lit(1)).as("_n") +: sumAliases.map { case (a, e) => sum(e).as(a) }
     val perPart = parted.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)

@@ -651,6 +651,17 @@ object ThreatOps {
     * This is the time-series escalation primitive the reference's static
     * per-user totals can't express: a slowly-ramping exfiltration shows
     * as sustained drift > 1.
+    *
+    * Engine-exactness: ewma7/drift are emitted UNROUNDED. Every weight
+    * 0.5^k is an exact dyadic double and every term pn·0.5^k needs
+    * ≤14 bits of mantissa, so the windowed sums are exact in ANY
+    * accumulation order; the two divisions then round identically on
+    * both engines ⇒ the raw doubles are bit-identical cross-engine.
+    * Rounding to 4 decimals was the ONLY divergence the sf0.1 gate
+    * found here: Spark's Round (shortest-decimal HALF_UP) and DuckDB's
+    * round (scaled half-away) split values whose shortest repr lands
+    * exactly on a .xxxx5 boundary — so rounding is what BROKE equality,
+    * and omitting it is what guarantees it.
     */
   def qEwmaDrift(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
@@ -672,8 +683,8 @@ object ThreatOps {
           .as("wsum"),
         sum(pow(lit(0.5), datediff(col("a.d"), col("pd")) - 1)).as("wnorm"))
       .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
-        col("n"), r4(col("wsum") / col("wnorm")).as("ewma7"),
-        r4(col("n") / (col("wsum") / col("wnorm"))).as("drift"))
+        col("n"), (col("wsum") / col("wnorm")).as("ewma7"),
+        (col("n") / (col("wsum") / col("wnorm"))).as("drift"))
       .orderBy(col("user_id"), col("day"))
   }
 
@@ -682,38 +693,48 @@ object ThreatOps {
     * likely behavior-change point (Page 1954's cumulative-sum chart, the
     * drift detector that catches SLOW shifts EWMA's short memory forgets).
     *
-    * Engine-exactness: mean/variance come from integer sums (exact in
-    * doubles), so every per-day deviation is bit-identical across
-    * engines; the running sum is a WINDOW cumsum — summation order is
-    * the day order on both sides, so even the float accumulation is
-    * bit-identical, and the argmax day needs no rounding tolerance.
+    * Engine-exactness, the INTEGER way: because σ is constant per user,
+    *   cusum_k = Σ_{i≤k}(n_i−mean)/σ = (c·S_k − k·s)/(c·σ)
+    * with S_k the running integer day-count sum, so the argmax day is
+    * decided ENTIRELY on the exact long `|c·S_k − k·s|` — no float
+    * accumulation near the argmax at all. The sf0.1 gate caught the
+    * float version: a user whose cusum RETURNED exactly to its peak
+    * value (deviations netting zero) made the argmax hinge on which
+    * engine's windowed float summation preserved the mathematical tie.
+    * Longs can't disagree. peak_cusum is then ONE identically-shaped
+    * float expression over integer inputs (num/(c·σ)), emitted
+    * unrounded — bit-identical cross-engine. Overflow headroom: c·S is
+    * (days per user)·(events per user); 10⁶ daily events for 10³ years
+    * still fits a long with 2⁰⁰⁺ to spare.
     * One shuffle on user_id; windows and stats share the partitioning.
     */
   def qCusumDrift(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(count(lit(1)).as("n"))
     val stats = daily.groupBy(col("user_id").as("su"))
       .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"),
         count(lit(1)).as("c"))
-      .select(col("su"), col("c"),
-        (col("s") / col("c")).as("mean"),
-        (col("ss") / col("c") - (col("s") / col("c")) * (col("s") / col("c"))).as("variance"))
     val byDay = Window.partitionBy(col("user_id")).orderBy(col("d"))
-    val cusum = daily
-      .join(stats, col("user_id") === col("su"))
-      .withColumn("dev",
-        when(col("variance") > 0, (col("n") - col("mean")) / sqrt(col("variance")))
-          .otherwise(lit(0.0)))
-      .withColumn("cusum", sum(col("dev")).over(byDay))
+    val run = daily
+      .withColumn("k", row_number().over(byDay))
+      .withColumn("rs", sum(col("n")).over(byDay))
+    val num = abs(col("c") * col("rs") - col("k") * col("s"))
+    def dd(c: Column): Column = c.cast("double")
+    val variance =
+      dd(col("ss")) / dd(col("c")) -
+        (dd(col("s")) / dd(col("c"))) * (dd(col("s")) / dd(col("c")))
     val peak = Window.partitionBy(col("user_id"))
-      .orderBy(abs(col("cusum")).desc, col("d"))
-    cusum
+      .orderBy(col("num").desc, col("d"))
+    run.join(stats, col("user_id") === col("su"))
+      .withColumn("num", num)
       .withColumn("rk", row_number().over(peak))
       .filter(col("rk") === 1)
       .select(col("user_id"),
         date_format(col("d"), "yyyy-MM-dd").as("changepoint_day"),
-        r4(abs(col("cusum"))).as("peak_cusum"),
+        when(variance > 0,
+          dd(col("num")) / (dd(col("c")) * sqrt(variance)))
+          .otherwise(lit(0.0)).as("peak_cusum"),
         col("c").as("n_days"))
       .orderBy(col("user_id"))
   }
@@ -857,7 +878,11 @@ object ThreatOps {
     * total volume (data-exfiltration cadence looks bursty; routine work
     * doesn't). One (user, day) rollup then one user rollup; variance
     * comes from the integer sufficient statistics (Σn, Σn², days), so
-    * both engines compute the identical doubles.
+    * both engines compute the identical doubles — which is exactly why
+    * the outputs are UNROUNDED: the raw doubles already hash-match,
+    * while round-to-4 was the one step the engines disagree on (Spark
+    * shortest-decimal HALF_UP vs DuckDB scaled half-away — 6 fano
+    * values sat on the boundary at sf0.1).
     */
   def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
@@ -871,9 +896,9 @@ object ThreatOps {
       .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("ss"))
       .filter(col("c") >= 2)
-      .select(col("user_id"), col("c").as("n_days"), r4(mean).as("mean_daily"),
-        r4(variance / mean).as("fano"),
-        r4((sigma - mean) / (sigma + mean)).as("burstiness"))
+      .select(col("user_id"), col("c").as("n_days"), mean.as("mean_daily"),
+        (variance / mean).as("fano"),
+        ((sigma - mean) / (sigma + mean)).as("burstiness"))
       .orderBy(col("fano").desc, col("user_id"))
   }
 
