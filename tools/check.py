@@ -32,10 +32,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    def src(p):
+        # driver testdata = single file; Spark-written fixtures = directory
+        return f"{p}/*.parquet" if os.path.isdir(p) else p
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src(p)}')")
+    # Mirror Tables.adaptEventTs: ScaleProbe-amplified fixtures write
+    # events.ts as int64 epoch-nanos; rebuild the view with a timestamp
+    # so every oracle's CAST(ts AS DATE)/EXTRACT stays valid.
+    if os.path.exists(f"{sf_dir}/events.parquet"):
+        (tsname, tstype) = [r for r in con.execute(
+            "DESCRIBE events").fetchall() if r[0] == "ts"][0][:2]
+        if tstype == "BIGINT":
+            con.execute("CREATE OR REPLACE VIEW events AS "
+                        f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                        f"FROM read_parquet('{src(sf_dir + '/events.parquet')}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     report = {}
