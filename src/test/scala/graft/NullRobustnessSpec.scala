@@ -73,7 +73,8 @@ class NullRobustnessSpec extends SparkSpec {
   }
 
   test("per-user rollups do not emit a null-user group") {
-    for (name <- Seq("q_after_hours_top", "q_activity_entropy", "q_burstiness", "q_rfm")) {
+    for (name <- Seq("q_after_hours_top", "q_activity_entropy", "q_burstiness",
+        "q_rfm", "q_coaccess_components", "q_peer_anomaly")) {
       val fn = eventQueries.toMap.apply(name)
       val out = fn(spark, nullDir)
       assert(out.columns.contains("user_id"))
