@@ -27,6 +27,9 @@ object SparkEntry {
     "q_coaccess_capped" -> (ThreatOps.qCoaccessCapped _),
     "q_coaccess_components" -> (ThreatOps.qCoaccessComponents _),
     "q_peer_anomaly" -> (ThreatOps.qPeerAnomaly _),
+    "q_blast_radius" -> (ThreatOps.qBlastRadius _),
+    "q_degree_dist" -> (ThreatOps.qDegreeDist _),
+    "q_risk_propagation" -> (ThreatOps.qRiskPropagation _),
     "q_funnel" -> (ThreatOps.qFunnel _),
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
@@ -591,6 +594,75 @@ object SparkEntry {
                  / sqrt((ss_ah::DOUBLE - s_ah::DOUBLE*s_ah::DOUBLE/n::DOUBLE)/n::DOUBLE) ELSE 0 END), 4) > 3.0
              THEN 1 ELSE 0 END AS BIGINT) AS is_peer_outlier
          FROM x JOIN st USING (component_id) ORDER BY x.user_id""",
+    // Bounded BFS unrolled to its 3 hop CTEs (no recursion — the depth
+    // bound is the point); same capped pair graph as the components
+    // oracle; min(hop) resolves multi-path visits exactly as the Spark
+    // side's min-agg does.
+    "q_blast_radius" ->
+      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT ua AS a, ub AS b FROM pr UNION ALL SELECT ub, ua FROM pr),
+         seeds AS (SELECT user_id AS seed FROM events GROUP BY 1
+           ORDER BY count(*) DESC, user_id LIMIT 10),
+         h0 AS (SELECT seed, seed AS uid, 0 AS hop FROM seeds),
+         h1 AS (SELECT DISTINCT h0.seed, e.b AS uid, 1 AS hop
+           FROM h0 JOIN e ON h0.uid = e.a),
+         h2 AS (SELECT DISTINCT h1.seed, e.b AS uid, 2 AS hop
+           FROM h1 JOIN e ON h1.uid = e.a),
+         h3 AS (SELECT DISTINCT h2.seed, e.b AS uid, 3 AS hop
+           FROM h2 JOIN e ON h2.uid = e.a),
+         allh AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+           UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+         SELECT seed AS seed_user, uid AS user_id,
+           CAST(min(hop) AS BIGINT) AS hop
+         FROM allh GROUP BY 1, 2 ORDER BY seed_user, hop, user_id""",
+    // bucket = len(bin(degree))−1 ≡ floor(log2) in EXACT integer
+    // arithmetic on both engines (no libm log to diverge); -1 marks
+    // isolated users (no capped pair edge).
+    "q_degree_dist" ->
+      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT uid, CAST(count(*) AS BIGINT) AS degree FROM
+           (SELECT ua AS uid FROM pr UNION ALL SELECT ub FROM pr) GROUP BY 1),
+         users AS (SELECT DISTINCT user_id AS uid FROM events),
+         f AS (SELECT COALESCE(d.degree, 0) AS degree
+           FROM users LEFT JOIN d USING (uid))
+         SELECT CAST(CASE WHEN degree = 0 THEN -1
+             ELSE length(bin(degree)) - 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+         FROM f GROUP BY 1 ORDER BY bucket""",
+    // forward push (user risk → resource mean, exact basis points via
+    // integer div) then max-pull back to users; both hops on the
+    // DISTINCT (user, resource) grid.
+    "q_risk_propagation" ->
+      """WITH risk AS (SELECT user_id,
+           CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 8
+             OR EXTRACT(hour FROM ts) > 18 THEN 1 ELSE 0 END) AS BIGINT) AS r
+           FROM events GROUP BY 1),
+         grid AS (SELECT DISTINCT user_id,
+             json_extract_string(props,'$.k') AS resource
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL),
+         rres AS (SELECT resource,
+             CAST(sum(r) * 10000 // count(*) AS BIGINT) AS resource_risk_bp
+           FROM grid JOIN risk USING (user_id) GROUP BY 1)
+         SELECT g.user_id, max(rres.resource_risk_bp) AS exposure_bp,
+           CAST(count(*) AS BIGINT) AS n_resources
+         FROM grid g JOIN rres USING (resource)
+         GROUP BY 1 ORDER BY exposure_bp DESC, g.user_id LIMIT 50""",
     "q_hourly_heatmap" -> {
       val cols = (0 until 24).map(h =>
         f"CAST(sum(CASE WHEN EXTRACT(hour FROM ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS h_$h%02d")

@@ -245,13 +245,22 @@ object ThreatOps {
     * |users|, so never a broadcast). Deterministic (component id = min
     * user id) → hash-oracled against a recursive-CTE transitive closure.
     */
-  def qCoaccessComponents(spark: SparkSession, dir: String): DataFrame = {
-    val labels = graft.Memo("coaccessCompLabels", spark, dir) {
+  /** The symmetrized edge list of the capped co-access projection —
+    * shared (Memo'd per session/dir) by the components, blast-radius,
+    * and any future traversal consumer; localCheckpointed because every
+    * consumer reads it once per round.
+    */
+  private[operators] def coaccessEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("coaccessEdges", spark, dir) {
       val pairs = coaccessPairFrame(spark, dir, CoaccessMaxDegree)
-      val edges = pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
+      pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
         .union(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
         .localCheckpoint()
-      GraphOps.minLabelPropagation(edges)
+    }
+
+  def qCoaccessComponents(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.Memo("coaccessCompLabels", spark, dir) {
+      GraphOps.minLabelPropagation(coaccessEdges(spark, dir))
     }
     val users = graft.Tables.cleanEvents(spark, dir).select(col("user_id")).distinct()
     val comp = users.join(labels, col("user_id") === col("id"), "left")
@@ -1245,6 +1254,123 @@ object ThreatOps {
         r4(eAh).as("expected_after"),
         r4(dev * dev * (lit(1.0) / eAh + lit(1.0) / eBh)).as("chi2_term"))
       .orderBy(col("event_type"))
+  }
+
+  /** Blast radius: which users are within k≤3 co-access hops of the 10
+    * most active accounts — the lateral-movement reach question an
+    * analyst asks once an account is flagged ("if THIS credential is
+    * burned, who shares its neighborhood?"). The reference's graph model
+    * (neo4j_analysis.py:38-55 builds user→resource edges precisely for
+    * reachability-style queries) answers this with a Cypher variable-
+    * length match; here it is bounded BFS over the capped co-access
+    * projection ([[coaccessPairFrame]] under [[CoaccessMaxDegree]]):
+    * three frontier-join rounds, each one key-partitioned join + a
+    * DISTINCT that collapses the frontier before the next expansion, so
+    * per-round work is |frontier|·deg ≤ seeds·cap³ no matter the log
+    * size. min(hop) resolves multi-path visits; hop 0 is the seed
+    * itself. Deterministic end to end (top-10 seeds break ties on
+    * user_id; TakeOrdered, never a global sort) → hash-oracled against
+    * identically unrolled CTEs.
+    */
+  def qBlastRadius(spark: SparkSession, dir: String): DataFrame = {
+    // Proper frontier BFS: each round expands ONLY the nodes first
+    // discovered last round (anti-join against everything reached), so a
+    // dense component costs deg·|new| per round instead of deg^h — on a
+    // near-clique graph the hop-2/3 frontiers are empty and the rounds
+    // are no-ops. localCheckpoint per round keeps the growing reached
+    // set from re-executing its whole lineage inside each anti-join.
+    // Because a node is expanded only the round it first appears, hops
+    // are minimal by construction — no min-agg needed at the end. The
+    // whole traversal is Memo'd like the components labels: the edge
+    // materialization + 3 rounds is per-(session, dir) work, not
+    // per-call work.
+    val reached = graft.Memo("blastRadiusReached", spark, dir) {
+      val edges = coaccessEdges(spark, dir)
+      val seeds = events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc).limit(10)
+        .select(col("user_id").as("seed_user"))
+      var frontier = seeds
+        .select(col("seed_user"), col("seed_user").as("uid"), lit(0L).as("hop"))
+        .localCheckpoint()
+      var acc = frontier
+      for (h <- 1 to 3) {
+        frontier = frontier.join(edges, col("uid") === col("src"))
+          .select(col("seed_user"), col("dst").as("uid")).distinct()
+          .join(acc.select(col("seed_user"), col("uid")),
+            Seq("seed_user", "uid"), "left_anti")
+          .select(col("seed_user"), col("uid"), lit(h.toLong).as("hop"))
+          .localCheckpoint()
+        acc = acc.union(frontier).localCheckpoint()
+      }
+      acc
+    }
+    reached
+      .select(col("seed_user"), col("uid").as("user_id"), col("hop"))
+      .orderBy(col("seed_user"), col("hop"), col("user_id"))
+  }
+
+  /** Degree distribution of the co-access graph, log₂-binned — the
+    * one-page graph health check (hub concentration, isolated-user
+    * share) read before trusting any neighborhood-based detector, and
+    * the empirical basis for [[CoaccessMaxDegree]]: the top bucket shows
+    * exactly how much headroom the cap has. Buckets are EXACT integer
+    * arithmetic — bucket = len(bin(degree))−1 ≡ floor(log₂ degree) with
+    * no libm call to diverge across engines (bucket −1 = isolated users,
+    * who appear in no capped pair). One |pairs|-row union + user-keyed
+    * count, then a ≤12-row rollup.
+    */
+  def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coaccessPairFrame(spark, dir, CoaccessMaxDegree)
+    val deg = pairs.select(col("user_a").as("uid"))
+      .union(pairs.select(col("user_b").as("uid")))
+      .groupBy(col("uid")).agg(count(lit(1)).as("degree"))
+    val users = events(spark, dir).select(col("user_id").as("uid")).distinct()
+    users.join(deg, Seq("uid"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .select(col("degree"),
+        when(col("degree") === 0L, lit(-1L))
+          .otherwise((length(bin(col("degree"))) - 1).cast("long")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Two-hop risk propagation across the bipartite user→resource graph:
+    * per-user risk (after-hours event count — the reference's core
+    * insider signal, neo4j_analysis.py:15-22) pushes forward onto
+    * resources (resource risk = mean risk of its DISTINCT users, exact
+    * basis points via integer div — no float sum ordering to diverge),
+    * then pulls back to users (exposure = max risk over resources they
+    * touch). Surfaces the "clean" account whose only sin is sharing a
+    * crown-jewel resource with the night-shift crowd — invisible to
+    * every per-user rollup. Both hops are key-partitioned joins on the
+    * DISTINCT (user, resource) grid, never on raw events; top-50 via
+    * TakeOrdered.
+    */
+  def qRiskPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val risk = events(spark, dir)
+      .groupBy(col("user_id")).agg(sum(isAfterHours).as("r"))
+    // the bipartite incidence grid — pinned per (session, dir): both
+    // hops read it, and it is the natural sharing point for any future
+    // bipartite consumer
+    val grid = graft.Memo.cached("userResourceGrid", spark, dir) {
+      activityLog(spark, dir)
+        .filter(col("resource").isNotNull)
+        .select(col("user_id"), col("resource")).distinct()
+    }
+    val rres = grid.join(risk, Seq("user_id"))
+      .groupBy(col("resource"))
+      .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))
+      .select(col("resource"), expr("s * 10000 div n").as("resource_risk_bp"))
+    grid.join(rres, Seq("resource"))
+      .groupBy(col("user_id"))
+      .agg(max(col("resource_risk_bp")).as("exposure_bp"),
+        count(lit(1)).as("n_resources"))
+      .orderBy(col("exposure_bp").desc, col("user_id").asc)
+      .limit(50)
   }
 }
 

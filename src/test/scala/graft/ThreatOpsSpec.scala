@@ -549,4 +549,83 @@ class ThreatOpsSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-2,
       s"chi2 sum $got diverges from the replayed $expect")
   }
+
+  /** The capped co-access pair graph rebuilt independently of the
+    * operators (mirrors the oracle's ur/keep/pr CTEs) — qCoaccessCapped
+    * itself is a top-100 presentation and can't serve as a replay edge
+    * set. sf0.001-sized, collected whole.
+    */
+  private def replayPairs(): Array[(Long, Long)] = {
+    val ur = Tables.cleanEvents(spark, sf)
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("res"))
+      .filter(col("res").isNotNull).distinct()
+    val keep = ur.groupBy("res").count().filter(col("count") <= 1000).select("res")
+    val a = ur.join(keep, "res").withColumnRenamed("user_id", "ua")
+    val b = ur.join(keep, "res").withColumnRenamed("user_id", "ub")
+    a.join(b, Seq("res")).filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub").count().filter(col("count") >= 2)
+      .select("ua", "ub").collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("qBlastRadius matches an in-process BFS replay over the same edges") {
+    val out = ThreatOps.qBlastRadius(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // replay: same capped pair graph + same top-10 seeds, literal BFS
+    val edges = replayPairs()
+      .flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Tables.cleanEvents(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc).limit(10)
+      .collect().map(_.getLong(0))
+    val expect = seeds.flatMap { s =>
+      var hop = Map(s -> 0L)
+      var frontier = Set(s)
+      for (h <- 1L to 3L) {
+        frontier = frontier.flatMap(u => edges.getOrElse(u, Set.empty))
+          .filterNot(hop.contains)
+        hop ++= frontier.map(_ -> h)
+      }
+      hop.map { case (u, h) => (s, u, h) }
+    }.toSet
+    assert(out === expect, "BFS result diverges from the literal replay")
+    assert(out.count(_._3 == 0L) === 10, "hop-0 rows must be the 10 seeds")
+  }
+
+  test("qDegreeDist buckets are exact log2 bins and cover every clean user") {
+    val d = ThreatOps.qDegreeDist(spark, sf).collect()
+    val users = Tables.cleanEvents(spark, sf).select("user_id").distinct().count()
+    assert(d.map(_.getAs[Long]("n_users")).sum === users,
+      "bucket user counts must partition the clean-user universe")
+    for (r <- d) {
+      val (b, lo, hi) = (r.getAs[Long]("bucket"),
+        r.getAs[Long]("min_degree"), r.getAs[Long]("max_degree"))
+      if (b == -1L) assert(lo == 0L && hi == 0L)
+      else {
+        assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+          s"bucket $b holds degrees [$lo,$hi] outside [2^$b, 2^${b + 1})")
+      }
+    }
+    // degrees reconcile with an independent replay of the pair graph
+    val pairDeg = replayPairs().flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).values.map(_.length.toLong).max
+    assert(d.filter(_.getLong(0) >= 0).map(_.getAs[Long]("max_degree")).max
+      === pairDeg)
+  }
+
+  test("qRiskPropagation: exposure bounded by 10^4 x max user risk, ordered") {
+    val out = ThreatOps.qRiskPropagation(spark, sf).collect()
+    assert(out.length <= 50 && out.nonEmpty)
+    val exps = out.map(_.getAs[Long]("exposure_bp"))
+    assert(exps.zip(exps.tail).forall { case (a, b) => a >= b },
+      "rows must be ordered by exposure desc")
+    assert(exps.forall(_ >= 0L))
+    // a resource's mean risk can never exceed its riskiest user's risk
+    val maxRisk = Tables.cleanEvents(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(hour(col("ts")) < 8 || hour(col("ts")) > 18, 1L)
+        .otherwise(0L)).as("r"))
+      .agg(max("r")).first().getLong(0)
+    assert(exps.forall(_ <= 10000L * maxRisk))
+  }
 }
