@@ -30,6 +30,7 @@ object SparkEntry {
     "q_blast_radius" -> (ThreatOps.qBlastRadius _),
     "q_degree_dist" -> (ThreatOps.qDegreeDist _),
     "q_risk_propagation" -> (ThreatOps.qRiskPropagation _),
+    "q_handoff_pairs" -> (ThreatOps.qHandoffPairs _),
     "q_funnel" -> (ThreatOps.qFunnel _),
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
@@ -645,6 +646,27 @@ object SparkEntry {
            CAST(min(degree) AS BIGINT) AS min_degree,
            CAST(max(degree) AS BIGINT) AS max_degree
          FROM f GROUP BY 1 ORDER BY bucket""",
+    // first-touch frame bounds the pair term exactly like the capped
+    // co-access projection; the 1-h window is exact integer microseconds
+    // (epoch_us both engines); equal first touches excluded so direction
+    // is well-defined.
+    "q_handoff_pairs" ->
+      """WITH ft0 AS (SELECT user_id,
+             json_extract_string(props,'$.k') AS resource,
+             min(epoch_us(ts)) AS first_us
+           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         keep AS (SELECT resource FROM ft0 GROUP BY 1
+           HAVING count(*) <= 1000),
+         ft AS (SELECT * FROM ft0 WHERE resource IN (SELECT resource FROM keep))
+         SELECT a.user_id AS user_from, b.user_id AS user_to,
+           count(*) AS n_handoffs
+         FROM ft a JOIN ft b ON a.resource = b.resource
+           AND a.user_id <> b.user_id
+           AND b.first_us > a.first_us
+           AND b.first_us - a.first_us <= 3600000000
+         GROUP BY 1, 2
+         ORDER BY n_handoffs DESC, user_from, user_to LIMIT 50""",
     // forward push (user risk → resource mean, exact basis points via
     // integer div) then max-pull back to users; both hops on the
     // DISTINCT (user, resource) grid.

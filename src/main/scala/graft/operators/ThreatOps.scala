@@ -1338,6 +1338,44 @@ object ThreatOps {
       .orderBy(col("bucket"))
   }
 
+  /** Temporally-ordered co-access ("handoff"): pairs of users whose
+    * FIRST touches of the same resource land within one hour, directed
+    * by time — the sequential-onboarding signal (credential handed off,
+    * staged exfil relay) that symmetric co-access can't see because it
+    * ignores order. Reducing each (user, resource) to its first touch
+    * bounds the per-resource pair term at deg²/2 with deg ≤
+    * [[CoaccessMaxDegree]] (same Σ deg² bound as the capped co-access
+    * projection — one first-touch row per user per resource, never raw
+    * events against raw events); the resource-keyed self-join carries
+    * the 1-h window as a post-join predicate inside each (already
+    * bounded) resource group. Exact integer microsecond arithmetic;
+    * equal first touches are excluded so the direction is well-defined.
+    * Top-50 with full tiebreak.
+    */
+  def qHandoffPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ft0 = activityLog(spark, dir)
+      .filter(col("resource").isNotNull)
+      .groupBy(col("user_id"), col("resource"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+    val keep = ft0.groupBy(col("resource"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= CoaccessMaxDegree)
+      .select(col("resource"))
+    val ft = ft0.join(keep, Seq("resource"), "left_semi")
+    val a = ft.select(col("resource"), col("user_id").as("user_from"),
+      col("first_us").as("t_from"))
+    val b = ft.select(col("resource"), col("user_id").as("user_to"),
+      col("first_us").as("t_to"))
+    a.join(b, Seq("resource"))
+      .filter(col("user_from") =!= col("user_to") &&
+        col("t_to") > col("t_from") &&
+        col("t_to") - col("t_from") <= 3600000000L)
+      .groupBy(col("user_from"), col("user_to"))
+      .agg(count(lit(1)).as("n_handoffs"))
+      .orderBy(col("n_handoffs").desc, col("user_from"), col("user_to"))
+      .limit(50)
+  }
+
   /** Two-hop risk propagation across the bipartite user→resource graph:
     * per-user risk (after-hours event count — the reference's core
     * insider signal, neo4j_analysis.py:15-22) pushes forward onto

@@ -613,6 +613,27 @@ class ThreatOpsSpec extends SparkSpec {
       === pairDeg)
   }
 
+  test("qHandoffPairs matches a literal first-touch replay") {
+    val out = ThreatOps.qHandoffPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ft = Tables.cleanEvents(spark, sf)
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("res"),
+        unix_micros(col("ts")).as("us"))
+      .filter(col("res").isNotNull)
+      .groupBy("user_id", "res").agg(min("us").as("first_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val counts = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    for ((_, rows) <- ft.groupBy(_._2) if rows.length <= 1000;
+         a <- rows; b <- rows
+         if a._1 != b._1 && b._3 > a._3 && b._3 - a._3 <= 3600000000L)
+      counts((a._1, b._1)) += 1L
+    val expTop = counts.toSeq
+      .sortBy { case ((f, t), n) => (-n, f, t) }.take(50)
+      .map { case ((f, t), n) => (f, t, n) }
+    assert(out === expTop, "handoff top-50 diverges from the literal replay")
+  }
+
   test("qRiskPropagation: exposure bounded by 10^4 x max user risk, ordered") {
     val out = ThreatOps.qRiskPropagation(spark, sf).collect()
     assert(out.length <= 50 && out.nonEmpty)
