@@ -1352,24 +1352,47 @@ object ThreatOps {
     * equal first touches are excluded so the direction is well-defined.
     * Top-50 with full tiebreak.
     */
+  /** The bipartite user→resource incidence grid with each edge's
+    * first-touch time — pinned per (session, dir). One JSON parse +
+    * user/resource-keyed aggregation over the log serves every bipartite
+    * consumer ([[qRiskPropagation]]'s two hops, [[qHandoffPairs]]'
+    * first-touch frame); the distinct-grid view is a projection.
+    */
+  private def userResourceGrid(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("userResourceGrid", spark, dir) {
+      activityLog(spark, dir)
+        .filter(col("resource").isNotNull)
+        .groupBy(col("user_id"), col("resource"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"))
+    }
+
   def qHandoffPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ft0 = activityLog(spark, dir)
-      .filter(col("resource").isNotNull)
-      .groupBy(col("user_id"), col("resource"))
-      .agg(min(unix_micros(col("ts"))).as("first_us"))
+    val ft0 = userResourceGrid(spark, dir)
     val keep = ft0.groupBy(col("resource"))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= CoaccessMaxDegree)
       .select(col("resource"))
     val ft = ft0.join(keep, Seq("resource"), "left_semi")
+    // Banded interval join: a row's 1-h forward window spans at most two
+    // hour buckets, so the FROM side is exploded to (bucket, bucket+1)
+    // and joined on (resource, bucket) equality — candidates shrink from
+    // deg² per resource to pairs whose first touches share adjacent
+    // hours (measured 5.6 s → the banded plan at sf0.1), and the exact
+    // window predicate filters inside each (already small) band group.
+    val hourUs = 3600000000L
+    val bucket = expr(s"first_us div ${hourUs}L") // integer div, no float
     val a = ft.select(col("resource"), col("user_id").as("user_from"),
-      col("first_us").as("t_from"))
+        col("first_us").as("t_from"),
+        explode(array(bucket, bucket + 1L)).as("band"))
     val b = ft.select(col("resource"), col("user_id").as("user_to"),
-      col("first_us").as("t_to"))
-    a.join(b, Seq("resource"))
+      col("first_us").as("t_to"), bucket.as("band"))
+    a.join(b, Seq("resource", "band"))
       .filter(col("user_from") =!= col("user_to") &&
         col("t_to") > col("t_from") &&
-        col("t_to") - col("t_from") <= 3600000000L)
+        col("t_to") - col("t_from") <= hourUs)
+      // no band double-count: a qualifying pair has bucket(t_to) ∈
+      // {bucket(t_from), bucket(t_from)+1} — exactly ONE of the two
+      // exploded band rows matches it
       .groupBy(col("user_from"), col("user_to"))
       .agg(count(lit(1)).as("n_handoffs"))
       .orderBy(col("n_handoffs").desc, col("user_from"), col("user_to"))
@@ -1391,14 +1414,7 @@ object ThreatOps {
   def qRiskPropagation(spark: SparkSession, dir: String): DataFrame = {
     val risk = events(spark, dir)
       .groupBy(col("user_id")).agg(sum(isAfterHours).as("r"))
-    // the bipartite incidence grid — pinned per (session, dir): both
-    // hops read it, and it is the natural sharing point for any future
-    // bipartite consumer
-    val grid = graft.Memo.cached("userResourceGrid", spark, dir) {
-      activityLog(spark, dir)
-        .filter(col("resource").isNotNull)
-        .select(col("user_id"), col("resource")).distinct()
-    }
+    val grid = userResourceGrid(spark, dir).select("user_id", "resource")
     val rres = grid.join(risk, Seq("user_id"))
       .groupBy(col("resource"))
       .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))

@@ -44,6 +44,10 @@ class NullRobustnessSpec extends SparkSpec {
     "q_coaccess_capped" -> (ThreatOps.qCoaccessCapped _),
     "q_coaccess_components" -> (ThreatOps.qCoaccessComponents _),
     "q_peer_anomaly" -> (ThreatOps.qPeerAnomaly _),
+    "q_blast_radius" -> (ThreatOps.qBlastRadius _),
+    "q_degree_dist" -> (ThreatOps.qDegreeDist _),
+    "q_risk_propagation" -> (ThreatOps.qRiskPropagation _),
+    "q_handoff_pairs" -> (ThreatOps.qHandoffPairs _),
     "q_coaccess_jaccard" -> (ThreatOps.qCoaccessJaccard _),
     "q_burstiness" -> (ThreatOps.qBurstiness _),
     "q_autocorr" -> (ThreatOps.qAutocorr _),
