@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked runMain's stdout RAW instead of through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any consumer
+// that json-parses the process output line-by-line (the driver's bench
+// tail parser has returned null since r6 because the final JSON line
+// arrived as "[info] {...}").
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

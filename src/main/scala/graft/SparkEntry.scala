@@ -6,6 +6,13 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
+  /** The co-access degree cap, interpolated into every oracle that must
+    * apply the same filter as the Spark side (six queries ride it) — one
+    * source of truth, so retuning [[ThreatOps.CoaccessMaxDegree]] can't
+    * silently break hash parity.
+    */
+  private val DegCap = ThreatOps.CoaccessMaxDegree
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     ThreatOps.qUserFeatures(spark, "/root/testdata/sf0.001")
@@ -507,10 +514,10 @@ object SparkEntry {
     // side's CoaccessMaxDegree) — the oracle applies the identical filter,
     // so the capped entry is hash-checked, not rows-only.
     "q_coaccess_capped" ->
-      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
-           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+      s"""WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
              AND user_id IS NOT NULL),
-         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000)
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap)
          SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared_resources
          FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
          WHERE a.res IN (SELECT res FROM keep)
@@ -519,10 +526,10 @@ object SparkEntry {
     // Transitive closure over the capped pair graph; component id = min
     // reachable user id, singletons = users with no qualifying edge.
     "q_coaccess_components" ->
-      """WITH RECURSIVE ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
-           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+      s"""WITH RECURSIVE ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
              AND user_id IS NOT NULL),
-         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
          pr AS (SELECT a.user_id AS ua, b.user_id AS ub
            FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
            WHERE a.res IN (SELECT res FROM keep)
@@ -548,7 +555,7 @@ object SparkEntry {
          ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
            FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
              AND user_id IS NOT NULL),
-         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
          pr AS (SELECT a.user_id AS ua, b.user_id AS ub
            FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
            WHERE a.res IN (SELECT res FROM keep)
@@ -600,10 +607,10 @@ object SparkEntry {
     // oracle; min(hop) resolves multi-path visits exactly as the Spark
     // side's min-agg does.
     "q_blast_radius" ->
-      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
-           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+      s"""WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
              AND user_id IS NOT NULL),
-         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
          pr AS (SELECT a.user_id AS ua, b.user_id AS ub
            FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
            WHERE a.res IN (SELECT res FROM keep)
@@ -627,10 +634,10 @@ object SparkEntry {
     // arithmetic on both engines (no libm log to diverge); -1 marks
     // isolated users (no capped pair edge).
     "q_degree_dist" ->
-      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
-           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+      s"""WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
              AND user_id IS NOT NULL),
-         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
          pr AS (SELECT a.user_id AS ua, b.user_id AS ub
            FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
            WHERE a.res IN (SELECT res FROM keep)
@@ -651,13 +658,13 @@ object SparkEntry {
     // (epoch_us both engines); equal first touches excluded so direction
     // is well-defined.
     "q_handoff_pairs" ->
-      """WITH ft0 AS (SELECT user_id,
-             json_extract_string(props,'$.k') AS resource,
+      s"""WITH ft0 AS (SELECT user_id,
+             json_extract_string(props,'$$.k') AS resource,
              min(epoch_us(ts)) AS first_us
-           FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
            GROUP BY 1, 2),
          keep AS (SELECT resource FROM ft0 GROUP BY 1
-           HAVING count(*) <= 1000),
+           HAVING count(*) <= $DegCap),
          ft AS (SELECT * FROM ft0 WHERE resource IN (SELECT resource FROM keep))
          SELECT a.user_id AS user_from, b.user_id AS user_to,
            count(*) AS n_handoffs

@@ -34,6 +34,15 @@ object StreamSoak {
       peakStateRows: Long, finalStateRows: Long, batches: Int,
       peakStateBytes: Long)
 
+  /** Interval-join soak result: the per-batch buffered-row series is the
+    * eviction evidence — rows must RISE to the watermark-bounded plateau
+    * during steady feed, then FALL once drain batches advance the
+    * watermark past the buffered rows' eviction bounds.
+    */
+  final case class JoinSoak(rows: Long, wallSec: Double,
+      peakStateRows: Long, postWatermarkStateRows: Long,
+      stateSeries: Seq[Long], batches: Int)
+
   /** Event time base for batch `b`: batches are 15 min apart starting
     * one day past the epoch (clear of the initial watermark), events
     * spread across the first 15 min inside the batch.
@@ -119,6 +128,82 @@ object StreamSoak {
     }
   }
 
+  /** Watermarked STREAM-STREAM interval join soak
+    * ([[EventStream.purchaseLinkedErrors]]): alternating purchase/error
+    * load with event time advancing 15 min per batch. The 2 h watermark
+    * + 10 min join interval bound the buffer to ~9 batches of BOTH
+    * sides, so buffered rows must PLATEAU at ~9·batchSize during the
+    * steady feed — then three near-empty DRAIN batches jump event time
+    * +6 h each, the watermark chases it, and Spark must EVICT the
+    * buffered rows: the claim under measurement is that
+    * post-drain state << peak (a join whose state only ever grows is
+    * the one shape a 100 TB/day stream cannot run).
+    */
+  def soakIntervalJoin(spark: SparkSession, nBatches: Int, batchSize: Int,
+      nUsers: Int = 2000): JoinSoak = {
+    import spark.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.purchaseLinkedErrors(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("soak_join")
+      .outputMode("append").start()
+    var rows = 0L
+    try {
+      val t0 = System.nanoTime()
+      val nDrain = 3
+      for (b <- 0 until nBatches + nDrain) {
+        val data =
+          if (b < nBatches) (0 until batchSize).map { i =>
+            Event(b.toLong * batchSize + i, new Timestamp(eventMs(b, i)),
+              (i % nUsers).toLong,
+              if (i % 2 == 0) "purchase" else "error", 1.0)
+          }
+          else { // drain: few rows, event time +6 h per batch
+            val baseMs = (1440L + nBatches.toLong * 15) * 60000L +
+              (b - nBatches + 1).toLong * 6L * 3600000L
+            (0 until 8).map { i =>
+              Event(1000000000L + b.toLong * 100 + i,
+                new Timestamp(baseMs + i * 1000L), (i % nUsers).toLong,
+                if (i % 2 == 0) "purchase" else "error", 1.0)
+            }
+          }
+        rows += data.size
+        mem.addData(data)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val series = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      JoinSoak(rows, wall,
+        if (series.isEmpty) 0L else series.max,
+        if (series.isEmpty) 0L else series.last,
+        series, nBatches + nDrain)
+    } finally q.stop()
+  }
+
+  /** Streaming-CUSUM drift detector soak ([[EventStream.driftAlerts]],
+    * `transformWithState`, TimeMode.None): state is one 4-number record
+    * per user FOREVER, so under a fixed user population the state-row
+    * count must equal |users| no matter how many events flow — the
+    * boundedness contract is peak == final == nUsers.
+    */
+  def soakDrift(spark: SparkSession, nBatches: Int, batchSize: Int,
+      nUsers: Int): OpSoak = {
+    import spark.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.driftAlerts(mem.toDS())
+      .writeStream.format("memory").queryName("soak_drift")
+      .outputMode("append").start()
+    drive(q, nBatches, batchSize) { b =>
+      mem.addData((0 until batchSize).map { i =>
+        // value drifts upward for a minority of users → real alerts flow
+        val user = (i % nUsers).toLong
+        val v = if (user % 17 == 0) 1.0 + b * 0.5 else (i % 7).toDouble
+        Event(b.toLong * batchSize + i, new Timestamp(eventMs(b, i)),
+          user, "access", v)
+      })
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.length > 0) args(0).toInt else 1000000
     val outPath = if (args.length > 1) args(1) else "STREAM_SOAK.json"
@@ -131,18 +216,37 @@ object StreamSoak {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val sess = soakSessionizer(spark, nBatches, batchSize, nUsers)
     val hh = soakHeavyHitters(spark, nBatches, batchSize)
+    // join soak: 30 steady batches is ~3.3 plateau windows (buffer bound
+    // ≈ 9 batches) — enough to see rise → plateau → post-drain fall
+    val join = soakIntervalJoin(spark, nBatches = 30, batchSize = nEvents / 160)
+    val drift = soakDrift(spark, nBatches, batchSize, nUsers)
     def j(o: OpSoak): String =
       f"""{"rows":${o.rows},"wall_sec":${o.wallSec}%.3f,""" +
         f""""rows_per_sec":${o.rowsPerSec}%.0f,"batches":${o.batches},""" +
         s""""peak_state_rows":${o.peakStateRows},""" +
         s""""final_state_rows":${o.finalStateRows},""" +
         s""""peak_state_bytes":${o.peakStateBytes}}"""
+    val evicted = join.postWatermarkStateRows < join.peakStateRows / 4
+    val jj =
+      f"""{"rows":${join.rows},"wall_sec":${join.wallSec}%.3f,""" +
+        s""""batches":${join.batches},"peak_state_rows":${join.peakStateRows},""" +
+        s""""post_watermark_state_rows":${join.postWatermarkStateRows},""" +
+        s""""state_dropped_after_watermark":$evicted,""" +
+        s""""state_rows_series":[${join.stateSeries.mkString(",")}]}"""
     val out = s"""{"metric":"stream_soak","n_events":${sess.rows},""" +
       s""""n_users_active":$nUsers,"store":"rocksdb",""" +
-      s""""sessionizer_tws":${j(sess)},"heavy_hitters_tws":${j(hh)}}"""
+      s""""sessionizer_tws":${j(sess)},"heavy_hitters_tws":${j(hh)},""" +
+      s""""interval_join":$jj,"cusum_tws":${j(drift)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.getBytes("UTF-8"))
     println(out)
     spark.stop()
+    // the eviction claim is the artifact's point — fail LOUDLY if the
+    // join's buffered rows did not fall after the watermark advanced
+    if (!evicted) {
+      System.err.println(s"[soak] interval-join state did NOT evict: " +
+        s"peak=${join.peakStateRows} final=${join.postWatermarkStateRows}")
+      sys.exit(1)
+    }
   }
 }

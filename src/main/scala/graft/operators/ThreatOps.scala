@@ -1418,7 +1418,14 @@ object ThreatOps {
     val rres = grid.join(risk, Seq("user_id"))
       .groupBy(col("resource"))
       .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))
-      .select(col("resource"), expr("s * 10000 div n").as("resource_risk_bp"))
+      // basis points in DECIMAL(38,0): DuckDB's sum(BIGINT) widens to
+      // HUGEINT, so its `sum(r)*10000 // n` can't overflow — a Long-typed
+      // `s * 10000` here COULD (Σrisk > ~9.2e14 per resource) and would
+      // silently diverge from the oracle; the decimal widening keeps both
+      // engines exact, and the integral quotient always fits a long.
+      .select(col("resource"),
+        expr("cast(cast(s as decimal(38,0)) * 10000 div n as long)")
+          .as("resource_risk_bp"))
     grid.join(rres, Seq("resource"))
       .groupBy(col("user_id"))
       .agg(max(col("resource_risk_bp")).as("exposure_bp"),

@@ -606,11 +606,23 @@ class ThreatOpsSpec extends SparkSpec {
           s"bucket $b holds degrees [$lo,$hi] outside [2^$b, 2^${b + 1})")
       }
     }
-    // degrees reconcile with an independent replay of the pair graph
+    // degrees reconcile with an independent replay of the pair graph.
+    // maxOption: an all-isolated fixture has NO pairs — that case must
+    // fail (or pass) as a readable assertion on the -1 bucket, not crash
+    // with UnsupportedOperationException on an empty .max.
     val pairDeg = replayPairs().flatMap { case (a, b) => Seq(a, b) }
-      .groupBy(identity).values.map(_.length.toLong).max
-    assert(d.filter(_.getLong(0) >= 0).map(_.getAs[Long]("max_degree")).max
-      === pairDeg)
+      .groupBy(identity).values.map(_.length.toLong).maxOption
+    val gridMax = d.filter(_.getLong(0) >= 0)
+      .map(_.getAs[Long]("max_degree")).maxOption
+    pairDeg match {
+      case Some(p) => assert(gridMax.contains(p),
+        s"max bucketed degree $gridMax diverges from replay degree $p")
+      case None =>
+        assert(gridMax.isEmpty, "no replay pairs but non-isolated buckets exist")
+        assert(d.map(_.getAs[Long]("n_users")).sum ===
+          d.filter(_.getLong(0) == -1L).map(_.getAs[Long]("n_users")).sum,
+          "with no pairs, every user must land in the isolated (-1) bucket")
+    }
   }
 
   test("qHandoffPairs matches a literal first-touch replay") {
