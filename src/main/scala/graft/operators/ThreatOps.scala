@@ -1152,9 +1152,20 @@ object ThreatOps {
     // The 3-iteration lineage is shallow enough that re-derivation is
     // the cheaper trade at every scale (each re-read is one pushed-down
     // two-column scan + map-side-combined distinct).
-    val ur = activityLog(spark, dir)
+    val ur0 = activityLog(spark, dir)
       .filter(col("resource").isNotNull)
       .select(col("user_id"), col("resource")).distinct()
+    // A/B (SPARK_GRAFT_HITS_TEMP=1): materialize the edge list ONCE to a
+    // short-lived parquet temp and re-read it — a parquet leaf keeps the
+    // size estimates broadcast planning wants and sidesteps the
+    // InMemoryRelation serialization that made .cache() 10-30x slower.
+    val ur = if (sys.env.get("SPARK_GRAFT_HITS_TEMP").contains("1"))
+      graft.Memo("hitsEdges", spark, dir) {
+        val p = s"/tmp/graft-hits-${(dir + "#" + System.identityHashCode(spark)).hashCode.abs}"
+        ur0.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    else ur0
     def l1(df: DataFrame, score: String): DataFrame = {
       val tot = df.agg(sum(col(score)).as("_t"))
       df.crossJoin(broadcast(tot))
