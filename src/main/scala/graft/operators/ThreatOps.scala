@@ -1141,31 +1141,33 @@ object ThreatOps {
     * Emits every node like the PageRank query, scores ×1000.
     */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
-    // NOTE on (non-)pinning: unlike qPagerank's contribs, ur stays
-    // UN-cached here — measured 4.3s uncached vs 50-140s with a
-    // .cache() on this frame at sf0.1. The L1-normalization broadcast
-    // subqueries (one per half-step, six total) each re-plan the tree;
-    // with an InMemoryRelation leaf those broadcast builds serialize on
-    // the cache's materialization/locks and lose the parquet-derived
-    // size estimates that keep the auth/hub sides broadcast, while the
-    // uncached tree re-reads a columnar scan Spark pipelines freely.
-    // The 3-iteration lineage is shallow enough that re-derivation is
-    // the cheaper trade at every scale (each re-read is one pushed-down
-    // two-column scan + map-side-combined distinct).
+    // Edge-list materialization, MEASURED three ways (sf0.1 / x10
+    // amplified, min of warm runs):
+    //   .cache() on ur        : 50-140 s  — the six L1 broadcast
+    //     subqueries serialize on InMemoryRelation materialization and
+    //     lose the size estimates that keep the small side broadcast;
+    //   re-derive per consumer: 1.6-2.3 s / 7.2-7.3 s — each of the 6
+    //     joins re-pays the scan+distinct, and the gap WIDENS with data;
+    //   parquet temp (shipped): 1.1-1.5 s / 2.6 s — write the distinct
+    //     edge list ONCE per (session, dir), re-read as a fresh parquet
+    //     leaf: keeps parquet size estimates for broadcast planning,
+    //     no InMemoryRelation lock contention, one-time ~0.3-3 s write
+    //     amortized across the 6 consumers. On a cluster the temp dir
+    //     would be job-scratch storage; the pattern (materialize a
+    //     multiply-consumed reduction to columnar scratch instead of
+    //     executor cache) is the standard 100 TB move.
+    // SPARK_GRAFT_HITS_TEMP=0 restores re-derivation for A/B.
     val ur0 = activityLog(spark, dir)
       .filter(col("resource").isNotNull)
       .select(col("user_id"), col("resource")).distinct()
-    // A/B (SPARK_GRAFT_HITS_TEMP=1): materialize the edge list ONCE to a
-    // short-lived parquet temp and re-read it — a parquet leaf keeps the
-    // size estimates broadcast planning wants and sidesteps the
-    // InMemoryRelation serialization that made .cache() 10-30x slower.
-    val ur = if (sys.env.get("SPARK_GRAFT_HITS_TEMP").contains("1"))
+    val ur = if (sys.env.get("SPARK_GRAFT_HITS_TEMP").contains("0")) ur0
+    else
       graft.Memo("hitsEdges", spark, dir) {
-        val p = s"/tmp/graft-hits-${(dir + "#" + System.identityHashCode(spark)).hashCode.abs}"
+        val p = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-hits-" +
+          (dir + "#" + System.identityHashCode(spark)).hashCode.abs
         ur0.write.mode("overwrite").parquet(p)
         spark.read.parquet(p)
       }
-    else ur0
     def l1(df: DataFrame, score: String): DataFrame = {
       val tot = df.agg(sum(col(score)).as("_t"))
       df.crossJoin(broadcast(tot))
