@@ -220,6 +220,14 @@ object SparkEntry {
     // F. corpus statistics + substring-level dedup
     "q_zipf_fit" -> (TextOps.qZipfFit _),
     "q_window_dup" -> (TextOps.qWindowDup _),
+    // B. graph health (round 8)
+    "q_assortativity" -> (ThreatOps.qAssortativity _),
+    // D. density-ratio outliers (round 8)
+    "q_lof_score" -> (MLOps.qLofScore _),
+    // F. corpus forensics (round 8)
+    "q_token_len_dist" -> (TextOps.qTokenLenDist _),
+    "q_ngram_novelty" -> (TextOps.qNgramNovelty _),
+    "q_dup_rate_by_source" -> (DedupOps.qDupRateBySource _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2496,6 +2504,83 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN wdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 4) AS dup_frac
          FROM w JOIN df USING (wh) GROUP BY doc_id ORDER BY doc_id""",
+    // Degree assortativity: every statistic an exact integer (HUGEINT on
+    // the DuckDB side mirrors the Spark side's DECIMAL(38,0)); the final
+    // ratio is one double expression of identical shape on both engines.
+    "q_assortativity" ->
+      s"""WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
+         pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT ua AS src, ub AS dst FROM pr
+           UNION ALL SELECT ub, ua FROM pr),
+         d AS (SELECT src AS u, count(*)::HUGEINT AS deg FROM e GROUP BY 1),
+         xy AS (SELECT dx.deg AS dx, dy.deg AS dy
+           FROM e JOIN d dx ON e.src = dx.u JOIN d dy ON e.dst = dy.u),
+         st AS (SELECT count(*)::HUGEINT AS n, sum(dx) AS sx, sum(dy) AS sy,
+           sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_edges,
+           CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
+             ELSE round((n*sxy - sx*sy)::DOUBLE /
+               (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+           END AS assortativity
+         FROM st""",
+    "q_token_len_dist" ->
+      """WITH toks AS (SELECT source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         g AS (SELECT source,
+             CASE WHEN nt <= 0 THEN -1 ELSE length(bin(nt)) - 1 END AS bucket,
+             count(*) AS n_docs, sum(nt) AS total_tokens,
+             min(nt) AS min_tokens, max(nt) AS max_tokens
+           FROM toks GROUP BY 1, 2),
+         ps AS (SELECT source, sum(n_docs) AS src_docs FROM g GROUP BY 1)
+         SELECT g.source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(min_tokens AS BIGINT) AS min_tokens,
+           CAST(max_tokens AS BIGINT) AS max_tokens,
+           CAST(n_docs * 10000 // src_docs AS BIGINT) AS share_bp
+         FROM g JOIN ps USING (source) ORDER BY 1, 2""",
+    // Novelty = distinct 5-shingle HASHES first seen in this doc (hashes,
+    // not strings, are deduplicated — mirrors array_distinct over
+    // ShingleHash32, so an md5-prefix collision dedups identically).
+    "q_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS t FROM documents),
+         sh AS (SELECT doc_id, ${shingleSqlK(5)} AS sh FROM t),
+         h AS (SELECT DISTINCT doc_id, unnest(list_transform(sh, x -> $hash32Sql)) AS h
+           FROM sh),
+         f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY 1),
+         nov AS (SELECT doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+           FROM h JOIN f USING (h) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 10000
+             ELSE n_novel * 10000 // n_shingles END AS BIGINT) AS novelty_bp
+         FROM documents d LEFT JOIN nov USING (doc_id) ORDER BY doc_id""",
+    "q_dup_rate_by_source" ->
+      s"""WITH RECURSIVE pr AS ($minhashPairsSql),
+         $clusterCompSql,
+         ex AS (SELECT min(doc_id) AS kd FROM documents GROUP BY md5(text)),
+         agg AS (SELECT d.source, count(*) AS n_docs,
+             sum(CASE WHEN d.doc_id IN (SELECT kd FROM ex) THEN 0 ELSE 1 END)
+               AS exact_dup_docs,
+             sum(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+               THEN 1 ELSE 0 END) AS near_dup_docs
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+           GROUP BY 1)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(exact_dup_docs AS BIGINT) AS exact_dup_docs,
+           CAST(near_dup_docs AS BIGINT) AS near_dup_docs,
+           CAST(exact_dup_docs * 10000 // n_docs AS BIGINT) AS exact_dup_bp,
+           CAST(near_dup_docs * 10000 // n_docs AS BIGINT) AS near_dup_bp
+         FROM agg ORDER BY source""",
   )
 
   /** Oracle for q_corr_matrix, generated from the same feature list the

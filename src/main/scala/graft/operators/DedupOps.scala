@@ -244,6 +244,41 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplication forensics BY SOURCE — the table that tells a corpus
+    * curator WHICH ingest feed is flooding the pipeline with copies
+    * (per-corpus dup rates hide a single bad crawler behind clean feeds).
+    * Per source: docs, exact-duplicate non-survivors (md5(text) groups,
+    * min doc_id survives — same contract as [[qDedupExact]]), near-dup
+    * non-survivors (thresholded-MinHash cluster members that are not the
+    * cluster minimum — same labels as [[qDedupClusters]], shared via its
+    * Memo), and both rates in exact integer basis points. Three
+    * source-keyed rollups over frames that already exist; no new
+    * corpus-sized shuffle.
+    */
+  def qDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("source"))
+    val exactSurvivor = documents(spark, dir)
+      .groupBy(md5(col("text")).as("ch")).agg(min(col("doc_id")).as("kd"))
+      .select(col("kd").as("doc_id"), lit(1L).as("is_exact_survivor"))
+    val labels = graft.Memo("dedupClusterLabels", spark, dir)(
+      clusterLabels(spark, dir))
+    val nearDup = labels.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit(1L).as("is_near_dup"))
+    docs
+      .join(exactSurvivor, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_exact_survivor").isNull, 1L).otherwise(0L))
+          .as("exact_dup_docs"),
+        sum(coalesce(col("is_near_dup"), lit(0L))).as("near_dup_docs"))
+      .select(col("source"), col("n_docs"), col("exact_dup_docs"),
+        col("near_dup_docs"),
+        expr("exact_dup_docs * 10000 div n_docs").as("exact_dup_bp"),
+        expr("near_dup_docs * 10000 div n_docs").as("near_dup_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Pregel-style min-label propagation over the thresholded MinHash pair
     * graph (see [[qDedupClusters]]): returns (id, lbl) for every node
     * that appears in an edge, converged to the component minimum. The

@@ -351,7 +351,69 @@ object MLOps {
       .filter(col("user_id") =!= col("uid_p"))
       .filter(pow(col("pc1") - col("x_p"), 2) + pow(col("pc2") - col("y_p"), 2)
         <= eps * eps)
-      .select(col("uid_p").as("a"), col("user_id").as("b"))
+      .select(col("uid_p").as("a"), col("user_id").as("b"),
+        sqrt(pow(col("pc1") - col("x_p"), 2) +
+          pow(col("pc2") - col("y_p"), 2)).as("dist"))
+  }
+
+  /** Local Outlier Factor (Breunig 2000) over the PCA-2 projection — the
+    * density-RATIO outlier score the reference's detector comparison is
+    * missing (DBSCAN's noise flag is binary; LOF grades "how much
+    * sparser than its OWN neighborhood" a point sits, so it sees local
+    * outliers a global z-score or a fixed eps-ball count can't).
+    * Distributed form: neighbors come from the shared [[epsPairs]]
+    * grid-cell join (eps = 1.0 — a 2-cell locality radius, wider than
+    * the noise screen's 0.5 so kNN is usually complete), k = 10 nearest
+    * within the radius (row_number window over the pair frame — bounded
+    * by cell population, never all-pairs), then the classic chain:
+    * k-distance → reachability distance (max(dist, kdist(neighbor))) →
+    * local reachability density → LOF = mean neighbor lrd / own lrd.
+    * Points with no eps-neighbor score 1.0 (no local evidence either
+    * way; DBSCAN-noise already covers them). Eps-locality-bounded LOF is
+    * the standard scale adaptation (true global kNN is a k-NN-join —
+    * [[graft.operators.SimilarityOps]] territory). Rows-only: float
+    * distance ties make the k-th neighbor engine-unstable; the spec
+    * plants a dense blob + a local outlier and pins the ordering.
+    */
+  def qLofScore(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("lof", spark, dir) {
+      lofScores(
+        qPcaProject(spark, dir).select(col("user_id"), col("pc1"), col("pc2")),
+        eps = 1.0, k = 10)
+        .orderBy(col("user_id"))
+    }
+
+  private[graft] def lofScores(pts: DataFrame, eps: Double, k: Int): DataFrame = {
+    // checkpointed: consumed by the kNN window AND (via knn) three more
+    // joins — re-deriving the grid join per consumer would re-pay the
+    // 9x explode each time
+    val pairs = epsPairs(pts, eps).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("dist").asc, col("b").asc)
+    val knn = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select(col("a"), col("b"), col("dist"))
+      .localCheckpoint()
+    val kdist = knn.groupBy(col("a").as("u"))
+      .agg(max(col("dist")).as("kdist"), count(lit(1)).as("kn"))
+    val reach = knn
+      .join(kdist.select(col("u").as("b"), col("kdist").as("kdist_b")), Seq("b"))
+      .select(col("a"), col("b"), greatest(col("dist"), col("kdist_b")).as("reach"))
+    // lrd = |kNN| / Σ reach; an all-duplicate neighborhood has Σ reach = 0
+    // (infinite density) — clamp to keep the ratio finite and ordered
+    val lrd = reach.groupBy(col("a").as("u"))
+      .agg((count(lit(1)).cast("double") /
+        greatest(sum(col("reach")), lit(1e-12))).as("lrd"))
+    val lof = reach
+      .join(lrd.select(col("u").as("b"), col("lrd").as("lrd_b")), Seq("b"))
+      .groupBy(col("a").as("user_id")).agg(avg(col("lrd_b")).as("mean_lrd_b"))
+      .join(lrd.select(col("u").as("user_id"), col("lrd")), Seq("user_id"))
+      .select(col("user_id"), (col("mean_lrd_b") / col("lrd")).as("lof_raw"))
+    pts.join(lof, Seq("user_id"), "left")
+      .join(kdist.select(col("u").as("user_id"), col("kn")), Seq("user_id"), "left")
+      .select(col("user_id"), col("pc1"), col("pc2"),
+        coalesce(col("kn"), lit(0L)).as("n_local"),
+        r4(coalesce(col("lof_raw"), lit(1.0))).as("lof"),
+        (coalesce(col("lof_raw"), lit(1.0)) > 1.5).cast("long").as("is_outlier"))
   }
 
   /** Full DBSCAN cluster ASSIGNMENT (not just the noise flag) over the

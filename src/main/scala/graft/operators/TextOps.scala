@@ -701,4 +701,60 @@ object TextOps {
           col("n_windows").cast("double")).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source token-length distribution — the data-card histogram every
+    * corpus release publishes (and the input to sequence-packing / context
+    * budgeting decisions). Buckets are EXACT log₂ bins via the same
+    * integer bin-string trick as q_degree_dist (len(bin(n))−1 — no libm
+    * log to diverge cross-engine; bucket −1 = zero-token docs). One
+    * narrow scan + one (source, bucket) aggregation; the per-source doc
+    * share is exact integer basis points. At 100 TB this is a scan-bound
+    * two-column rollup — |sources|·|buckets| result rows.
+    */
+  def qTokenLenDist(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spread(spark, documents(spark, dir))
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .select(col("source"), col("nt"),
+        when(col("nt") <= 0L, lit(-1L))
+          .otherwise((length(bin(col("nt"))) - 1).cast("long")).as("bucket"))
+    val perSrc = toks.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+    toks.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"))
+      .join(perSrc, Seq("source"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        expr("n_docs * 10000 div src_docs").as("share_bp"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Per-document n-gram NOVELTY against everything earlier in the corpus
+    * (doc_id order): the fraction of a doc's distinct word-5-shingle
+    * hashes whose FIRST corpus occurrence is this doc. The
+    * dedup-adjacent curriculum signal ("how much does this doc add?") —
+    * boilerplate scores near 0, fresh content near 10⁴ bp. One
+    * first-occurrence aggregation over the exploded shingle hashes
+    * (term-keyed, map-side combined) + one hash-keyed join back; never
+    * doc×doc. Docs too short for a 5-shingle are vacuously novel
+    * (10⁴ bp, 0 shingles). Exact integer basis points.
+    */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val h = spread(spark, documents(spark, dir))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.ShingleHash32(col("text"), 5))).as("h"))
+    val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val nov = h.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    documents(spark, dir).select(col("doc_id"))
+      .join(nov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(10000L))
+          .otherwise(expr("n_novel * 10000 div n_shingles")).as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
 }

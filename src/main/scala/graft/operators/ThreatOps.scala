@@ -1446,6 +1446,43 @@ object ThreatOps {
       .orderBy(col("exposure_bp").desc, col("user_id").asc)
       .limit(50)
   }
+
+  /** Degree assortativity of the capped co-access graph (Newman 2002):
+    * Pearson correlation of the degrees at the two ends of every
+    * (symmetrized) edge. The one-number graph-health gauge behind "do
+    * heavy co-accessors cluster with each other?" — assortative (r>0)
+    * rings of high-degree accounts are the insider-collusion shape,
+    * disassortative (r<0) hubs touching leaves is the service-account
+    * shape. All six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate in exact DECIMAL over integer degrees (DuckDB widens to
+    * HUGEINT — same trick as [[qRiskPropagation]]), so both engines
+    * compute the identical closed-form ratio; one degree rollup + two
+    * |users|-row joins onto the shared [[coaccessEdges]] frame. A
+    * degree-regular graph has zero variance — emitted as r=0 on both
+    * engines rather than a NaN/NULL divergence.
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coaccessEdges(spark, dir)
+    val deg = edges.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("u").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val dec = "decimal(38,0)"
+    val s = xy.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
+      sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+      sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+      sum((col("dy") * col("dy")).cast(dec)).as("syy"))
+    s.select(col("n").cast("long").as("n_edges"),
+      when((col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+           (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(0.0))
+        .otherwise(r4(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))))
+        .as("assortativity"))
+  }
 }
 
 /** Primitive open-addressed long→long counter for partition-local pair

@@ -1,9 +1,69 @@
 package graft
 
-import graft.operators.{MLOps, MultimodalOps, TextOps}
+import graft.operators.{DedupOps, MLOps, MultimodalOps, TextOps}
 import org.apache.spark.sql.functions._
 
 class TextMlSpec extends SparkSpec {
+
+  test("qTokenLenDist: buckets partition each source, bounds exact, shares floor-exact") {
+    val d = TextOps.qTokenLenDist(spark, sf).collect()
+    val bySource = d.groupBy(_.getString(0))
+    val srcTotals = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rows) <- bySource) {
+      val n = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(n === srcTotals(src), s"bucket counts must partition source $src")
+      for (r <- rows) {
+        val (b, lo, hi) = (r.getAs[Long]("bucket"),
+          r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"))
+        if (b >= 0) assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+          s"source $src bucket $b holds [$lo,$hi]")
+        assert(r.getAs[Long]("share_bp") ===
+          r.getAs[Long]("n_docs") * 10000L / srcTotals(src))
+      }
+    }
+  }
+
+  test("qNgramNovelty: bp bounded, first doc fully novel, novelty conserves") {
+    val d = TextOps.qNgramNovelty(spark, sf).collect()
+    assert(d.length.toLong === Tables.documents(spark, sf).count())
+    assert(d.forall { r =>
+      val (ns, nn, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      nn <= ns && bp >= 0L && bp <= 10000L &&
+        (if (ns == 0L) bp == 10000L else bp == nn * 10000L / ns)
+    })
+    // the earliest doc WITH shingles can only contain first occurrences
+    val firstShingled = d.filter(_.getLong(1) > 0).minBy(_.getLong(0))
+    assert(firstShingled.getLong(3) === 10000L)
+    // conservation: every distinct corpus shingle hash is novel exactly once
+    val distinctH = Tables.documents(spark, sf)
+      .select(explode(array_distinct(
+        graft.functions.ShingleHash32(col("text"), 5))).as("h"))
+      .select(col("h")).distinct().count()
+    assert(d.map(_.getLong(2)).sum === distinctH,
+      "sum of per-doc novel counts must equal the distinct corpus shingles")
+  }
+
+  test("qDupRateBySource: cross-consistent with exact dedup and cluster survivorship") {
+    val d = DedupOps.qDupRateBySource(spark, sf).collect()
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(d.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    val distinctTexts = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(d.map(_.getAs[Long]("exact_dup_docs")).sum === totalDocs - distinctTexts,
+      "exact non-survivors must equal docs minus distinct contents")
+    val nearNonSurvivors = DedupOps.qDedupClusters(spark, sf)
+      .filter(col("is_survivor") === 0L).count()
+    assert(d.map(_.getAs[Long]("near_dup_docs")).sum === nearNonSurvivors,
+      "near-dup non-survivors must match qDedupClusters")
+    for (r <- d) {
+      assert(r.getAs[Long]("exact_dup_bp") ===
+        r.getAs[Long]("exact_dup_docs") * 10000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("near_dup_bp") ===
+        r.getAs[Long]("near_dup_docs") * 10000L / r.getAs[Long]("n_docs"))
+    }
+  }
 
   test("qTokenCount: bpe tokens >= ws tokens, char count matches source") {
     val tc = TextOps.qTokenCount(spark, sf)
@@ -255,6 +315,39 @@ class TextMlSpec extends SparkSpec {
     for (id <- 11L to 15L) assert(out(id) === ("core", 11L), s"user $id")
     assert(out(21L) === ("border", 1L))
     assert(out(22L) === ("noise", -1L))
+  }
+
+  test("lofScores: planted local outlier scores far above its dense blob") {
+    val s = spark
+    import s.implicits._
+    // A tight 3x3 lattice (spacing 0.1) and one point sitting 0.8 away —
+    // inside the eps=1.0 locality but ~8x sparser than its neighbors.
+    // Classic LOF: lattice points score ~1, the local outlier >> 1.
+    val blob = for (i <- 0 until 3; j <- 0 until 3)
+      yield ((i * 3 + j + 1).toLong, i * 0.1, j * 0.1)
+    val outlier = Seq((100L, 0.9, 0.9))
+    val lonely = Seq((200L, 50.0, 50.0)) // no eps-neighbor at all
+    val pts = (blob ++ outlier ++ lonely).toDF("user_id", "pc1", "pc2")
+    val out = MLOps.lofScores(pts, eps = 1.0, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    val blobLofs = (1L to 9L).map(out(_)._2)
+    assert(blobLofs.forall(l => l > 0.5 && l < 1.3),
+      s"lattice points must score ~1, got $blobLofs")
+    assert(out(100L)._2 > 2.0 && out(100L)._3 === 1L,
+      s"local outlier must score >>1, got ${out(100L)}")
+    assert(out(100L)._2 > blobLofs.max * 1.5)
+    // no local evidence: neutral score, not an outlier, zero neighbors
+    assert(out(200L) === ((0L, 1.0, 0L)))
+  }
+
+  test("qLofScore on the corpus: every user scored, scores positive, determinism") {
+    val a = MLOps.qLofScore(spark, sf).collect()
+    val users = Tables.cleanEvents(spark, sf).select("user_id").distinct().count()
+    assert(a.length.toLong === users)
+    assert(a.forall(_.getDouble(4) > 0.0))
+    val b = MLOps.qLofScore(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
   test("qDbscanClusters on the corpus: noise iff cluster -1, cores dominate clusters") {

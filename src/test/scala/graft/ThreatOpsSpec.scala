@@ -567,6 +567,30 @@ class ThreatOpsSpec extends SparkSpec {
       .select("ua", "ub").collect().map(r => (r.getLong(0), r.getLong(1)))
   }
 
+  test("qAssortativity matches a literal Pearson replay over the pair graph") {
+    val out = ThreatOps.qAssortativity(spark, sf).collect()
+    assert(out.length === 1)
+    val (nEdges, r) = (out(0).getLong(0), out(0).getDouble(1))
+    assert(r >= -1.0001 && r <= 1.0001, s"assortativity $r outside [-1,1]")
+    // literal replay: symmetrize, per-node degree, Pearson over endpoints
+    val pairs = replayPairs()
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    assert(nEdges === edges.length.toLong)
+    if (edges.nonEmpty) {
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+      val xy = edges.map { case (a, b) => (deg(a), deg(b)) }
+      val n = xy.length.toDouble
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+      val expected = if (den == 0.0) 0.0 else (n * sxy - sx * sy) / den
+      assert(math.abs(r - expected) < 5e-4,
+        s"assortativity $r diverges from replay $expected")
+    } else assert(r === 0.0)
+  }
+
   test("qBlastRadius matches an in-process BFS replay over the same edges") {
     val out = ThreatOps.qBlastRadius(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -32,6 +32,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    # Amplified-fixture knobs: the x10 graph oracles (recursive CTEs over
+    # a ~266M-row pair frame) spill tens of GB per thread at DuckDB's
+    # default threads=|cores|; capping threads + dropping insertion-order
+    # preservation keeps the spill inside the container's disk.
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    if os.environ.get("GRAFT_DUCKDB_UNORDERED"):
+        con.execute("SET preserve_insertion_order=false")
+    only = set(os.environ["GRAFT_CHECK_ONLY"].split(",")) \
+        if os.environ.get("GRAFT_CHECK_ONLY") else None
     def src(p):
         # driver testdata = single file; Spark-written fixtures = directory
         return f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -53,6 +63,8 @@ def main(sf_dir, out_dir, json_out=None):
     n_ok = n_bad = 0
     report = {}
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
