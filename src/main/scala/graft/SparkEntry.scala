@@ -930,19 +930,23 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
-         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+         round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_base_price,
+         round(sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS sum_disc_price,
+         round(sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2))
+           * (1 + l_tax::DECIMAL(4,2))), 2)::DOUBLE AS sum_charge,
          round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 4) AS avg_price,
-         round(avg(l_discount), 4) AS avg_disc,
+         round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*), 4) AS avg_price,
+         round(sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,
-         round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+         round(sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -950,7 +954,8 @@ object SparkEntry {
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q5_join" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+      """SELECT n_name, round(sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
          FROM customer c
          JOIN orders o ON c_custkey = o_custkey
          JOIN lineitem l ON l_orderkey = o_orderkey
@@ -962,14 +967,16 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q14_promo" ->
-      """SELECT date_trunc('month', l_shipdate) AS ship_month,
-           round(sum(CASE WHEN p_type = 'PROMO'
-             THEN l_extendedprice*(1-l_discount) ELSE 0 END), 2) AS promo_rev,
-           round(sum(l_extendedprice*(1-l_discount)), 2) AS total_rev,
-           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-               THEN l_extendedprice*(1-l_discount) ELSE 0 END)
-             / sum(l_extendedprice*(1-l_discount)), 4) AS promo_pct
-         FROM lineitem JOIN part ON l_partkey = p_partkey
+      """WITH li AS (SELECT l_partkey, l_shipdate,
+           l_extendedprice::DECIMAL(12,2)
+             * (1 - l_discount::DECIMAL(4,2)) AS rev
+           FROM lineitem)
+         SELECT date_trunc('month', l_shipdate) AS ship_month,
+           round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)::DOUBLE AS promo_rev,
+           round(sum(rev), 2)::DOUBLE AS total_rev,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::DOUBLE
+             / sum(rev)::DOUBLE, 4) AS promo_pct
+         FROM li JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY 1""",
     "q_window" ->
       """SELECT * FROM (
@@ -1096,7 +1103,8 @@ object SparkEntry {
          FROM daily ORDER BY user_id, day""",
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(l_extendedprice::DECIMAL(12,2)
+             * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
          FROM lineitem l
          WHERE EXISTS (SELECT 1 FROM orders o
                        WHERE o.o_orderkey = l.l_orderkey
@@ -1493,7 +1501,8 @@ object SparkEntry {
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(l_extendedprice::DECIMAL(12,2)
+             * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN supplier ON s_suppkey = l_suppkey
@@ -1526,7 +1535,8 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH rev AS (
            SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(sum(l_extendedprice::DECIMAL(12,2)
+               * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
            GROUP BY 1)
@@ -1576,7 +1586,7 @@ object SparkEntry {
          JOIN supplier ON late_supp = s_suppkey
          ORDER BY numwait DESC, s_suppkey LIMIT 20""",
     "q17_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / 7.0, 2) AS avg_yearly
          FROM lineitem
          JOIN part ON p_partkey = l_partkey
          JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_thresh
@@ -1595,7 +1605,8 @@ object SparkEntry {
          JOIN customer ON c_custkey = o_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q19_disjunct" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT round(sum(l_extendedprice::DECIMAL(12,2)
+             * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
            count(*) AS n_lines
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
@@ -1603,9 +1614,10 @@ object SparkEntry {
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)""",
     "q22_dormant" ->
       """SELECT c_nationkey, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           round(sum(c_acctbal::DECIMAL(14,2)), 2)::DOUBLE AS totacctbal
          FROM customer
-         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+         WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(14,2))::DOUBLE / count(*)
+                            FROM customer WHERE c_acctbal > 0)
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
          GROUP BY c_nationkey ORDER BY c_nationkey""",

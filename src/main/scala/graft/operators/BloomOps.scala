@@ -81,8 +81,7 @@ object BloomOps {
     bloomSemiJoin(li, col("l_orderkey"), urgent, col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue"))
+        round(sum(RelationalOps.revDec), 2).cast("double").as("revenue"))
       .orderBy(col("l_returnflag"))
   }
 }

@@ -25,7 +25,12 @@ object RelationalOps {
 
   /** TPC-H Q1-style pricing summary. One scan of lineitem with the date
     * predicate pushed to parquet, partial agg map-side, one shuffle on the
-    * low-cardinality (flag, status) key.
+    * low-cardinality (flag, status) key. Money sums accumulate in exact
+    * decimal ([[revDec]]): six groups × millions of rows each make a
+    * double sum land on half-cent rounding boundaries depending on
+    * partitioning (caught by the ×10 gate on q14's identical shape), so
+    * every 2-dp money column sums decimally and casts to double only at
+    * the edge. Quantity is integral — its double sum is exact as-is.
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -33,12 +38,16 @@ object RelationalOps {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         r2(sum(col("l_quantity"))).as("sum_qty"),
-        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2)
+          .cast("double").as("sum_base_price"),
+        round(sum(revDec), 2).cast("double").as("sum_disc_price"),
+        round(sum(revDec * (lit(1).cast("decimal(4,2)") +
+          col("l_tax").cast("decimal(4,2)"))), 2).cast("double").as("sum_charge"),
         r4(avg(col("l_quantity"))).as("avg_qty"),
-        r4(avg(col("l_extendedprice"))).as("avg_price"),
-        r4(avg(col("l_discount"))).as("avg_disc"),
+        r4(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("avg_price"),
+        r4(sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+          count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -58,11 +67,10 @@ object RelationalOps {
       .select("o_orderkey", "o_custkey", "o_orderdate")
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     val li = lineitem(spark, dir)
-      .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .select(col("l_orderkey"), revDec.as("rev"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(r2(sum(col("rev"))).as("revenue"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 
@@ -89,14 +97,14 @@ object RelationalOps {
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
-      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      revDec.as("rev"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(r2(sum(col("rev"))).as("revenue"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -107,15 +115,16 @@ object RelationalOps {
   def q14Promo(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir).select(col("l_partkey"),
       date_trunc("month", col("l_shipdate")).as("ship_month"),
-      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      revDec.as("rev"))
+    val promoRev = sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0)))
     li.join(part(spark, dir).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("ship_month"))
       .agg(
-        r2(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0))).as("promo_rev"),
-        r2(sum(col("rev"))).as("total_rev"),
-        r4(lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0))
-          / sum(col("rev"))).as("promo_pct"))
+        round(promoRev, 2).cast("double").as("promo_rev"),
+        round(sum(col("rev")), 2).cast("double").as("total_rev"),
+        r4(lit(100.0) * promoRev.cast("double")
+          / sum(col("rev")).cast("double")).as("promo_pct"))
       .orderBy(col("ship_month"))
   }
 
@@ -788,13 +797,13 @@ object RelationalOps {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).cast("long").as("l_year"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        revDec.as("volume"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19") ||
         (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-      .agg(r2(sum(col("volume"))).as("revenue"))
+      .agg(round(sum(col("volume")), 2).cast("double").as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -868,7 +877,7 @@ object RelationalOps {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_revenue"))
+      .agg(round(sum(revDec), 2).cast("double").as("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev.join(broadcast(mx), col("total_revenue") === col("max_rev"))
       .join(broadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
@@ -896,7 +905,8 @@ object RelationalOps {
       .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(pavg), col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("qty_thresh"))
-      .agg(r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      .agg(r2(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+        / 7.0).as("avg_yearly"))
   }
 
   /** TPC-H Q18-style large-volume orders: orders whose total quantity
@@ -937,14 +947,14 @@ object RelationalOps {
         col("p_size").between(1, 35))
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
     lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_quantity"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .select(col("l_partkey"), col("l_quantity"), revDec.as("rev"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 15)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 25)) ||
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 35)))
-      .agg(r2(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lines"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
   }
 
   /** TPC-H Q22-style dormant-account report: customers with
@@ -958,8 +968,12 @@ object RelationalOps {
   def q22Dormant(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    // the average is a FILTER THRESHOLD: it must be bit-identical across
+    // engines and partitionings or membership itself flips — exact
+    // decimal sum / count, divided in double (2-dp balances sum exactly)
     val avgBal = cust.filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal")).as("avg_bal"))
+      .agg((sum(col("c_acctbal").cast("decimal(14,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
     val recent = orders(spark, dir)
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       .select(col("o_custkey"))
@@ -967,7 +981,9 @@ object RelationalOps {
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("numcust"), r2(sum(col("c_acctbal"))).as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast("decimal(14,2)")), 2)
+          .cast("double").as("totacctbal"))
       .orderBy(col("c_nationkey"))
   }
 
@@ -976,7 +992,7 @@ object RelationalOps {
     * of it — is bit-identical under every partitioning and engine. The
     * double path would land sums on half-cent rounding boundaries.
     */
-  private def revDec: Column =
+  private[operators] def revDec: Column =
     col("l_extendedprice").cast("decimal(12,2)") *
       (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
 
