@@ -1012,7 +1012,8 @@ object SparkEntry {
          FROM g GROUP BY user_id ORDER BY user_id""",
     "q_windowed_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-         count(*) AS n, round(sum(value), 2) AS sum_value
+         count(*) AS n,
+         round(sum(value::DECIMAL(14,2)), 2)::DOUBLE AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_sliding_counts" ->
       """WITH w AS (SELECT event_type, value,
@@ -1021,7 +1022,7 @@ object SparkEntry {
              AS window_start
          FROM events)
          SELECT window_start, event_type, count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           round(sum(value::DECIMAL(14,2)), 2)::DOUBLE AS sum_value
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts,
@@ -1031,11 +1032,13 @@ object SparkEntry {
            ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id""",
     "q_rollup" ->
-      """SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT user_id, event_type, count(*) AS n,
+           round(sum(value::DECIMAL(14,2)), 2)::DOUBLE AS sum_value
          FROM events GROUP BY ROLLUP(user_id, event_type)
          ORDER BY user_id NULLS LAST, event_type NULLS LAST""",
     "q_skew_agg" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n,
+           round(sum(value::DECIMAL(14,2)), 2)::DOUBLE AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
@@ -1217,13 +1220,14 @@ object SparkEntry {
     "q_twap" ->
       """WITH e AS (
            SELECT event_type, CAST(ts AS DATE) AS d, value,
-             (epoch_us(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
-                ORDER BY ts, event_id)) - epoch_us(ts))::DOUBLE / 1e6 AS dt
+             epoch_us(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
            FROM events WHERE value IS NOT NULL)
          SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
-           round(sum(value * dt) / sum(dt), 4) AS twap,
+           round(sum(value::DECIMAL(14,2) * dt_us)::DOUBLE
+             / sum(dt_us)::DOUBLE, 4) AS twap,
            CAST(count(*) AS BIGINT) AS n_intervals
-         FROM e WHERE dt IS NOT NULL
+         FROM e WHERE dt_us IS NOT NULL
          GROUP BY event_type, d ORDER BY event_type, day""",
     "q_coaccess_jaccard" ->
       """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
@@ -1264,7 +1268,7 @@ object SparkEntry {
            min_by(value, k) AS open, max(value) AS high, min(value) AS low,
            max_by(value, k) AS close,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 4) AS mean_value
+           round(sum(value::DECIMAL(14,2))::DOUBLE / count(value), 4) AS mean_value
          FROM e GROUP BY event_type, d
          ORDER BY event_type, day""",
     "q_skyline" ->
@@ -1720,7 +1724,8 @@ object SparkEntry {
              CASE WHEN GROUPING(d) = 0 THEN strftime(d, '%Y-%m-%d') END,
              CASE WHEN GROUPING(w) = 0 THEN strftime(w, '%Y-%m-%d') END,
              'ALL') AS bucket,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n,
+           round(sum(value::DECIMAL(14,2)), 2)::DOUBLE AS sum_value
          FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
                       date_trunc('week', ts) AS w, value
                FROM events)
@@ -1732,7 +1737,7 @@ object SparkEntry {
            FROM events)
          SELECT event_type, CAST(decile AS BIGINT) AS decile, count(*) AS n,
            round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
-           round(avg(value), 4) AS avg_v
+           round(sum(value::DECIMAL(14,2))::DOUBLE / count(value), 4) AS avg_v
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_gap_fill" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
@@ -1862,7 +1867,8 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
-           round(min(value), 4) AS min_v, round(avg(value), 4) AS avg_v,
+           round(min(value), 4) AS min_v,
+           round(sum(value::DECIMAL(14,2))::DOUBLE / count(value), 4) AS avg_v,
            round(max(value), 4) AS max_v,
            round(quantile_cont(value, 0.25), 4) AS p25,
            round(quantile_cont(value, 0.5), 4) AS p50,

@@ -23,6 +23,21 @@ object RelationalOps {
   private def events(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.cleanEvents(spark, dir)
 
+  /** Exact-decimal rollups of the 2-dp events `value` column. A double
+    * sum over a large group is partitioning-order dependent (the ×10 gate
+    * caught q14's identical shape drifting by a cent), and the grand-total
+    * rows of ROLLUP/GROUPING SETS aggregate EVERY row into one group —
+    * the worst case. `value` is 2-dp exact by construction, so the
+    * decimal sum is bit-identical at any scale; doubles reappear only
+    * after the final round. `valueAvg4` divides by the NON-NULL count
+    * (avg semantics) in double — both engines see identical operands.
+    */
+  private[operators] def valueSum2: Column =
+    round(sum(col("value").cast("decimal(14,2)")), 2).cast("double")
+  private[operators] def valueAvg4: Column =
+    r4(sum(col("value").cast("decimal(14,2)")).cast("double") /
+      count(col("value")))
+
   /** TPC-H Q1-style pricing summary. One scan of lineitem with the date
     * predicate pushed to parquet, partial agg map-side, one shuffle on the
     * low-cardinality (flag, status) key. Money sums accumulate in exact
@@ -207,7 +222,7 @@ object RelationalOps {
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .rollup(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), valueSum2.as("sum_value"))
       .orderBy(col("user_id").asc_nulls_last, col("event_type").asc_nulls_last)
 
   /** Anti join: customers with no urgent order. A LEFT ANTI join shuffles
@@ -242,7 +257,7 @@ object RelationalOps {
     events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), r4(min(col("value"))).as("min_v"),
-        r4(avg(col("value"))).as("avg_v"), r4(max(col("value"))).as("max_v"), pcts)
+        valueAvg4.as("avg_v"), r4(max(col("value"))).as("max_v"), pcts)
       .select(col("event_type"), col("n"), col("min_v"), col("avg_v"), col("max_v"),
         r4(element_at(col("p"), 1)).as("p25"),
         r4(element_at(col("p"), 2)).as("p50"),
@@ -419,7 +434,7 @@ object RelationalOps {
   def qWindowedCounts(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), valueSum2.as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
@@ -433,7 +448,7 @@ object RelationalOps {
   def qSlidingCounts(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), valueSum2.as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
@@ -618,7 +633,7 @@ object RelationalOps {
       .withColumn("decile", ntile(10).over(w).cast("long"))
       .groupBy(col("event_type"), col("decile"))
       .agg(count(lit(1)).as("n"), r4(min(col("value"))).as("min_v"),
-        r4(max(col("value"))).as("max_v"), r4(avg(col("value"))).as("avg_v"))
+        r4(max(col("value"))).as("max_v"), valueAvg4.as("avg_v"))
       .orderBy(col("event_type"), col("decile"))
   }
 
@@ -670,7 +685,8 @@ object RelationalOps {
              CASE WHEN grouping(d) = 0 THEN date_format(d, 'yyyy-MM-dd') END,
              CASE WHEN grouping(w) = 0 THEN date_format(w, 'yyyy-MM-dd') END,
              'ALL') AS bucket,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n,
+           cast(round(sum(cast(value AS decimal(14,2))), 2) AS double) AS sum_value
          FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
                       date_trunc('week', ts) AS w, value
                FROM events_tr)
@@ -1318,12 +1334,15 @@ object RelationalOps {
       .filter(col("value").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("d"),
         col("ts"), col("event_id"), col("value"))
-      .withColumn("dt",
-        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
-          .cast("double") / 1e6)
-      .filter(col("dt").isNotNull)
+      .withColumn("dt_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
       .groupBy(col("event_type"), col("d"))
-      .agg(r4(sum(col("value") * col("dt")) / sum(col("dt"))).as("twap"),
+      // exact time weighting: value (2-dp decimal) × integer µs is an
+      // exact decimal product, both sums are exact, and the µs scale
+      // cancels in the ratio — no float accumulation anywhere
+      .agg(r4(sum(col("value").cast("decimal(14,2)") * col("dt_us")).cast("double")
+          / sum(col("dt_us")).cast("double")).as("twap"),
         count(lit(1)).as("n_intervals"))
       .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("twap"), col("n_intervals"))
@@ -1354,7 +1373,7 @@ object RelationalOps {
         min(col("value")).as("low"),
         max_by(col("value"), col("k")).as("close"),
         count(lit(1)).as("n_events"),
-        r4(avg(col("value"))).as("mean_value"))
+        valueAvg4.as("mean_value"))
       .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("open"), col("high"), col("low"), col("close"),
         col("n_events"), col("mean_value"))

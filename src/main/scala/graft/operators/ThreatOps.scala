@@ -420,9 +420,14 @@ object ThreatOps {
     * groupBy — which is what the DuckDB oracle runs.
     */
   def qSkewAgg(spark: SparkSession, dir: String): DataFrame =
-    SkewOps.saltedCountSum(events(spark, dir), col("event_type"), col("value"))
+    // decimal value: the salted two-stage sum REORDERS accumulation by
+    // construction, so only an exact (2-dp decimal) accumulator makes the
+    // result independent of the salt assignment — and hash-stable vs the
+    // oracle's unsalted single-stage sum
+    SkewOps.saltedCountSum(events(spark, dir), col("event_type"),
+        col("value").cast("decimal(14,2)"))
       .select(col("key").as("event_type"), col("count").as("n"),
-        r2(col("sum")).as("sum_value"))
+        round(col("sum"), 2).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
 
   /** Struct-keyed co-access fallback for id spaces beyond 2^31 (packed
