@@ -40,6 +40,8 @@ def main(sf_dir, out_dir, json_out=None):
         con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     if os.environ.get("GRAFT_DUCKDB_UNORDERED"):
         con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMLIMIT']}'")
     only = set(os.environ["GRAFT_CHECK_ONLY"].split(",")) \
         if os.environ.get("GRAFT_CHECK_ONLY") else None
     def src(p):
