@@ -228,6 +228,9 @@ object SparkEntry {
     "q_token_len_dist" -> (TextOps.qTokenLenDist _),
     "q_ngram_novelty" -> (TextOps.qNgramNovelty _),
     "q_dup_rate_by_source" -> (DedupOps.qDupRateBySource _),
+    "q_cross_source_dup" -> (DedupOps.qCrossSourceDup _),
+    "q_char_entropy" -> (TextOps.qCharEntropy _),
+    "q_centroid_sim" -> (SimilarityOps.qCentroidSim _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2599,6 +2602,48 @@ object SparkEntry {
            CAST(exact_dup_docs * 10000 // n_docs AS BIGINT) AS exact_dup_bp,
            CAST(near_dup_docs * 10000 // n_docs AS BIGINT) AS near_dup_bp
          FROM agg ORDER BY source""",
+    // Mean jaccard is exact: round(j*1e4) recovers the integer the 4-dp
+    // jaccard encodes (within 1e-9 on both engines), the sum is a long.
+    "q_cross_source_dup" ->
+      s"""WITH pr AS ($minhashPairsSql),
+         src AS (SELECT doc_id, source FROM documents),
+         j AS (SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             round(jaccard * 10000)::BIGINT AS j_bp
+           FROM pr JOIN src sa ON pr.doc_a = sa.doc_id
+                   JOIN src sb ON pr.doc_b = sb.doc_id
+           WHERE jaccard >= ${DedupOps.ClusterJaccard})
+         SELECT source_a, source_b, count(*) AS n_pairs,
+           round(sum(j_bp)::DOUBLE / count(*) / 10000.0, 4) AS avg_jaccard,
+           round(max(j_bp)::DOUBLE / 10000.0, 4) AS max_jaccard
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substring(text, i, 1) AS ch
+           FROM documents, UNNEST(generate_series(1, len(text))) AS t(i)),
+         cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(c) AS n, count(*) AS k FROM cnt GROUP BY 1),
+         ent AS (SELECT cnt.doc_id, max(n) AS n_chars, max(k) AS k,
+             round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 4) AS e
+           FROM cnt JOIN tot USING (doc_id) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(ent.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(ent.k, 0) AS BIGINT) AS n_distinct_chars,
+           coalesce(ent.e, 0.0) AS char_entropy
+         FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+         ORDER BY d.doc_id""",
+    "q_centroid_sim" ->
+      """WITH c AS (SELECT label, pos,
+             ((embedding[pos])::DOUBLE)::DECIMAL(16,10) AS xd
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(pos)),
+         s AS (SELECT CAST(label AS BIGINT) AS label, pos,
+             CAST(sum(xd) AS DECIMAL(16,10)) AS sv, count(*) AS n
+           FROM c GROUP BY 1, 2)
+         SELECT a.label AS label_a, b.label AS label_b,
+           CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+           round(sum(a.sv * b.sv)::DOUBLE /
+             (sqrt(sum(a.sv * a.sv)::DOUBLE) * sqrt(sum(b.sv * b.sv)::DOUBLE)),
+             4) AS cosine
+         FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   /** Oracle for q_corr_matrix, generated from the same feature list the

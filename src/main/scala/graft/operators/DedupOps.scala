@@ -487,4 +487,34 @@ object DedupOps {
     cross.unionAll(within)
       .orderBy(greatest(col("c_ab"), col("c_ba")).desc, col("doc_a"), col("doc_b"))
   }
+
+  /** Cross-source near-duplicate matrix: thresholded MinHash pairs
+    * (jaccard ≥ [[ClusterJaccard]], same edge set as [[qDedupClusters]])
+    * rolled up by the UNORDERED source pair of their endpoints — the
+    * contamination forensics a multi-feed corpus needs (a heavy
+    * off-diagonal cell means two ingest feeds crawl the same content;
+    * the diagonal is within-feed duplication [[qDupRateBySource]] rates).
+    * Rides the Memo'd signature/pair frames — no new corpus-sized
+    * shuffle; the rollup output is |sources|² rows. The mean jaccard is
+    * exact: each pair's 4-dp jaccard scales to an integer (round(j·10⁴)
+    * — the double is within 1e-9 of the integer on both engines), sums
+    * as a long, and divides once at the end.
+    */
+  def qCrossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = qDedupMinhashPairs(spark, dir)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 10000).cast("long").as("j_bp"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r4(sum(col("j_bp")).cast("double") / count(lit(1)) / 10000.0)
+          .as("avg_jaccard"),
+        r4(max(col("j_bp")).cast("double") / 10000.0).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -478,4 +478,44 @@ object SimilarityOps {
       ((i + 1).toLong, id, math.rint(rel * 1e4) / 1e4, math.rint(mmr * 1e4) / 1e4)
     }.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
+
+  /** Pairwise cosine similarity between per-label embedding CENTROIDS —
+    * the class/source-drift matrix a curation pipeline watches (two
+    * sources whose centroids converge are collecting the same content;
+    * a label whose centroid drifts from all others is a labeling or
+    * ingest anomaly). Fully EXACT cross-engine: each float component
+    * widens to double (exact) then rounds once to DECIMAL(16,10)
+    * (identical on both engines — a 10-dp tie from a double cannot
+    * occur), per-(label, dim) sums are exact decimal, and because cosine
+    * is scale-invariant the centroid division by n cancels — the cosine
+    * is computed directly on the exact SUM vectors, so even the final
+    * doubles are bit-identical. One narrow explode (dim× rows) + one
+    * (label, dim) aggregation with map-side combine + a |labels|²·dim
+    * join — scan-shaped at any corpus size.
+    */
+  def qCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val comps = embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        col("x").cast("double").cast("decimal(16,10)").as("xd"))
+    val sums = comps.groupBy(col("label"), col("pos"))
+      .agg(sum(col("xd")).cast("decimal(16,10)").as("sv"),
+        count(lit(1)).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("pos"),
+      col("sv").as("sa"), col("n").as("na"))
+    val b = sums.select(col("label").as("label_b"), col("pos").as("pos_b"),
+      col("sv").as("sb"), col("n").as("nb"))
+    a.join(b, col("pos") === col("pos_b") && col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("sa") * col("sb")).as("sab"),
+        sum(col("sa") * col("sa")).as("saa"),
+        sum(col("sb") * col("sb")).as("sbb"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        r4(col("sab").cast("double") /
+          (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
+          .as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

@@ -757,4 +757,43 @@ object TextOps {
           .otherwise(expr("n_novel * 10000 div n_shingles")).as("novelty_bp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document character-level Shannon entropy — the compressibility
+    * signal quality filters use beside token ratios (low entropy =
+    * repeated boilerplate/filler; abnormally high = binary junk or
+    * encoding damage in a text feed). Explode to one row per character
+    * via substr over an in-row index sequence (the same expression shape
+    * on both engines — no regex-split semantics to diverge), count per
+    * (doc, char) — a map-side-combinable aggregation whose shuffle
+    * carries ≤|alphabet| rows per doc per mapper — then
+    * H = −Σ (c/n)·ln(c/n) from exact integer counts; only the final
+    * ≤|alphabet|-term sum is float, bounded and 4-dp rounded (the
+    * q_activity_entropy precedent, ×10-gate proven). Empty docs emit
+    * entropy 0 with n_chars 0 via the restoring left join.
+    */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // filter BEFORE the sequence: Spark's sequence(1, 0) produces the
+    // DESCENDING [1, 0] (default step −1), not an empty array — an empty
+    // doc would phantom two rows; empty docs re-enter via the left join
+    val chars = spread(spark, documents(spark, dir))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substr(text, i, 1)").as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    val p = col("c").cast("double") / col("n")
+    val ent = counts.join(totals, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), max(col("k")).as("n_distinct_chars"),
+        r4(-sum(p * log(p))).as("char_entropy"))
+    documents(spark, dir).select(col("doc_id"))
+      .join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,9 +1,67 @@
 package graft
 
-import graft.operators.{DedupOps, MLOps, MultimodalOps, TextOps}
+import graft.operators.{DedupOps, MLOps, MultimodalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 class TextMlSpec extends SparkSpec {
+
+  test("qCharEntropy: bounds, exact replay, uniform and degenerate cases") {
+    val d = TextOps.qCharEntropy(spark, sf).collect()
+    assert(d.length.toLong === Tables.documents(spark, sf).count())
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    for (r <- d) {
+      val (id, n, k, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val text = docs(id)
+      assert(n === text.length.toLong, s"doc $id n_chars")
+      val counts = text.groupBy(identity).map(_._2.length.toDouble)
+      assert(k === counts.size.toLong, s"doc $id distinct chars")
+      // entropy bounded by log of alphabet; exact replay within rounding
+      if (n > 0) {
+        val exp = -counts.map(c => (c / n) * math.log(c / n)).sum
+        assert(math.abs(h - exp) < 5e-4, s"doc $id entropy $h vs replay $exp")
+        assert(h <= math.log(k.toDouble) + 5e-4, s"doc $id entropy above log k")
+      } else assert(h === 0.0 && k === 0L)
+    }
+  }
+
+  test("qCrossSourceDup: pair mass conserves vs thresholded pair frame") {
+    val d = DedupOps.qCrossSourceDup(spark, sf).collect()
+    val pairs = DedupOps.qDedupMinhashPairs(spark, sf)
+      .filter(col("jaccard") >= DedupOps.ClusterJaccard).count()
+    assert(d.map(_.getAs[Long]("n_pairs")).sum === pairs,
+      "matrix cells must partition the thresholded pair set")
+    for (r <- d) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a <= b, "source pair must be unordered-canonical")
+      val (avg, mx) = (r.getDouble(3), r.getDouble(4))
+      assert(avg >= DedupOps.ClusterJaccard - 1e-4 && avg <= mx + 1e-9 &&
+        mx <= 1.0 + 1e-9, s"jaccard stats out of range for ($a,$b)")
+    }
+  }
+
+  test("qCentroidSim: matches a driver-side exact centroid replay") {
+    val d = SimilarityOps.qCentroidSim(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding")
+      .collect().map(r => r.getInt(0).toLong -> r.getSeq[Float](1).toArray)
+    val labels = vecs.map(_._1).distinct.sorted
+    assert(d.length === labels.length * (labels.length - 1) / 2)
+    val cents = labels.map { l =>
+      val vs = vecs.filter(_._1 == l).map(_._2)
+      l -> (vs.transpose.map(_.map(_.toDouble).sum), vs.length.toLong)
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (r <- d) {
+      val (la, lb) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === cents(la)._2 && r.getLong(3) === cents(lb)._2)
+      val expected = cos(cents(la)._1, cents(lb)._1)
+      assert(math.abs(r.getDouble(4) - expected) < 5e-4,
+        s"cosine($la,$lb) ${r.getDouble(4)} vs replay $expected")
+    }
+  }
 
   test("qTokenLenDist: buckets partition each source, bounds exact, shares floor-exact") {
     val d = TextOps.qTokenLenDist(spark, sf).collect()
