@@ -76,11 +76,11 @@ object ScaleProbe {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale_x10"
     val factor = if (args.length > 2) args(2).toInt else 10
     val names = if (args.length > 3) args(3).split(",").toSeq else Headliners
-    val strided = args.length > 4 && args(4) == "strided"
+    val mode = if (args.length > 4) args(4) else "hotkey"
     val cold = sys.env.get("SPARK_GRAFT_PROBE_COLD").contains("1")
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, baseDir, outDir, factor, strided)
+    amplify(spark, baseDir, outDir, factor, mode)
     // Warm both scales' tables (same reasoning as Bench: first-touch
     // footer/page-cache cost must not land on one arbitrary query).
     for (dir <- Seq(baseDir, outDir)) {
@@ -90,8 +90,10 @@ object ScaleProbe {
       try Tables.events(spark, dir).foreach(_ => ()) catch { case _: Throwable => () }
     }
     // Returns (cold, warm): run 1 — after a Memo invalidation when the
-    // cold flag is on — pays any shared-frame build; warm = min of the
-    // remaining runs (the steady-state estimator Bench uses).
+    // cold flag is on — pays any shared-frame build; warm excludes run 1
+    // ONLY in cold mode (where it genuinely differs); otherwise warm =
+    // min over all runs, the estimator every earlier round's probes used
+    // (a GC spike on run 2 must not land directly in the slope).
     def time(name: String, dir: String): (Double, Double) = {
       if (cold) Memo.invalidate(dir)
       val runs = (1 to (if (cold) 3 else 2)).map { _ =>
@@ -99,7 +101,7 @@ object ScaleProbe {
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      (runs.head, runs.tail.min)
+      (runs.head, if (cold) runs.tail.min else runs.min)
     }
     val rows = names.map { n =>
       val (cb, b) = time(n, baseDir)
@@ -116,7 +118,7 @@ object ScaleProbe {
     val totB = rows.map(_._2._1).sum
     val totX = rows.map(_._2._2).sum
     println(s"""{"metric":"scale_slope","factor":$factor,"base_sf":"$baseDir",""" +
-      s""""mode":"${if (strided) "strided" else "hotkey"}","cold_pass":$cold,""" +
+      s""""mode":"$mode","cold_pass":$cold,""" +
       s""""total_base":$totB,"total_amplified":$totX,""" +
       s""""total_slope":${totX / totB},"queries":{$qs}}""")
     spark.stop()
@@ -126,12 +128,35 @@ object ScaleProbe {
     * (idempotent: skipped when the marker file exists). Events' ts is
     * written back as int64 nanos so `Tables.events`' nanos loader reads
     * the amplified dir exactly like a driver-generated one.
+    *
+    * Modes: "hotkey" (copies unchanged — duplication storm), "strided"
+    * (events only, resource ids strided — disjoint graph clones), "iid"
+    * (strided resources PLUS per-copy content jitter on documents and
+    * embeddings — every copied token gets a copy suffix, so shingle and
+    * token spaces are DISJOINT across copies at preserved length/Zipf
+    * shape, and each copied vector is deterministically perturbed to
+    * ~0.85 cosine of its source, below the 0.9 SemDeDup τ). iid is the
+    * fixture that separates "the cap saturated under a duplication
+    * storm" from "the plan scales": content-blocked candidate sets grow
+    * ×F, not ×F², by construction, so a superlinear slope on iid is a
+    * real plan property. iid fixtures are measurement-only (slope
+    * probes), like every amplified fixture.
     */
   def amplify(spark: SparkSession, baseDir: String, outDir: String, factor: Int,
-              strideResources: Boolean = false): Unit = {
-    val mode = if (strideResources) "_strided" else ""
-    val marker = new java.io.File(s"$outDir/_AMPLIFIED_x$factor$mode")
+              mode: String = "hotkey"): Unit = {
+    require(Set("hotkey", "strided", "iid")(mode), s"unknown mode $mode")
+    val strideResources = mode != "hotkey"
+    val suffix = if (mode == "hotkey") "" else s"_$mode"
+    val marker = new java.io.File(s"$outDir/_AMPLIFIED_x$factor$suffix")
     if (marker.exists()) return
+    // A marker from ANOTHER mode/factor validates tables this run is
+    // about to overwrite — delete all stale markers first so a later run
+    // in the old mode can never skip re-amplification against the wrong
+    // fixture (e.g. 'hotkey'-labeled queries silently measuring strided
+    // events).
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_AMPLIFIED_"))
+      .foreach(_.delete())
     def xF(df: DataFrame, keys: String*): DataFrame = {
       val c = explode(array((0 until factor).map(i => lit(i.toLong)): _*)).as("_copy")
       val withC = df.select(col("*"), c)
@@ -161,13 +186,45 @@ object ScaleProbe {
         .drop("_copy")
     } else evBase
     write(ev0.withColumn("ts", expr("unix_micros(ts) * 1000L")), "events")
-    if (strideResources) { // graph fixture: the family reads events only
+    if (mode == "strided") { // graph fixture: the family reads events only
       marker.getParentFile.mkdirs()
       marker.createNewFile()
       return
     }
-    write(xF(Tables.documents(spark, baseDir), "doc_id"), "documents")
-    write(xF(Tables.embeddings(spark, baseDir), "vec_id"), "embeddings")
+    // iid: copy c of a document suffixes EVERY token with "_c<c>" — token
+    // and shingle spaces are disjoint across copies (no clone storm) at
+    // preserved document length profile and within-copy Zipf shape; copy
+    // 0 keeps the original text verbatim. n_chars tracks the new text.
+    def withCopy(df: DataFrame, keys: String*): DataFrame = {
+      val c = explode(array((0 until factor).map(i => lit(i.toLong)): _*)).as("_copy")
+      keys.foldLeft(df.select(col("*"), c)) { (acc, k) =>
+        acc.withColumn(k, col(k) + col("_copy") * Stride)
+      }
+    }
+    val docs0 = withCopy(Tables.documents(spark, baseDir), "doc_id")
+    val docs = if (mode == "iid")
+      docs0.withColumn("text",
+          when(col("_copy") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_c"), col("_copy").cast("string")))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("_copy")
+    else docs0.drop("_copy")
+    write(docs, "documents")
+    // iid: copy c of a vector adds a deterministic per-(copy, position)
+    // perturbation of amplitude 0.1 per dim — ~0.57 L2 shift on a unit
+    // vector, i.e. ~0.85 cosine to its source: a NEW nearby point, not a
+    // clone, so pair candidate sets grow ×F, not ×F².
+    val emb0 = withCopy(Tables.embeddings(spark, baseDir), "vec_id")
+    val emb = if (mode == "iid")
+      emb0.withColumn("embedding",
+          when(col("_copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"), (x, i) =>
+              (x + sin(col("vec_id").cast("double") * 0.7
+                + i.cast("double") * 1.3) * lit(0.1)).cast("float"))))
+        .drop("_copy")
+    else emb0.drop("_copy")
+    write(emb, "embeddings")
     write(xF(Tables.customer(spark, baseDir), "c_custkey"), "customer")
     write(xF(Tables.orders(spark, baseDir), "o_orderkey", "o_custkey"), "orders")
     write(xF(Tables.lineitem(spark, baseDir), "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")

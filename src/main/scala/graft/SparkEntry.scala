@@ -347,7 +347,12 @@ object SparkEntry {
       val mask = (1L << DedupOps.SimhashBandBits) - 1
       s"'$b:' || ((simhash >> $shift) & $mask)::VARCHAR"
     }.mkString(", ")
-    s"""banded AS (SELECT doc_id, simhash, unnest([$bands]) AS band FROM fp),
+    // band-bucket population cap (first-K by doc_id) — the identical
+    // clamp DedupOps.SimhashBandCap applies on the engine side
+    s"""banded AS (SELECT doc_id, simhash, band
+          FROM (SELECT doc_id, simhash, unnest([$bands]) AS band FROM fp) t
+          QUALIFY row_number() OVER (PARTITION BY band ORDER BY doc_id)
+            <= ${DedupOps.SimhashBandCap}),
         sp AS (SELECT doc_a, doc_b, hamming FROM (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -363,9 +368,14 @@ object SparkEntry {
     s"""WITH s AS (SELECT doc_id, list_distinct(hs) AS hj,
           ${(0 until 12).map(minhashSql).mkString(", ")}
         FROM ($hashedShinglesSql)),
-        bk AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
-          s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
-        FROM s),
+        bk AS (SELECT doc_id, bucket
+          FROM (SELECT doc_id, unnest([${(0 until 4).map(b =>
+            s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
+          FROM s) t
+          -- band-bucket population cap (first-K by doc_id), the identical
+          -- clamp DedupOps.MinhashBandCap applies on the engine side
+          QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+            <= ${DedupOps.MinhashBandCap}),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
@@ -1484,8 +1494,11 @@ object SparkEntry {
          JOIN part ON l_partkey = p_partkey
          WHERE p_type = 'STANDARD'
          GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    // data-derived threshold (multiple of the MEAN per-part value) —
+    // scale-invariant, so the entry stays non-vacuous on amplified
+    // fixtures; mirrors RelationalOps.Q11ThresholdX
     "q11_important" ->
-      """WITH pv AS (
+      s"""WITH pv AS (
            SELECT l_partkey,
              sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS val_dec
            FROM lineitem
@@ -1495,7 +1508,8 @@ object SparkEntry {
            GROUP BY 1)
          SELECT l_partkey AS p_partkey, round(val_dec, 2)::DOUBLE AS value
          FROM pv
-         WHERE val_dec::DOUBLE > (SELECT sum(val_dec)::DOUBLE * 0.0008 FROM pv)
+         WHERE val_dec::DOUBLE > (SELECT sum(val_dec)::DOUBLE / count(*)
+             * ${RelationalOps.Q11ThresholdX} FROM pv)
          ORDER BY value DESC, p_partkey""",
     "q12_priority" ->
       """SELECT l_returnflag,
@@ -1817,12 +1831,18 @@ object SparkEntry {
            CASE WHEN node LIKE 'u%' THEN 'user' ELSE 'resource' END AS kind,
            round(rank * 1000, 4) AS rank_x1000
          FROM r3 ORDER BY node""",
+    // The kNN sparsifier reads the CAPPED co-access projection (deg ≤
+    // CoaccessMaxDegree, same keep-filter as q_coaccess_capped) — the
+    // oracle applies the identical degree filter so the entry stays
+    // hash-checked with the production cap active.
     "q_knn_triangles" ->
-      """WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$.k') AS res
+      s"""WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
            FROM events
-           WHERE json_extract_string(props,'$.k') IS NOT NULL AND user_id IS NOT NULL),
+           WHERE json_extract_string(props,'$$.k') IS NOT NULL AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
          pc AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS c
            FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
            GROUP BY 1, 2 HAVING count(*) >= 2),
          dirp AS (SELECT ua AS u, ub AS v, c FROM pc
            UNION ALL SELECT ub, ua, c FROM pc),
@@ -1995,13 +2015,18 @@ object SparkEntry {
            round(sqrt(list_sum(errs) / n_dims), 4) AS rmse,
            round(sqrt(list_max(errs)), 4) AS max_err
          FROM e ORDER BY vec_id""",
+    // nc = per-label population cap (first-K by vec_id), the identical
+    // clamp SimilarityOps.NeardupLabelCap applies on the engine side
     "q_embed_neardup" ->
-      s"""WITH n AS ($embNormSql)
+      s"""WITH n AS ($embNormSql),
+          nc AS (SELECT * FROM n
+            QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id)
+              <= ${SimilarityOps.NeardupLabelCap})
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             CAST(a.label AS BIGINT) AS label,
             round(list_sum(list_transform(generate_series(1, len(a.v)),
               i -> a.v[i]*b.v[i])) / (a.nv*b.nv), 4) AS cos
-          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          FROM nc a JOIN nc b ON a.label = b.label AND a.vec_id < b.vec_id
           ORDER BY cos DESC, vec_a, vec_b LIMIT 20""",
     "q_ann_brute" ->
       s"""WITH n AS ($embNormSql),
@@ -2635,13 +2660,21 @@ object SparkEntry {
              ((embedding[pos])::DOUBLE)::DECIMAL(16,10) AS xd
            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(pos)),
          s AS (SELECT CAST(label AS BIGINT) AS label, pos,
-             CAST(sum(xd) AS DECIMAL(16,10)) AS sv, count(*) AS n
+             -- floor-quantized integer sums (NOT a rounding cast — Spark
+             -- rounds HALF_UP, DuckDB truncates, floor has no ties);
+             -- 18 digits keeps the product/sum chain within the 38-digit
+             -- decimal ceiling on both engines (see SimilarityOps)
+             CAST(floor(sum(xd) * 10000) AS DECIMAL(18,0)) AS sv,
+             count(*) AS n
            FROM c GROUP BY 1, 2)
          SELECT a.label AS label_a, b.label AS label_b,
            CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
-           round(sum(a.sv * b.sv)::DOUBLE /
-             (sqrt(sum(a.sv * a.sv)::DOUBLE) * sqrt(sum(b.sv * b.sv)::DOUBLE)),
-             4) AS cosine
+           -- unrounded: operands are identical exact integers on both
+           -- engines, so the double chain is bit-identical, while a final
+           -- round(·,4) would disagree on .xxxx5 boundaries
+           sum(a.sv * b.sv)::DOUBLE /
+             (sqrt(sum(a.sv * a.sv)::DOUBLE) * sqrt(sum(b.sv * b.sv)::DOUBLE))
+             AS cosine
          FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
          GROUP BY 1, 2 ORDER BY 1, 2""",
   )

@@ -4,6 +4,7 @@ import graft.Tables._
 import graft.functions.ShingleHash32
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline.
@@ -29,6 +30,38 @@ object DedupOps {
 
   val MinhashPerms = 12
   val BandsRows = 3 // 4 bands × 3 rows
+
+  /** Band-bucket population caps for the two LSH self-joins. A band
+    * bucket holding B documents contributes C(B,2) candidate pairs, so
+    * one degenerate bucket (empty docs, a license header, a ×F clone
+    * storm) is a Σ|bucket|² bomb exactly like a hot resource in the
+    * co-access fold — and it gets the same treatment
+    * ([[graft.operators.ThreatOps.CoaccessMaxDegree]],
+    * [[ContainmentDfCap]]): keep the CAP smallest doc_ids per bucket
+    * (deterministic — doc_id is unique) and pair only those. Candidate
+    * generation is then bounded by |buckets|·C(cap,2) regardless of how
+    * duplicated the corpus is; pairs whose every shared band is capped
+    * away become a recall lower bound (the members dropped are the
+    * JUNIORS, so each clone/boilerplate family keeps its survivors).
+    * The oracle SQL applies the identical first-K-by-id filter, so the
+    * capped entries stay hash-checked, not rows-only. MinHash buckets
+    * are tiny on driver data (257 verified pairs at sf0.1) — 128 never
+    * binds below a ≥ 32-fold clone storm; SimHash 15-bit bands collide
+    * broadly by design (35k verified pairs at sf0.1), so 64 bounds the
+    * verification join while keeping hamming-recall on every family's
+    * seniors.
+    */
+  val MinhashBandCap = 128
+  val SimhashBandCap = 64
+
+  /** First-`cap` rows per band bucket, by ascending doc_id — the shared
+    * bucket-population clamp of both LSH pair generators. */
+  private def capBuckets(banded: DataFrame, bucketCol: String, cap: Int): DataFrame =
+    banded
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(bucketCol)).orderBy(col("doc_id"))))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
 
   /** MinHash signatures + LSH band keys per document. One md5 per shingle
     * (see [[graft.functions.TextFunctions.hash32]]) feeds an affine
@@ -78,9 +111,10 @@ object DedupOps {
         array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
     }
     val nBands = MinhashPerms / BandsRows
-    val buckets = sig.select(col("doc_id"),
+    val buckets = capBuckets(sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
-        concat(lit(s"$b:"), col(s"band_$b"))): _*)).as("bucket"))
+        concat(lit(s"$b:"), col(s"band_$b"))): _*)).as("bucket")),
+      "bucket", MinhashBandCap)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -194,12 +228,13 @@ object DedupOps {
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.cached("simhashPairs", spark, dir) {
       val sig = simhashSig(spark, dir)
-      val banded = sig.select(col("doc_id"), col("simhash"),
+      val banded = capBuckets(sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until SimhashBands).map(b =>
           concat(lit(s"$b:"),
             shiftright(col("simhash"), b * SimhashBandBits)
               .bitwiseAND(lit((1L << SimhashBandBits) - 1)).cast("string"))): _*))
-          .as("band"))
+          .as("band")),
+        "band", SimhashBandCap)
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

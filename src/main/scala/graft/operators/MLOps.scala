@@ -331,29 +331,67 @@ object MLOps {
       .orderBy(col("user_id"))
   }
 
+  /** Per-cell population cap for [[epsPairs]]' grid self-join. The 3×3
+    * cell join is quadratic in CELL population, and under iid growth a
+    * cell's population grows linearly with users — the ×10 probe measured
+    * the resulting blowup at slopes 81–172× on the LOF/DBSCAN family.
+    * Same medicine as the co-access degree cap and the containment df
+    * cap: each cell's INDEXED side keeps only its `cap` smallest
+    * user_ids (deterministic), every point still probes, and the pair
+    * frame is symmetrized, so candidate generation is bounded by
+    * 2·9·cap·|points| (linear) while every point keeps ≥ min(cap,
+    * true-count) of its nearest-by-id eps-neighbors. Neighbor counts in
+    * dense cells become a lower bound clipped far above DBSCAN's
+    * minPts=4 and LOF's k=10, so core/noise verdicts and kNN sets stay
+    * meaningful; cells below the cap are exact. 64 never binds at spec
+    * scale (15 users) and leaves sf0.01 exact.
+    */
+  val EpsCellCap = 64
+
   /** All directed eps-neighbor pairs `(a, b)` (a ≠ b, both directions
     * present) over a `(user_id, pc1, pc2)` frame, via the 3×3 grid-cell
     * self-join: quantize into eps-sized cells, emit each point under its
     * own cell key, probe with the 9 surrounding keys, verify by exact
-    * distance — the candidate set is cell-local, never all-pairs.
-    * Shared by the eps-ball noise screen and the DBSCAN cluster builder.
+    * distance — the candidate set is cell-local, never all-pairs, and
+    * the indexed side is population-capped (see [[EpsCellCap]]).
+    * Shared by the eps-ball noise screen, the DBSCAN cluster builder and
+    * the LOF chain. Package-visible so the spec can plant a hot cell and
+    * assert the candidate bound directly.
     */
-  private def epsPairs(pts: DataFrame, eps: Double): DataFrame = {
+  private[graft] def epsPairs(pts: DataFrame, eps: Double,
+      cellCap: Int = EpsCellCap): DataFrame = {
     val cells = pts.select(col("user_id"), col("pc1"), col("pc2"),
       floor(col("pc1") / eps).as("cx"), floor(col("pc2") / eps).as("cy"))
+    // Indexed side only is capped (first-K by id per cell): every point
+    // still probes, so nobody silently drops out of scoring — a
+    // beyond-cap point keeps its pairs TO capped members, and the
+    // symmetric closure below restores the reverse direction.
+    val idx =
+      if (cellCap == Int.MaxValue) cells
+      else cells
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("cx"), col("cy")).orderBy(col("user_id"))))
+        .filter(col("_rk") <= cellCap)
+        .drop("_rk")
     val probes = cells.select(col("user_id").as("uid_p"), col("pc1").as("x_p"),
         col("pc2").as("y_p"),
         explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
           struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*)).as("cell"))
       .select(col("uid_p"), col("x_p"), col("y_p"),
         col("cell.cx").as("cx"), col("cell.cy").as("cy"))
-    probes.join(cells, Seq("cx", "cy"))
+    val raw = probes.join(idx, Seq("cx", "cy"))
       .filter(col("user_id") =!= col("uid_p"))
       .filter(pow(col("pc1") - col("x_p"), 2) + pow(col("pc2") - col("y_p"), 2)
         <= eps * eps)
       .select(col("uid_p").as("a"), col("user_id").as("b"),
         sqrt(pow(col("pc1") - col("x_p"), 2) +
           pow(col("pc2") - col("y_p"), 2)).as("dist"))
+    // Symmetric closure: capped-member↔capped-member pairs arrive in both
+    // directions already (both probe); beyond-cap probes need their
+    // reverse edge added so consumers (min-label propagation, kNN) see an
+    // undirected graph. dist(a,b) = dist(b,a), so the dedup is value-safe.
+    raw.unionAll(raw.select(col("b").as("a"), col("a").as("b"), col("dist")))
+      .dropDuplicates("a", "b")
   }
 
   /** Local Outlier Factor (Breunig 2000) over the PCA-2 projection — the

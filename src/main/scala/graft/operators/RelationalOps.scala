@@ -1111,6 +1111,13 @@ object RelationalOps {
     * are cast to double before the compare so the boundary is
     * engine-stable.
     */
+  /** Q11's concentration multiplier: a part is "important" when its
+    * value exceeds this multiple of the MEAN per-part value. Shared with
+    * the oracle SQL so the two sides can never diverge. 1.5 keeps the
+    * flagship-scale (sf0.001) distribution — max/mean 1.93 — selective
+    * but non-empty at every scale. */
+  val Q11ThresholdX = 1.5
+
   def q11Important(spark: SparkSession, dir: String): DataFrame = {
     val eurSupp = supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(nation(spark, dir).filter(col("n_regionkey") === 3)
@@ -1121,8 +1128,16 @@ object RelationalOps {
       .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("rev")).as("val_dec"))
+    // Threshold is data-derived (Q11ThresholdX × the MEAN per-part value)
+    // rather than a fixed fraction of the TOTAL: the per-part mean is
+    // invariant under data growth (TPC-H's own spec divides its fraction
+    // by SF for exactly this reason), so the query keeps selecting the
+    // concentrated parts — and returning rows — at any amplification
+    // instead of going vacuously empty once the total outruns a fixed
+    // fraction (the ×10 gate's 0-row hash match).
     val thresh = perPart
-      .agg((sum(col("val_dec")).cast("double") * 0.0008).as("thresh"))
+      .agg((sum(col("val_dec")).cast("double") / count(lit(1))
+        * Q11ThresholdX).as("thresh"))
     perPart.join(broadcast(thresh))
       .filter(col("val_dec").cast("double") > col("thresh"))
       .select(col("l_partkey").as("p_partkey"),

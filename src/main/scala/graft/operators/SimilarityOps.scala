@@ -38,12 +38,33 @@ object SimilarityOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Label-bucket population cap for [[qEmbedNeardup]]: the bucket
+    * self-join is quadratic in bucket POPULATION, which grows linearly
+    * with the corpus at fixed label cardinality (the ×10 probe measured
+    * slope 46). Same clamp as the LSH band caps
+    * ([[graft.operators.DedupOps.MinhashBandCap]]): each label keeps its
+    * `cap` smallest vec_ids (deterministic — vec_id is unique), pairs
+    * come from the kept set only, and the oracle applies the identical
+    * first-K filter so the entry stays hash-checked. 512 sits above any
+    * driver-scale label population (max 218 at sf0.1) and bounds the
+    * candidate term at |labels|·C(cap,2) beyond it; at true corpus scale
+    * the production route is the sign-LSH/IVF candidate tables
+    * ([[qAnnLsh]]/[[qAnnIvf]]) — this cap keeps the bucketed variant
+    * safe to run anywhere.
+    */
+  val NeardupLabelCap = 512
+
   /** Embedding-cosine near-duplicate pairs, candidates bucketed by label
-    * (the cluster id a real pipeline would get from coarse quantization):
-    * top-20 most-similar pairs. Never O(n²) across buckets.
+    * (the cluster id a real pipeline would get from coarse quantization)
+    * with the per-label population cap above: top-20 most-similar pairs.
+    * Never O(n²) across buckets, never unbounded within one.
     */
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+      .filter(col("_rk") <= NeardupLabelCap)
+      .drop("_rk")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -379,43 +400,85 @@ object SimilarityOps {
         SemDedupTau)
     }
 
+  /** Target DISTINCT-vector population per SemDeDup quantizer cell: k is
+    * derived as ⌈distinct/128⌉ (clamped to [16, 4096]), which is
+    * SemDeDup's own scale recipe — "k grows with the corpus so cluster
+    * size stays constant". The within-cluster pair term is then bounded
+    * at ~C(128,2) per cell instead of growing quadratically with the
+    * corpus (the ×10 probe measured slope 29 on the fixed-k=16 plan).
+    */
+  val SemTargetCell = 128
+
   /** [[qSemanticDedup]]'s body over an explicit `(vec_id, embedding)`
     * frame — package-visible so the spec can plant known duplicates and
-    * assert the verdicts directly. The quantizer is fit on a bounded
-    * deterministic id-range sample (same contract as [[qAnnIvf]]).
+    * assert the verdicts directly.
+    *
+    * Two scale guards retire the measured quadratic term:
+    *  1. EXACT-CLONE COLLAPSE (the containment cloneKeyed pattern,
+    *     [[graft.operators.DedupOps]]): byte-identical embeddings get one
+    *     group key (md5 of the stringified components) and are
+    *     represented ONCE — min vec_id — in candidate generation. A
+    *     dup-heavy corpus (the ×10 fixture: every vector has F exact
+    *     clones) pays C(F,2) cosine evaluations per clone group
+    *     uncollapsed; collapsed it pays its share of one rep-level
+    *     evaluation, and clones re-enter only in the output-sized
+    *     expansion (each non-rep clone is a dup of its group minimum at
+    *     cos exactly 1.0 ≥ any τ — no recall loss at all).
+    *  2. CORPUS-SCALED k (see [[SemTargetCell]]) bounds the per-cell
+    *     quadratic term on the DISTINCT reps under iid growth.
+    * Canonicalization after collapse is hierarchical (documented
+    * semantics of this rows-only query): a clone's dup_of is its group
+    * minimum; the group minimum's dup_of is its smallest senior REP
+    * above τ in its cell — lineage resolves transitively. The quantizer
+    * fit runs over the collapsed reps (bounded by the distinct-content
+    * population; at true corpus scale this fit is the one step you'd
+    * subsample) and assignment uses the fitted model's transform —
+    * seeded, so rows-only like every MLlib fit in the suite.
     */
   private[graft] def semanticDedupFrame(e: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val k = 16
+    val keyed = e.select(col("vec_id"), col("embedding"),
+      md5(concat_ws(",", transform(col("embedding"), _.cast("string")))).as("ek"))
+    // one row per distinct vector; members carry identical arrays so
+    // first() is deterministic. Checkpointed: consumed by the count, the
+    // fit, the assignment and the pair join.
+    val groups = keyed.groupBy(col("ek"))
+      .agg(min(col("vec_id")).as("rep_id"), first(col("embedding")).as("embedding"))
+      .localCheckpoint()
+    val nDistinct = groups.count() // ONE driver scalar, Memo'd per session
+    val k = math.max(16, math.min(4096,
+      math.ceil(nDistinct.toDouble / SemTargetCell).toInt))
+    val withFv = groups.withColumn("fv", array_to_vector(toDouble(col("embedding"))))
     val model = new KMeans().setK(k).setSeed(42)
       .setFeaturesCol("fv").setPredictionCol("list_id")
-      .fit(e.filter(col("vec_id") < 2000)
-        .select(array_to_vector(toDouble(col("embedding"))).as("fv")))
-    val centroids = model.clusterCenters.map(_.toArray)
-    def dist2(vec: Column, c: Array[Double]): Column = {
-      val cc = array(c.map(lit): _*)
-      dotProd(vec, vec) - lit(2.0) * dotProd(vec, cc) + lit(c.map(x => x * x).sum)
-    }
-    val nearest = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(col("embedding"), c).as("d"), lit(i).as("i"))
-    }: _*)).getItem(0).getField("i")
-    val lists = e.select(col("vec_id"), col("embedding"), nearest.as("list_id"))
-    // every (senior, junior) same-cluster pair above the threshold;
-    // the junior keeps its SMALLEST senior as the canonical dup_of
-    val dups = lists.as("a").join(lists.as("b"),
+      .fit(withFv)
+    val assigned = model.transform(withFv)
+      .select(col("ek"), col("rep_id"), col("embedding"), col("list_id"))
+      .localCheckpoint()
+    // every (senior, junior) same-cell REP pair above the threshold; the
+    // junior rep keeps its SMALLEST senior rep as the canonical dup_of
+    val dups = assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("vec_id"),
-        col("a.vec_id").as("senior"),
+          && col("a.rep_id") < col("b.rep_id"))
+      .select(col("b.rep_id").as("rep_id"),
+        col("a.rep_id").as("senior"),
         cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= tau)
-      .groupBy(col("vec_id"))
+      .groupBy(col("rep_id"))
       .agg(min(col("senior")).as("dup_of"), max(col("cos")).as("max_cos"))
-    lists.join(dups, Seq("vec_id"), "left")
+    // output-sized expansion: reps inherit their rep-level verdict;
+    // non-rep clones are dups of their group minimum at cos 1.0
+    val repInfo = assigned.select(col("ek"), col("rep_id"), col("list_id"))
+      .join(dups, Seq("rep_id"), "left")
+    keyed.select(col("vec_id"), col("ek")).join(repInfo, Seq("ek"))
       .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
-        when(col("dup_of").isNull, 1L).otherwise(0L).as("is_kept"),
-        col("dup_of"), r4(col("max_cos")).as("max_cos"))
+        when(col("vec_id") === col("rep_id") && col("dup_of").isNull, 1L)
+          .otherwise(0L).as("is_kept"),
+        when(col("vec_id") === col("rep_id"), col("dup_of"))
+          .otherwise(col("rep_id")).as("dup_of"),
+        r4(when(col("vec_id") === col("rep_id"), col("max_cos"))
+          .otherwise(lit(1.0))).as("max_cos"))
       .orderBy(col("vec_id"))
   }
 
@@ -486,12 +549,19 @@ object SimilarityOps {
     * ingest anomaly). Fully EXACT cross-engine: each float component
     * widens to double (exact) then rounds once to DECIMAL(16,10)
     * (identical on both engines — a 10-dp tie from a double cannot
-    * occur), per-(label, dim) sums are exact decimal, and because cosine
-    * is scale-invariant the centroid division by n cancels — the cosine
-    * is computed directly on the exact SUM vectors, so even the final
-    * doubles are bit-identical. One narrow explode (dim× rows) + one
-    * (label, dim) aggregation with map-side combine + a |labels|²·dim
-    * join — scan-shaped at any corpus size.
+    * occur), per-(label, dim) sums accumulate in the natural widened
+    * decimal and are FLOOR-quantized to integers at 4dp (see the inline
+    * note — floor, not a rounding cast: Spark's decimal downcast rounds
+    * HALF_UP while DuckDB's TRUNCATES, so any cast-rounded operand
+    * silently diverges in the last digit; floor has no ties and both
+    * engines define it identically on exact decimals), and because
+    * cosine is scale-invariant the centroid division by n — and the 10⁴
+    * quantization factor — cancel: the cosine is computed directly on
+    * the exact integer SUM vectors, so the final doubles are
+    * bit-identical (verified empirically at three scales) and emitted
+    * UNROUNDED per the suite's boundary-safety policy. One narrow
+    * explode (dim× rows) + one (label, dim) aggregation with map-side
+    * combine + a |labels|²·dim join — scan-shaped at any corpus size.
     */
   def qCentroidSim(spark: SparkSession, dir: String): DataFrame = {
     val comps = embeddings(spark, dir)
@@ -499,8 +569,16 @@ object SimilarityOps {
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("label"), (col("pos") + 1).as("pos"),
         col("x").cast("double").cast("decimal(16,10)").as("xd"))
+    // Accumulate in the NATURAL widened sum type (decimal(26,10) — no
+    // downcast, so the non-ANSI overflow→NULL cliff a cast back to
+    // (16,10) would hit at ~1e6 per-(label,dim) is unreachable below
+    // ~1e16), then floor(·×10⁴) → DECIMAL(18,0): an exact integer both
+    // engines agree on digit-for-digit (a rounding CAST would not —
+    // Spark rounds HALF_UP, DuckDB truncates), wide enough for
+    // |sum| < 10¹⁴ and narrow enough that the pair products (37,0) and
+    // product-sums (38,0) stay inside BOTH engines' 38-digit ceiling.
     val sums = comps.groupBy(col("label"), col("pos"))
-      .agg(sum(col("xd")).cast("decimal(16,10)").as("sv"),
+      .agg(floor(sum(col("xd")) * 10000).cast("decimal(18,0)").as("sv"),
         count(lit(1)).as("n"))
     val a = sums.select(col("label").as("label_a"), col("pos"),
       col("sv").as("sa"), col("n").as("na"))
@@ -513,7 +591,12 @@ object SimilarityOps {
         sum(col("sa") * col("sa")).as("saa"),
         sum(col("sb") * col("sb")).as("sbb"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-        r4(col("sab").cast("double") /
+        // UNROUNDED by policy: the operands are identical exact integers
+        // on both engines, so decimal→double (correctly-rounded nearest),
+        // sqrt and the divide are IEEE-deterministic — bit-identical —
+        // while a final round(·,4) would DISAGREE on .xxxx5 boundaries
+        // (Spark HALF_UP on shortest-decimal vs DuckDB scaled rounding).
+        (col("sab").cast("double") /
           (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
           .as("cosine"))
       .orderBy(col("label_a"), col("label_b"))

@@ -825,14 +825,18 @@ object ThreatOps {
     * resources — the kNN sparsification that keeps the graph bounded even
     * where raw co-access is near-complete), edges are symmetrized, and
     * triangles counted by the ordered two-path join. Per-user triangle
-    * participation = local clustering signal (insider cliques). The pair
-    * frame reuses [[coaccessPairFrame]]'s bounded fold; the kNN rank is a
-    * per-user window over ≤|users| rows; the triangle join degree is
-    * capped by k on every vertex, so fan-out is O(k²·|users|), never
-    * O(edges²).
+    * participation = local clustering signal (insider cliques). The kNN
+    * sparsifier feeds from the CAPPED co-access frame (the deg ≤
+    * [[CoaccessMaxDegree]] frame behind [[qCoaccessCapped]], mirrored in
+    * the oracle), so the input pair fold is bounded by cap²/2 per
+    * resource — the ×10 probe measured the uncapped fold at slope 466,
+    * the single worst number in the suite, and this is its production
+    * fix. The kNN rank is a per-user window over ≤|users| rows; the
+    * triangle join degree is capped by k on every vertex, so fan-out is
+    * O(k²·|users|), never O(edges²).
     */
   def qKnnTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coaccessPairFrame(spark, dir, maxDegree = Int.MaxValue)
+    val pairs = coaccessPairFrame(spark, dir, maxDegree = CoaccessMaxDegree)
     val directed = pairs.select(col("user_a").as("u"), col("user_b").as("v"), col("shared_resources"))
       .unionAll(pairs.select(col("user_b").as("u"), col("user_a").as("v"), col("shared_resources")))
     val byStrength = Window.partitionBy(col("u"))
@@ -1168,10 +1172,21 @@ object ThreatOps {
     val ur = if (sys.env.get("SPARK_GRAFT_HITS_TEMP").contains("0")) ur0
     else
       graft.Memo("hitsEdges", spark, dir) {
-        val p = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-hits-" +
-          (dir + "#" + System.identityHashCode(spark)).hashCode.abs
-        ur0.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p)
+        // A collision-free per-call scratch dir (createTempDirectory) —
+        // a 32-bit path hash can collide across concurrent JVMs sharing
+        // /tmp, letting one session overwrite the edge list another is
+        // reading. deleteOnExit on the marker + shutdown-hook recursive
+        // delete cleans the scratch up when the JVM ends.
+        val p = java.nio.file.Files.createTempDirectory("graft-hits-")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(p.toFile)
+        }))
+        ur0.write.mode("overwrite").parquet(p.toString)
+        spark.read.parquet(p.toString)
       }
     def l1(df: DataFrame, score: String): DataFrame = {
       val tot = df.agg(sum(col(score)).as("_t"))

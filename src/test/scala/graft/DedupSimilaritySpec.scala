@@ -317,6 +317,75 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped === 202L * 201L / 2L)
   }
 
+  test("LSH band-bucket caps bound a planted clone storm on both pair generators") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bandcap").toString
+    // 300 byte-identical docs: every doc shares every MinHash band and
+    // every SimHash band — the uncapped self-joins would emit C(300,2) =
+    // 44,850 pairs; the caps keep the first K doc_ids per bucket, so the
+    // candidate sets are exactly C(cap,2) among the SENIORS.
+    val n = 300
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    (0 until n).map(i => (i.toLong, "en", text.length.toLong, text))
+      .toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val mh = DedupOps.qDedupMinhashPairs(spark, tmp).cache()
+    val mCap = DedupOps.MinhashBandCap.toLong
+    assert(mh.count() === mCap * (mCap - 1) / 2,
+      "minhash candidates must be exactly the capped-bucket pairs")
+    assert(mh.agg(max("doc_a")).head.getLong(0) < mCap &&
+      mh.agg(max("doc_b")).head.getLong(0) < mCap,
+      "kept bucket members must be the smallest doc_ids (the survivors)")
+    mh.unpersist()
+    val sh = DedupOps.qDedupSimhashPairs(spark, tmp).cache()
+    val sCap = DedupOps.SimhashBandCap.toLong
+    assert(sh.count() === sCap * (sCap - 1) / 2)
+    assert(sh.filter(col("hamming") =!= 0).count() === 0)
+    assert(sh.agg(max("doc_b")).head.getLong(0) < sCap)
+    sh.unpersist()
+  }
+
+  test("qEmbedNeardup label cap keeps the smallest vec_ids per label") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-labelcap").toString
+    // one label with population > cap: pairs may only touch the first
+    // NeardupLabelCap vec_ids (deterministic first-K clamp)
+    val n = SimilarityOps.NeardupLabelCap + 88
+    val rng = new scala.util.Random(7)
+    (0 until n).map(i =>
+        (i.toLong, 0L, Array.fill(8)(rng.nextFloat())))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SimilarityOps.qEmbedNeardup(spark, tmp).cache()
+    assert(out.count() === 20)
+    assert(out.agg(max(greatest(col("vec_a"), col("vec_b")))).head.getLong(0)
+      < SimilarityOps.NeardupLabelCap,
+      "pairs must come only from the capped (first-K by vec_id) set")
+    out.unpersist()
+  }
+
+  test("semanticDedupFrame collapses a planted clone storm to its group minimum") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // 30 exact clones of vec 0: the collapse represents the whole family
+    // once in candidate generation; every clone must resolve to the
+    // group minimum (vec 0) at cos exactly 1.0
+    val clones = base.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(1, 31).select((col("id") + 20000).as("cid")))
+      .select(col("cid").as("vec_id"), col("embedding"))
+    val out = SimilarityOps.semanticDedupFrame(
+        base.unionAll(clones), SimilarityOps.SemDedupTau)
+      .filter(col("vec_id") > 20000).collect()
+    assert(out.length === 30)
+    out.foreach { r =>
+      assert(r.getAs[Long]("is_kept") === 0L)
+      assert(r.getAs[Long]("dup_of") === 0L)
+      assert(r.getAs[Double]("max_cos") === 1.0)
+    }
+  }
+
   test("semanticDedupFrame: planted exact clones are dropped, seniors kept") {
     val base = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))

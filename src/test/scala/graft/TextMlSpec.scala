@@ -340,6 +340,28 @@ class TextMlSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("epsPairs cell cap bounds a planted hot cell; nobody drops out of scoring") {
+    val s = spark
+    import s.implicits._
+    // 100 points inside ONE eps-cell, all mutually within eps: uncapped
+    // the grid join emits n·(n−1) directed pairs; capped at K the indexed
+    // side keeps the K smallest ids, so after the symmetric closure the
+    // frame is exactly 2·(C(K,2) + (n−K)·K) — the a-side still covers
+    // every point (beyond-cap points keep their pairs TO the survivors).
+    val n = 100; val k = 10
+    val pts = (1 to n).map(i => (i.toLong, i * 0.001, 0.0))
+      .toDF("user_id", "pc1", "pc2")
+    val capped = MLOps.epsPairs(pts, eps = 0.5, cellCap = k).cache()
+    assert(capped.count() === 2L * (k.toLong * (k - 1) / 2 + (n - k).toLong * k))
+    assert(capped.select("a").distinct().count() === n.toLong,
+      "every point must keep at least one eps-neighbor")
+    // kept index members are the SMALLEST ids
+    assert(capped.filter(col("a") > k && col("b") > k).count() === 0)
+    capped.unpersist()
+    val uncapped = MLOps.epsPairs(pts, eps = 0.5, cellCap = Int.MaxValue)
+    assert(uncapped.count() === n.toLong * (n - 1))
+  }
+
   test("qDensityOutlier neighbor counts match a brute-force recount") {
     val d = MLOps.qDensityOutlier(spark, sf).cache()
     val pts = d.select(col("user_id").as("u"), col("pc1").as("x"), col("pc2").as("y"))

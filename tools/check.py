@@ -116,9 +116,14 @@ def main(sf_dir, out_dir, json_out=None):
             rec["hash_match"] = True
             n_ok += 1
             print(f"ok   {name} ({len(spark_df)} rows, {len(spark_df.columns)} cols)")
-    # queries without oracle: rows-only check
+    # queries without oracle: rows-only check. The GRAFT_CHECK_ONLY
+    # filter applies here too — otherwise a subset run scores (and
+    # merge_gate may merge) rows-only entries whose parquet output is
+    # stale from a previous run.
     for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
         name = res_dir.rstrip("/").split("/")[-1]
+        if only is not None and name not in only:
+            continue
         if name not in oracle:
             n = len(pd.read_parquet(res_dir)) if glob.glob(f"{res_dir}/*.parquet") else 0
             print(f"{'ok  ' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
