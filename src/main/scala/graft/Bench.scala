@@ -57,20 +57,42 @@ object Bench {
     // where 3x per query is wall-clock-prohibitive and min-noise matters
     // less than coverage.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to nRuns).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+    // SPARK_GRAFT_BENCH_MODE=interleaved: the adjudication mode. The
+    // default (consecutive min-of-3) concentrates a box-noise burst
+    // entirely on whichever query it lands on — observed as phantom
+    // 1.5-1.9x "regressions" in two driver rounds that a same-code
+    // re-measure couldn't reproduce. Interleaving runs the WHOLE suite
+    // nRuns times in a fixed (name-sorted) order, so a burst is spread
+    // across one pass instead of one query, and the per-query spread
+    // across passes ((max-min)/min) becomes a measured noise floor a
+    // reader can hold each apparent regression against. Opt-in so the
+    // driver's round artifact keeps its historical estimator.
+    val interleaved = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("interleaved")
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
       }
+      if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timesByQuery: Seq[(String, Seq[Double])] =
+      if (interleaved)
+        ordered.map { case (n, _) => n }.zip(
+          (1 to nRuns).map { _ => ordered.map { case (n, fn) => timeOne(n, fn) } }
+            .transpose)
+      else
+        ordered.map { case (n, fn) => n -> (1 to nRuns).map(_ => timeOne(n, fn)) }
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results: Map[String, Option[Double]] = timesByQuery.map { case (name, times) =>
       val good = times.filterNot(_.isNaN)
       if (good.isEmpty) failed += name
+      else if (good.size > 1 && good.min > 0)
+        spreads(name) = (good.max - good.min) / good.min
       name -> good.minOption
-    }
+    }.toMap
     // Failed queries are OMITTED from the timings map (they're in
     // "failed"): a numeric sentinel like -1.0 would poison any consumer
     // summing or plotting the per-query values.
@@ -78,8 +100,43 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.flatten.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // SPARK_GRAFT_BENCH_COMPARE=<prior bench_full.json>: A/B adjudication
+    // against a prior same-box measure. A query is flagged "regressed"
+    // only when its min grew >1.5x AND its own interleaved spread is
+    // below half the apparent growth — i.e. the run's measured noise
+    // floor cannot explain the delta. Everything else that moved >1.5x
+    // lands in "noise_suspect" so the reader sees it was examined, not
+    // missed. Requires interleaved mode for the spread to mean anything.
+    val compareJson = sys.env.get("SPARK_GRAFT_BENCH_COMPARE").map { path =>
+      val prior = scala.io.Source.fromFile(path).mkString
+      // Parse ONLY the flat "queries":{...} object — a prior file written
+      // by this same mode also carries "spread"/"compare" sections whose
+      // per-query numbers would otherwise clobber the seconds.
+      val qStart = prior.indexOf("\"queries\":{") + "\"queries\":{".length
+      val qBody = prior.substring(qStart, prior.indexOf('}', qStart))
+      val qmap = "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+        .findAllMatchIn(qBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      def row(n: String, p: Double, v: Double) =
+        s"""{"query":"$n","prior":$p,"now":$v,"ratio":${math.rint(v / p * 100) / 100},"spread":${math.rint(spreads.getOrElse(n, Double.NaN) * 100) / 100}}"""
+      val moved = results.collect { case (n, Some(v)) if qmap.get(n).exists(p => v / p > 1.5) =>
+        val p = qmap(n)
+        val genuine = spreads.get(n).exists(s => s < (v / p - 1.0) / 2)
+        (n, p, v, genuine)
+      }.toSeq.sortBy { case (_, p, v, _) => -(v / p) }
+      val reg = moved.collect { case (n, p, v, true) => row(n, p, v) }.mkString("[", ",", "]")
+      val sus = moved.collect { case (n, p, v, false) => row(n, p, v) }.mkString("[", ",", "]")
+      val imp = results.collect { case (n, Some(v)) if qmap.get(n).exists(p => p / v > 1.5) =>
+        row(n, qmap(n), v)
+      }.mkString("[", ",", "]")
+      val priorTotal = qmap.view.filterKeys(results.contains).values.sum
+      s""","compare":{"path":"$path","prior_total":$priorTotal,"regressed":$reg,"noise_suspect":$sus,"improved":$imp}"""
+    }.getOrElse("")
+    val spreadJson =
+      if (interleaved)
+        s""","mode":"interleaved","spread":${spreads.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }.mkString("{", ",", "}")}"""
+      else ""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$spreadJson$compareJson,"sf":"$sfDir"}"""
     // The full per-query map is ~6KB — it goes to a FILE only. Printing it
     // to stdout (pre-r8 behavior) ate 1,255 chars of the driver's 2,000-char
     // stdout tail and pushed the machine-readable summary line's START to

@@ -35,6 +35,7 @@ object SparkEntry {
     "q_coaccess_components" -> (ThreatOps.qCoaccessComponents _),
     "q_peer_anomaly" -> (ThreatOps.qPeerAnomaly _),
     "q_blast_radius" -> (ThreatOps.qBlastRadius _),
+    "q_kcore" -> (ThreatOps.qKcore _),
     "q_degree_dist" -> (ThreatOps.qDegreeDist _),
     "q_risk_propagation" -> (ThreatOps.qRiskPropagation _),
     "q_handoff_pairs" -> (ThreatOps.qHandoffPairs _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_dedup_exact" -> (DedupOps.qDedupExact _),
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
     "q_dedup_minhash_pairs" -> (DedupOps.qDedupMinhashPairs _),
+    "q_minhash_calibration" -> (DedupOps.qMinhashCalibration _),
     "q_dedup_simhash" -> (DedupOps.qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (DedupOps.qDedupSimhashPairs _),
     "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
@@ -192,6 +194,7 @@ object SparkEntry {
     "q_calibration" -> (MLOps.qCalibration _),
     "q_scd2_history" -> (RelationalOps.qScd2History _),
     "q_source_mix" -> (TextOps.qSourceMix _),
+    "q_temperature_mix" -> (TextOps.qTemperatureMix _),
     "q_pack_docs" -> (TextOps.qPackDocs _),
     "q_holt_winters" -> (ThreatOps.qHoltWinters _),
     "q_psi" -> (ThreatOps.qPsi _),
@@ -651,6 +654,33 @@ object SparkEntry {
          SELECT seed AS seed_user, uid AS user_id,
            CAST(min(hop) AS BIGINT) AS hop
          FROM allh GROUP BY 1, 2 ORDER BY seed_user, hop, user_id""",
+    // 8 identically unrolled peel rounds (the q_blast_radius pattern);
+    // peeling is monotone, so the engine side's early exit at the
+    // fixpoint can never diverge from the fixed unrolling.
+    // Every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each e_i references e_{i-1} three times, so the inlined unrolling
+    // is a 3^8-leaf scan tree (observed as an fd-exhaustion abort) —
+    // materialization is the oracle-side twin of the engine side's
+    // per-round localCheckpoint.
+    "q_kcore" ->
+      s"""WITH ur AS MATERIALIZED (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
+         pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS MATERIALIZED (SELECT ua AS a, ub AS b FROM pr UNION ALL SELECT ub, ua FROM pr),
+         ${(1 to ThreatOps.KcoreRounds).map { i =>
+             val p = i - 1
+             s"""k$i AS MATERIALIZED (SELECT a FROM e$p GROUP BY a
+                  HAVING count(*) >= ${ThreatOps.KcoreK}),
+                e$i AS MATERIALIZED (SELECT e.a, e.b FROM e$p e
+                  JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)"""
+           }.mkString(", ")}
+         SELECT a AS user_id, CAST(count(*) AS BIGINT) AS core_degree
+         FROM e${ThreatOps.KcoreRounds} GROUP BY a ORDER BY user_id""",
     // bucket = len(bin(degree))−1 ≡ floor(log2) in EXACT integer
     // arithmetic on both engines (no libm log to diverge); -1 marks
     // isolated users (no capped pair edge).
@@ -1933,6 +1963,39 @@ object SparkEntry {
             ${(0 until 4).map(b => s"md5(${bandSql(b)}) AS band_$b").mkString(", ")}
           FROM mh ORDER BY doc_id""",
     "q_dedup_minhash_pairs" -> minhashPairsSql,
+    // Shares the s/bk/cand chain of minhashPairsSql verbatim (same
+    // permutations, same band cap); estimate = integer agree-count k,
+    // decile = 10k//12 in pure integer arithmetic, means divide EXACT
+    // sums (Sigma-k as BIGINT, |est-exact| in DECIMAL(14,4) after both
+    // operands are round-4'd) by the count in one double op each.
+    "q_minhash_calibration" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(hs) AS hj,
+            ${(0 until 12).map(minhashSql).mkString(", ")}
+          FROM ($hashedShinglesSql)),
+          bk AS (SELECT doc_id, bucket
+            FROM (SELECT doc_id, unnest([${(0 until 4).map(b =>
+              s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
+            FROM s) t
+            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+              <= ${DedupOps.MinhashBandCap}),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          p AS (SELECT
+            CAST(${(0 until 12).map(j =>
+              s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")}
+              AS BIGINT) AS n_agree,
+            CAST(round(len(list_intersect(sa.hj, sb.hj))*1.0
+              / len(list_distinct(list_concat(sa.hj, sb.hj))), 4)
+              AS DECIMAL(14,4)) AS exact4
+          FROM cand JOIN s sa ON sa.doc_id = doc_a
+            JOIN s sb ON sb.doc_id = doc_b)
+          SELECT CAST(n_agree * 10 // 12 AS BIGINT) AS decile,
+            count(*) AS n_pairs,
+            round(sum(n_agree) / (12.0 * count(*)), 4) AS mean_est,
+            round(CAST(sum(exact4) AS DOUBLE) / count(*), 4) AS mean_exact,
+            round(CAST(sum(abs(CAST(round(n_agree / 12.0, 4)
+              AS DECIMAL(14,4)) - exact4)) AS DOUBLE) / count(*), 4) AS mae
+          FROM p GROUP BY 1 ORDER BY decile""",
     "q_dedup_simhash" ->
       s"""WITH fp AS ($simhashSql)
           SELECT doc_id, simhash, simhash >> 44 AS bucket16
@@ -2232,6 +2295,20 @@ object SparkEntry {
             n_tokens * 10000 // total_tokens AS share_bp,
             round(total_tokens / (n_sources * n_tokens)::DOUBLE, 4)
               AS uniform_weight
+          FROM s CROSS JOIN t ORDER BY source""",
+    // temp_ratio = sqrt(n_tokens/max_tokens): one exact-long division,
+    // one IEEE-correctly-rounded sqrt, one round-4 -- no multi-term
+    // float summation to hang the hash on reduction order.
+    "q_temperature_mix" ->
+      s"""WITH d AS (SELECT source, CAST(len($tokSql) AS BIGINT) AS toks
+            FROM documents),
+          s AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+          t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(max(n_tokens) AS BIGINT) AS max_tokens FROM s)
+          SELECT source, n_docs, n_tokens,
+            n_tokens * 10000 // total_tokens AS share_bp,
+            round(sqrt(n_tokens::DOUBLE / max_tokens), 4) AS temp_ratio
           FROM s CROSS JOIN t ORDER BY source""",
     "q_pack_docs" ->
       s"""WITH RECURSIVE toks AS (

@@ -126,6 +126,63 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * SKETCH's Jaccard estimate (fraction of the 12 permutation minima
+    * that agree) against the EXACT shingle-hash Jaccard, aggregated per
+    * estimate decile — the "how much do I trust my sketch" table that
+    * decides signature width and band shape before a 100 TB dedup run
+    * (more permutations ⇔ tighter deciles; this query measures the
+    * trade instead of guessing it). Rides the two Memo-pinned frames
+    * every other MinHash consumer shares (signatures, shingle hashes)
+    * plus the capped candidate join of [[qDedupMinhashPairs]] — zero
+    * new data-sized shuffles. Cross-engine exactness: the estimate is
+    * the integer agree-count k (decile = ⌊10k/12⌋ in pure integer
+    * arithmetic), per-decile means divide EXACT sums (Σk as a long,
+    * Σ|est−exact| accumulated in DECIMAL(14,4) after both operands are
+    * r4'd) by the row count in ONE double op each — no float
+    * reduction-order hazard.
+    */
+  def qMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val docs = graft.Memo.cached("docShingleHashes", spark, dir) {
+      spread(spark, documents(spark, dir)).select(col("doc_id"),
+        array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
+    }
+    val nBands = MinhashPerms / BandsRows
+    val buckets = capBuckets(sig.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        concat(lit(s"$b:"), col(s"band_$b"))): _*)).as("bucket")),
+      "bucket", MinhashBandCap)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until MinhashPerms)
+      .map(j => when(col(s"sa.mh_$j") === col(s"sb.mh_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairs = cand
+      .join(sig.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sig.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("n_agree"),
+        r4(lit(1.0) * col("n_agree") / MinhashPerms).cast("decimal(14,4)").as("est4"),
+        r4(jaccard(col("sh_a"), col("sh_b"))).cast("decimal(14,4)").as("exact4"))
+    pairs
+      .groupBy(expr(s"n_agree * 10 div $MinhashPerms").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_agree")).as("sum_agree"),
+        sum(col("exact4")).as("sum_exact"),
+        sum(abs(col("est4") - col("exact4"))).as("sum_abserr"))
+      .select(col("decile"), col("n_pairs"),
+        r4(col("sum_agree") / (lit(MinhashPerms.toDouble) * col("n_pairs")))
+          .as("mean_est"),
+        r4(col("sum_exact").cast("double") / col("n_pairs")).as("mean_exact"),
+        r4(col("sum_abserr").cast("double") / col("n_pairs")).as("mae"))
+      .orderBy(col("decile"))
+  }
+
   /** 60-bit SimHash fingerprint (15 hex chars of md5 → bits 0..59; 16 hex
     * chars would overflow a signed long): per token, hash to 60 bits; sum
     * ±1 per bit position weighted by token frequency; sign → fingerprint

@@ -53,4 +53,41 @@ object GraphOps {
         "exceeds the cap; raise maxRounds or check the edge set")
     labels
   }
+
+  /** Bounded-round k-core peel over a symmetrized `(src, dst)` edge
+    * list: each round drops every node of degree < k and the edges
+    * touching it, until a fixpoint or `rounds` rounds — whichever comes
+    * first. Returns the surviving edge frame.
+    *
+    * Each round is ONE node-keyed count aggregate + two semi-joins on
+    * the (caller-capped) edge frame — partition-parallel, nothing
+    * collected; edges are localCheckpointed per round so the plan stays
+    * flat instead of tripling per iteration (each round references the
+    * previous frame three times). Convergence probe = the edge count,
+    * one scalar to the driver per round.
+    *
+    * The round bound is part of the OPERATOR's semantics (an
+    * "r-round peel"), not a safety valve: an oracle can replay exactly
+    * `rounds` unrolled iterations, and because peeling is monotone
+    * (rounds after the fixpoint are no-ops) early exit here never
+    * diverges from the oracle's fixed unrolling.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint()
+    var nEdges = e.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("keep_id"))
+      e = e.join(keep, col("src") === col("keep_id"), "left_semi")
+        .join(keep, col("dst") === col("keep_id"), "left_semi")
+        .localCheckpoint()
+      val n2 = e.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      r += 1
+    }
+    e
+  }
 }

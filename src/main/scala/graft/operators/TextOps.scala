@@ -502,6 +502,34 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled source sampling rates — the resampling rule
+    * multilingual/pretraining mixes actually train under (p_i ∝ n_i^α;
+    * α = 1/T): raw uniform mixing starves small sources, and α < 1
+    * flattens the mix. α = 0.5 (T = 2). To stay hash-exact cross-engine,
+    * the rate is emitted RELATIVE TO THE LARGEST SOURCE —
+    * `temp_ratio = √(n_tokens/max_tokens)` — which is the per-source
+    * upsampling rate a T=2 sampler applies before renormalizing: one
+    * exact-long division, one IEEE-correctly-rounded sqrt, one r4 —
+    * no multi-term float summation anywhere (a Σ√n denominator would
+    * hang the 4-dp hash on float reduction order; max() is exact).
+    * Shape: the |sources|-row token rollup of [[qSourceMix]] plus a
+    * 1-row broadcast max — nothing data-sized moves.
+    */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 10000 div total_tokens").as("share_bp"),
+        r4(sqrt(col("n_tokens").cast("double") / col("max_tokens")))
+          .as("temp_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** Documents per packing block and token budget per packed sequence
     * for [[qPackDocs]]. 32-doc blocks bound the per-group fold state;
     * 256 tokens ≈ 4-8 synthetic docs per sequence. */

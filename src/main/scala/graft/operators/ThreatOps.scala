@@ -258,6 +258,36 @@ object ThreatOps {
         .localCheckpoint()
     }
 
+  /** k and round bound for [[qKcore]]. k = 3 targets the "mutually
+    * embedded ring" shape (every member co-accesses with ≥3 ring
+    * members — a triangle-dense neighborhood, not a hub-and-spoke);
+    * 8 peel rounds are part of the declared semantics so the oracle
+    * can replay exactly 8 unrolled iterations (the spec asserts the
+    * fixpoint lands well inside the bound on real fixtures). */
+  val KcoreK = 3
+  val KcoreRounds = 8
+
+  /** k-core of the capped co-access graph (Seidman 1983): iteratively
+    * peel users with fewer than k co-access partners until the stable
+    * inner subgraph remains — the maximal subgraph of minimum degree k.
+    * Components and degree rank SIZE and VOLUME; the k-core grades
+    * EMBEDDEDNESS: a user surviving the k=3 peel operates inside a
+    * mutually-reinforcing cluster (the insider-ring candidate set),
+    * while high-degree users hanging off hubs peel away. Runs on the
+    * same Memo'd degree-capped edge frame as components/blast-radius
+    * ([[coaccessEdges]]) via [[GraphOps.kCorePeel]] — per round one
+    * count aggregate + two semi-joins, lineage checkpointed flat.
+    * Emits each core member with its within-core degree (how deeply
+    * embedded). Deterministic → hash-oracled against 8 identically
+    * unrolled peel-round CTEs (the q_blast_radius pattern).
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val core = GraphOps.kCorePeel(coaccessEdges(spark, dir), KcoreK, KcoreRounds)
+    core.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("user_id"), col("core_degree"))
+      .orderBy(col("user_id"))
+  }
+
   def qCoaccessComponents(spark: SparkSession, dir: String): DataFrame = {
     val labels = graft.Memo("coaccessCompLabels", spark, dir) {
       GraphOps.minLabelPropagation(coaccessEdges(spark, dir))

@@ -317,6 +317,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped === 202L * 201L / 2L)
   }
 
+  test("qMinhashCalibration: deciles partition the pairs frame; MAE dominates the bias") {
+    val cal = DedupOps.qMinhashCalibration(spark, sf).collect()
+    assert(cal.nonEmpty)
+    // one row per occupied decile, estimates inside their decile bounds
+    val total = cal.map(_.getAs[Long]("n_pairs")).sum
+    assert(total === DedupOps.qDedupMinhashPairs(spark, sf).count(),
+      "calibration must aggregate EXACTLY the LSH candidate-pair frame")
+    for (r <- cal) {
+      val d = r.getAs[Long]("decile")
+      val est = r.getAs[Double]("mean_est")
+      assert(est >= d / 10.0 - 1e-4 && est < (d + 1) / 10.0 + 1e-4,
+        s"decile $d holds mean_est $est outside its bin")
+      val exact = r.getAs[Double]("mean_exact")
+      val mae = r.getAs[Double]("mae")
+      // mean absolute error can never be smaller than |mean bias|
+      assert(mae >= math.abs(est - exact) - 1e-3,
+        s"decile $d: mae $mae below |bias| ${math.abs(est - exact)}")
+    }
+  }
+
   test("LSH band-bucket caps bound a planted clone storm on both pair generators") {
     val s = spark
     import s.implicits._

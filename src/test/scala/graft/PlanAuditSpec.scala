@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
       // one-row broadcast cross: the per-dim (min, max) codebook arrays
       "q_embed_quantize",
       // one-row broadcast cross: the corpus token total + source count
-      "q_source_mix",
+      // (q_source_mix) / the (total, max) token row (q_temperature_mix)
+      "q_source_mix", "q_temperature_mix",
       // one-row broadcast crosses: the date-midpoint row + the
       // period-total row (q_psi); the L1-norm scalar per HITS half-step
       "q_psi", "q_hits",

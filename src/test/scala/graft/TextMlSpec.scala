@@ -719,6 +719,31 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("qTemperatureMix: ratios anchor at the largest source and invert through sqrt") {
+    val mix = TextOps.qTemperatureMix(spark, sf).collect()
+    assert(mix.nonEmpty)
+    val maxTok = mix.map(_.getAs[Long]("n_tokens")).max
+    for (r <- mix) {
+      val ratio = r.getAs[Double]("temp_ratio")
+      val n = r.getAs[Long]("n_tokens")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      // ratio^2 * max recovers the token count (within 4-dp rounding)
+      assert(math.abs(ratio * ratio * maxTok - n) <= 2e-4 * maxTok + 1,
+        s"source ${r.getAs[String]("source")}: ratio $ratio does not invert to $n")
+    }
+    assert(mix.exists(r => r.getAs[Double]("temp_ratio") == 1.0),
+      "the largest source anchors at ratio 1.0")
+    // temperature FLATTENS the mix: ratios are ordered with token counts
+    // but strictly closer together than the raw shares
+    val sorted = mix.sortBy(_.getAs[Long]("n_tokens"))
+    assert(sorted.map(_.getAs[Double]("temp_ratio")).toSeq ===
+      sorted.map(_.getAs[Double]("temp_ratio")).toSeq.sorted)
+    // same rollup as qSourceMix (shared shape, never diverging counts)
+    val sm = TextOps.qSourceMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    assert(mix.forall(r => sm(r.getAs[String]("source")) == r.getAs[Long]("n_tokens")))
+  }
+
   test("qSourceMix: basis-point shares telescope; weights are the uniform-mix correction") {
     val rows = TextOps.qSourceMix(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -260,6 +260,28 @@ class ThreatOpsSpec extends SparkSpec {
     assert(inflated.count() === 0)
   }
 
+  test("kCorePeel keeps a planted 4-clique and peels a star; qKcore fixpoint lands inside the round bound") {
+    val s = spark
+    import s.implicits._
+    // 4-clique (nodes 1-4, degree 3 each) + star (center 10, leaves
+    // 11-15: leaves have degree 1, so the whole star peels away at k=3
+    // even though the CENTER's degree is 5 — embeddedness, not volume).
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val star = (11L to 15L).flatMap(l => Seq((10L, l), (l, 10L)))
+    val edges = (clique ++ star).toSeq.toDF("src", "dst")
+    val core = operators.GraphOps.kCorePeel(edges, k = 3, rounds = 8)
+    val kept = core.select("src").distinct().as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L), s"expected the clique, got $kept")
+    assert(core.count() === 12, "4-clique has 12 directed edges")
+    // real fixture: every emitted within-core degree >= k is EXACTLY the
+    // fixpoint certificate — had the 8-round bound run out before
+    // convergence, some survivor would still carry degree < k in the
+    // final subgraph.
+    val at8 = ThreatOps.qKcore(spark, sf).collect().toSeq
+    assert(at8.forall(r => r.getLong(1) >= ThreatOps.KcoreK),
+      "a survivor with within-core degree < k means the peel did not converge inside the round bound")
+  }
+
   test("qCoaccessComponents: edges stay within components, ids are minima, sizes reconcile") {
     val comp = ThreatOps.qCoaccessComponents(spark, sf).cache()
     // one row per clean user
