@@ -662,8 +662,13 @@ object SparkEntry {
     // is a 3^8-leaf scan tree (observed as an fd-exhaustion abort) —
     // materialization is the oracle-side twin of the engine side's
     // per-round localCheckpoint.
+    // ur/keep/pr stay PLAIN (inlined) CTEs: materializing ur would block
+    // DuckDB from pushing the `res IN keep` semi-join into the pair
+    // self-join, and on a hot-key amplified fixture the unfiltered join
+    // is a Sigma-deg² spill (observed: out-of-disk at x10). Only the
+    // peel rounds need MATERIALIZED (see below).
     "q_kcore" ->
-      s"""WITH ur AS MATERIALIZED (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+      s"""WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
            FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
              AND user_id IS NOT NULL),
          keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
