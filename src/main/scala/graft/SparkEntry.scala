@@ -52,6 +52,7 @@ object SparkEntry {
     "q_autocorr" -> (ThreatOps.qAutocorr _),
     "q_pagerank" -> (ThreatOps.qPagerank _),
     "q_knn_triangles" -> (ThreatOps.qKnnTriangles _),
+    "q_clustering_coeff" -> (ThreatOps.qClusteringCoeff _),
     "q_sketch_setops" -> (ThreatOps.qSketchSetops _),
     // C. feature extraction
     "q_user_features" -> (ThreatOps.qUserFeatures _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupOps.qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (DedupOps.qDedupSimhashPairs _),
     "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
+    "q_dedup_funnel" -> (DedupOps.qDedupFunnel _),
     "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     "q_containment" -> (DedupOps.qContainment _),
     "q_edit_distance" -> (DedupOps.qEditDistance _),
@@ -170,6 +172,7 @@ object SparkEntry {
     "q_zscore_anomaly" -> (MLOps.qZscoreAnomaly _),
     "q_quantile_outlier" -> (MLOps.qQuantileOutlier _),
     "q_mad_outlier" -> (MLOps.qMadOutlier _),
+    "q_anomaly_overlap" -> (MLOps.qAnomalyOverlap _),
     "q_eval_metrics" -> (MLOps.qEvalMetrics _),
     "q_kmeans_anomaly" -> (MLOps.qKmeansAnomaly _),
     "q_pca_project" -> (MLOps.qPcaProject _),
@@ -195,6 +198,7 @@ object SparkEntry {
     "q_scd2_history" -> (RelationalOps.qScd2History _),
     "q_source_mix" -> (TextOps.qSourceMix _),
     "q_temperature_mix" -> (TextOps.qTemperatureMix _),
+    "q_lexical_diversity" -> (TextOps.qLexicalDiversity _),
     "q_pack_docs" -> (TextOps.qPackDocs _),
     "q_holt_winters" -> (ThreatOps.qHoltWinters _),
     "q_psi" -> (ThreatOps.qPsi _),
@@ -825,6 +829,60 @@ object SparkEntry {
             CASE WHEN row_number() OVER (ORDER BY anomaly_score DESC, user_id)
                  <= ceil(cnt * 0.1) THEN 1 ELSE 0 END::BIGINT AS is_anomaly
           FROM sc ORDER BY user_id"""
+    },
+    // Replays the z-score chain, the per-feature quantile chain, and the
+    // MAD chain (each verbatim from its own gated oracle), derives the
+    // three 0/1 user flags, and reduces them to one sums row — overlap
+    // in exact integer basis points, no float anywhere.
+    "q_anomaly_overlap" -> {
+      val stats = mlFeatures.map(f =>
+        s"avg($f) AS mu_$f, stddev_pop($f) AS sd_$f").mkString(", ")
+      val zs = mlFeatures.map(f =>
+        s"CASE WHEN sd_$f IS NULL OR sd_$f = 0 THEN 0.0 ELSE ($f - mu_$f)/sd_$f END AS z_$f")
+        .mkString(", ")
+      val qflags = mlFeatures.map(f =>
+        s"""CASE WHEN row_number() OVER (ORDER BY $f DESC, user_id)
+            <= ceil(count(*) OVER () * 0.1) THEN 1 ELSE 0 END AS flag_$f""")
+        .mkString(", ")
+      s"""WITH uf AS ($userFeaturesSql),
+          st AS (SELECT count(*) AS cnt, $stats FROM uf),
+          z AS (SELECT user_id, cnt, $zs FROM uf CROSS JOIN st),
+          sc AS (SELECT user_id, cnt,
+            round(greatest(${mlFeatures.map(f => s"abs(z_$f)").mkString(", ")}), 4) AS anomaly_score
+          FROM z),
+          zf AS (SELECT user_id,
+            CASE WHEN row_number() OVER (ORDER BY anomaly_score DESC, user_id)
+              <= ceil(cnt * 0.1) THEN 1 ELSE 0 END AS fz FROM sc),
+          fl AS (SELECT user_id, $qflags FROM uf),
+          qf AS (SELECT user_id,
+            CASE WHEN ${mlFeatures.map(f => s"flag_$f").mkString(" + ")} >= 2
+              THEN 1 ELSE 0 END AS fq FROM fl),
+          ev AS (SELECT user_id, event_type, value FROM events WHERE value IS NOT NULL),
+          med AS (SELECT event_type AS met, quantile_cont(value, 0.5) AS med
+            FROM ev GROUP BY 1),
+          dev AS (SELECT user_id, event_type, abs(value - med) AS adev
+            FROM ev JOIN med ON event_type = met),
+          mad AS (SELECT event_type AS aet, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1),
+          mf AS (SELECT user_id,
+              max(CASE WHEN adev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS fm
+            FROM dev JOIN mad ON event_type = aet GROUP BY user_id),
+          j AS (SELECT COALESCE(fz, 0) AS fz, COALESCE(fq, 0) AS fq,
+              COALESCE(fm, 0) AS fm
+            FROM zf FULL JOIN qf ON zf.user_id = qf.user_id
+            FULL JOIN mf ON COALESCE(zf.user_id, qf.user_id) = mf.user_id),
+          s AS (SELECT sum(fz) AS nz, sum(fq) AS nq, sum(fm) AS nm,
+              sum(fz*fq) AS bzq, sum(fz*fm) AS bzm, sum(fq*fm) AS bqm FROM j)
+          SELECT det_a, det_b, CAST(n_a AS BIGINT) AS n_a,
+            CAST(n_b AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+            CAST(n_a + n_b - n_both AS BIGINT) AS n_union,
+            CAST(CASE WHEN n_a + n_b - n_both = 0 THEN 0
+              ELSE (n_both * 10000) // (n_a + n_b - n_both) END AS BIGINT) AS jaccard_bp
+          FROM (
+            SELECT 'mad' AS det_a, 'quantile' AS det_b, nm AS n_a, nq AS n_b, bqm AS n_both FROM s
+            UNION ALL SELECT 'mad', 'zscore', nm, nz, bzm FROM s
+            UNION ALL SELECT 'quantile', 'zscore', nq, nz, bzq FROM s)
+          ORDER BY det_a, det_b"""
     },
     "q_quantile_outlier" -> {
       val flags = mlFeatures.map(f =>
@@ -1893,6 +1951,41 @@ object SparkEntry {
            UNION ALL SELECT y FROM tri
            UNION ALL SELECT z FROM tri)
          GROUP BY 1 ORDER BY n_triangles DESC, user_id""",
+    // Shares the ur/keep/pc/dirp/knn/und chain of q_knn_triangles
+    // verbatim; lcc is pure integer arithmetic (2·T·10000 // deg(deg−1))
+    // so the hash has no float to drift on.
+    "q_clustering_coeff" ->
+      s"""WITH ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events
+           WHERE json_extract_string(props,'$$.k') IS NOT NULL AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
+         pc AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS c
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         dirp AS (SELECT ua AS u, ub AS v, c FROM pc
+           UNION ALL SELECT ub, ua, c FROM pc),
+         knn AS (SELECT u, v FROM (
+             SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY c DESC, v) AS rk
+             FROM dirp) WHERE rk <= 3),
+         und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn),
+         dire AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+         deg AS (SELECT a AS user_id, count(*) AS degree FROM dire GROUP BY 1),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+           JOIN und e2 ON e1.b = e2.a
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tc AS (SELECT user_id, count(*) AS n_triangles FROM (
+             SELECT x AS user_id FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY 1)
+         SELECT d.user_id, d.degree,
+           CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2
+             THEN (COALESCE(tc.n_triangles, 0) * 2 * 10000)
+               // (d.degree * (d.degree - 1))
+             ELSE 0 END AS BIGINT) AS lcc_bp
+         FROM deg d LEFT JOIN tc USING (user_id) ORDER BY user_id""",
     "q_redact" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
@@ -2021,6 +2114,28 @@ object SparkEntry {
           JOIN documents da ON da.doc_id = doc_a
           JOIN documents db ON db.doc_id = doc_b
           ORDER BY edit_distance, doc_a, doc_b LIMIT 50""",
+    // Stage predicates reuse q_dedup_exact's md5-min grid and
+    // q_dedup_clusters' component CTE; everything emitted is an exact
+    // integer (retention in basis points via integer division).
+    "q_dedup_funnel" ->
+      s"""WITH RECURSIVE pr AS ($minhashPairsSql),
+          $clusterCompSql,
+          ex AS (SELECT doc_id, source,
+              CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                THEN 1 ELSE 0 END AS ex_s
+            FROM documents),
+          cl AS (SELECT d.doc_id,
+              CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+                THEN 1 ELSE 0 END AS cl_s
+            FROM documents d LEFT JOIN comp c USING (doc_id))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(ex_s) AS BIGINT) AS n_exact_survivors,
+            CAST(sum(ex_s * cl_s) AS BIGINT) AS n_final_survivors,
+            CAST(count(*) - sum(ex_s) AS BIGINT) AS removed_exact,
+            CAST(sum(ex_s) - sum(ex_s * cl_s) AS BIGINT) AS removed_near,
+            CAST((sum(ex_s * cl_s) * 10000) // count(*) AS BIGINT) AS retention_bp
+          FROM ex JOIN cl USING (doc_id)
+          GROUP BY source ORDER BY source""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($minhashPairsSql),
           $clusterCompSql
@@ -2304,6 +2419,18 @@ object SparkEntry {
     // temp_ratio = sqrt(n_tokens/max_tokens): one exact-long division,
     // one IEEE-correctly-rounded sqrt, one round-4 -- no multi-term
     // float summation to hang the hash on reduction order.
+    // types/toks compared by integer cross-multiplication (exact on both
+    // engines); micro_ttr is the one r4'd division of two exact sums.
+    "q_lexical_diversity" ->
+      s"""WITH d AS (SELECT source, len(t) AS toks, len(list_distinct(t)) AS types
+            FROM (SELECT source, $tokSql AS t FROM documents))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS sum_tokens,
+            CAST(sum(types) AS BIGINT) AS sum_types,
+            round(sum(types)::DOUBLE / sum(toks), 4) AS micro_ttr,
+            CAST(sum(CASE WHEN types*2 <= toks THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+            CAST(sum(CASE WHEN types*10 >= toks*9 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_diversity
+          FROM d GROUP BY source ORDER BY source""",
     "q_temperature_mix" ->
       s"""WITH d AS (SELECT source, CAST(len($tokSql) AS BIGINT) AS toks
             FROM documents),

@@ -320,6 +320,45 @@ object DedupOps {
     * convergence is detected by the (monotonically decreasing) label sum
     * — ONE scalar to the driver per round, never the data.
     */
+  /** Dedup-ladder survivorship funnel: per source, how many documents
+    * survive each stage of the production dedup sequence — exact
+    * (md5-min keeper per content group) then near-dup (connected-
+    * component survivor of the thresholded MinHash pair graph,
+    * [[qDedupClusters]]'s labels) — plus exact integer-basis-point
+    * retention. The per-source removal attribution is what a 100 TB
+    * pipeline reads before committing a dedup pass: a source losing 40%
+    * at the EXACT stage is syndicated/boilerplate-heavy (cheap to
+    * collapse), one losing it at the NEAR stage is template-heavy
+    * (worth a containment look). Stages compose by intersection, so the
+    * funnel is monotone by construction; both stage predicates reuse
+    * frames other gated queries pin (the md5 grid of [[qDedupExact]],
+    * the Memo'd cluster labels), and everything emitted is an exact
+    * integer — nothing for the cross-engine hash to drift on.
+    */
+  def qDedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.Memo("dedupClusterLabels", spark, dir)(
+      clusterLabels(spark, dir))
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    d.join(keepers, Seq("h"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("source"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ex_s"),
+        when(col("doc_id") === coalesce(col("lbl"), col("doc_id")), 1L)
+          .otherwise(0L).as("cl_s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ex_s")).as("n_exact_survivors"),
+        sum(col("ex_s") * col("cl_s")).as("n_final_survivors"))
+      .select(col("source"), col("n_docs"),
+        col("n_exact_survivors"), col("n_final_survivors"),
+        (col("n_docs") - col("n_exact_survivors")).as("removed_exact"),
+        (col("n_exact_survivors") - col("n_final_survivors")).as("removed_near"),
+        expr("n_final_survivors * 10000 div n_docs").as("retention_bp"))
+      .orderBy(col("source"))
+  }
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // The whole propagation is memoized, not just the edges: the
     // multi-round driver loop (a blocking action + localCheckpoint per

@@ -673,15 +673,24 @@ object MLOps {
     * widest frame every consumer shares) is pinned via Memo.cached, the
     * same treatment autocorrDaily/skylineCandidates get.
     */
-  def qMadOutlier(spark: SparkSession, dir: String): DataFrame = {
-    val dev = graft.Memo.cached("madDev", spark, dir) {
-      val ev = cleanEvents(spark, dir).select(col("event_type"), col("value"))
+  /** (event_type, value, user_id, med, adev) — the per-event absolute
+    * deviations from each type's median, pinned once per (session, dir):
+    * [[qMadOutlier]]'s rollup and [[qAnomalyOverlap]]'s per-user MAD
+    * flag both fold it (user_id never reaches qMadOutlier's groupBy).
+    */
+  private def madDev(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("madDev", spark, dir) {
+      val ev = cleanEvents(spark, dir)
+        .select(col("event_type"), col("value"), col("user_id"))
         .filter(col("value").isNotNull)
       val med = ev.groupBy(col("event_type").as("met"))
         .agg(percentile(col("value"), lit(0.5)).as("med"))
       ev.join(broadcast(med), col("event_type") === col("met"))
         .withColumn("adev", abs(col("value") - col("med")))
     }
+
+  def qMadOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val dev = madDev(spark, dir)
     val mad = dev.groupBy(col("event_type").as("aet"))
       .agg(percentile(col("adev"), lit(0.5)).as("mad"))
     dev.join(broadcast(mad), col("event_type") === col("aet"))
@@ -692,6 +701,63 @@ object MLOps {
         sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("event_type"))
+  }
+
+  /** Detector-agreement matrix: pairwise overlap of the three
+    * deterministic user-level anomaly flags — z-score contamination cut
+    * ([[qZscoreAnomaly]].is_anomaly), per-feature quantile vote
+    * ([[qQuantileOutlier]].is_outlier), and "any MAD-outlier event"
+    * (≥1 event beyond the 3·1.4826·MAD gate of its type, off the shared
+    * [[madDev]] frame). The table that decides whether an ensemble adds
+    * information or just re-counts one signal: near-total overlap means
+    * the detectors are redundant; near-zero overlap on similar set
+    * sizes means they see DIFFERENT anomaly populations and a vote is
+    * worth its cost (the deterministic, hash-checkable face of
+    * Comparaison_ML.py:327-420's model-comparison loop). Every flag
+    * chain is a Memo-pinned |users|-row frame; the joins are |users|-row
+    * key joins; agreement = Jaccard in exact integer basis points
+    * (n_both·10000 div n_union) — no float anywhere.
+    */
+  def qAnomalyOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val z = qZscoreAnomaly(spark, dir)
+      .select(col("user_id"), col("is_anomaly").as("f_zscore"))
+    val q = qQuantileOutlier(spark, dir)
+      .select(col("user_id"), col("is_outlier").as("f_quantile"))
+    val dev = madDev(spark, dir)
+    val mad = dev.groupBy(col("event_type").as("aet"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    val m = dev.join(broadcast(mad), col("event_type") === col("aet"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+        .otherwise(0L)).as("f_mad"))
+    val flags = z.join(q, Seq("user_id"), "full_outer")
+      .join(m, Seq("user_id"), "full_outer")
+      .na.fill(0L, Seq("f_zscore", "f_quantile", "f_mad"))
+    val sums = flags.agg(
+      sum(col("f_zscore")).as("n_zscore"),
+      sum(col("f_quantile")).as("n_quantile"),
+      sum(col("f_mad")).as("n_mad"),
+      sum(col("f_zscore") * col("f_quantile")).as("b_zq"),
+      sum(col("f_zscore") * col("f_mad")).as("b_zm"),
+      sum(col("f_quantile") * col("f_mad")).as("b_qm"))
+    // one explode off the ONE-ROW sums frame — the whole flag chain
+    // executes once, not once per emitted pair
+    def pairRow(a: String, b: String, na: Column, nb: Column, both: Column) =
+      struct(lit(a).as("det_a"), lit(b).as("det_b"),
+        na.as("n_a"), nb.as("n_b"), both.as("n_both"))
+    sums.select(explode(array(
+        pairRow("mad", "quantile", col("n_mad"), col("n_quantile"), col("b_qm")),
+        pairRow("mad", "zscore", col("n_mad"), col("n_zscore"), col("b_zm")),
+        pairRow("quantile", "zscore", col("n_quantile"), col("n_zscore"), col("b_zq"))))
+        .as("p"))
+      .select(col("p.det_a").as("det_a"), col("p.det_b").as("det_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"),
+        col("p.n_both").as("n_both"),
+        (col("p.n_a") + col("p.n_b") - col("p.n_both")).as("n_union"))
+      .withColumn("jaccard_bp",
+        when(col("n_union") === 0, 0L)
+          .otherwise(expr("n_both * 10000 div n_union")))
+      .orderBy(col("det_a"), col("det_b"))
   }
 
   /** Per-group Mann–Whitney AUC over a `(grp, truth, score)` frame:

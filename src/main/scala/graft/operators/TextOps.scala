@@ -530,6 +530,39 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Lexical diversity per source: type-token ratios as a data-quality
+    * screen (templated/spammy text repeats its vocabulary; TTR collapses
+    * long before a perplexity filter notices). Per doc, toks = |tokens|
+    * and types = |distinct tokens| are exact integers; the rollup emits
+    * per-source exact sums, ONE r4'd double (micro-TTR = Σtypes/Σtoks —
+    * the repo's one-division convention), and two integer-threshold
+    * counts (types·2 ≤ toks → low-diversity; types·10 ≥ toks·9 →
+    * high-diversity) chosen over per-doc rounded ratios deliberately:
+    * a min/max over r4'd doubles would hang the hash on the engines'
+    * .xxxx5 rounding disagreement, while integer cross-multiplication
+    * compares the SAME rationals exactly on both sides. One
+    * source-keyed agg; the distinct-count runs inside the per-doc row
+    * (array_distinct), never a corpus-wide shuffle.
+    */
+  def qLexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .select(col("source"), size(col("t")).cast("long").as("toks"),
+        size(array_distinct(col("t"))).cast("long").as("types"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("sum_tokens"),
+        sum(col("types")).as("sum_types"),
+        sum(when(col("types") * 2 <= col("toks"), 1L).otherwise(0L))
+          .as("n_low_diversity"),
+        sum(when(col("types") * 10 >= col("toks") * 9, 1L).otherwise(0L))
+          .as("n_high_diversity"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        col("sum_types"),
+        r4(col("sum_types").cast("double") / col("sum_tokens")).as("micro_ttr"),
+        col("n_low_diversity"), col("n_high_diversity"))
+      .orderBy(col("source"))
+
   /** Documents per packing block and token budget per packed sequence
     * for [[qPackDocs]]. 32-doc blocks bound the per-group fold state;
     * 256 tokens ≈ 4-8 synthetic docs per sequence. */

@@ -866,21 +866,7 @@ object ThreatOps {
     * O(k²·|users|), never O(edges²).
     */
   def qKnnTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coaccessPairFrame(spark, dir, maxDegree = CoaccessMaxDegree)
-    val directed = pairs.select(col("user_a").as("u"), col("user_b").as("v"), col("shared_resources"))
-      .unionAll(pairs.select(col("user_b").as("u"), col("user_a").as("v"), col("shared_resources")))
-    val byStrength = Window.partitionBy(col("u"))
-      .orderBy(col("shared_resources").desc, col("v"))
-    val knn = directed
-      .withColumn("rk", row_number().over(byStrength))
-      .filter(col("rk") <= 3)
-    // Pinned: the kNN edge set is self-joined THREE times below —
-    // uncached, each side re-runs the per-user rank window over the full
-    // directed pair frame.
-    val und = graft.Memo.cached("knnEdges", spark, dir) {
-      knn.select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b")).distinct()
-    }
+    val und = knnEdges(spark, dir)
     val tri = und.as("e1")
       .join(und.as("e2"), col("e1.b") === col("e2.a"))
       .join(und.as("e3"),
@@ -890,6 +876,67 @@ object ThreatOps {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("user_id"))
+  }
+
+  /** Undirected 3-NN edge set of the capped co-access graph (each user's
+    * 3 strongest partners by shared-resource count, deterministic
+    * tiebreak, then symmetrized/deduped) — the bounded-degree
+    * sparsification [[qKnnTriangles]] and [[qClusteringCoeff]] both
+    * traverse. Memo.cached: it is self-joined three times by the
+    * triangle join and twice more by the coefficient's degree count;
+    * uncached, each consumer re-runs the per-user rank window over the
+    * full directed pair frame.
+    */
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("knnEdges", spark, dir) {
+      val pairs = coaccessPairFrame(spark, dir, maxDegree = CoaccessMaxDegree)
+      val directed = pairs.select(col("user_a").as("u"), col("user_b").as("v"), col("shared_resources"))
+        .unionAll(pairs.select(col("user_b").as("u"), col("user_a").as("v"), col("shared_resources")))
+      val byStrength = Window.partitionBy(col("u"))
+        .orderBy(col("shared_resources").desc, col("v"))
+      directed
+        .withColumn("rk", row_number().over(byStrength))
+        .filter(col("rk") <= 3)
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")).distinct()
+    }
+
+  /** Local clustering coefficient over the 3-NN sparsified co-access
+    * graph (Watts–Strogatz 1998 on the bounded graph): per user, the
+    * fraction of their neighbor pairs that are themselves connected —
+    * lcc = 2·T(u) / (deg(u)·(deg(u)−1)). On the RAW capped graph the
+    * wedge count is Σ C(deg,2) ≈ 1.7e9 at sf0.1 (measured) — the exact
+    * uncapped quadratic this suite just retired — so the coefficient is
+    * DEFINED on the kNN sparsification, where per-vertex degree is
+    * k-bounded and the whole computation is O(k²·|users|): the same
+    * triangle join as [[qKnnTriangles]] plus one degree count on the
+    * shared Memo'd edge frame. Emitted as exact integer BASIS POINTS
+    * (2·T·10000 div deg·(deg−1)) — no float anywhere, so the hash
+    * oracle has nothing to drift on. High lcc + high degree = the
+    * mutually-embedded clique signal; hubs with star-shaped
+    * neighborhoods score 0.
+    */
+  def qClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val und = knnEdges(spark, dir)
+    val deg = und.select(col("a").as("user_id"))
+      .unionAll(und.select(col("b").as("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("user_id"), "left")
+      .select(col("user_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_bp",
+        when(col("degree") >= 2,
+          expr("n_triangles * 2 * 10000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("user_id"))
   }
 
   /** Jaccard-normalized co-access similarity: the [[qCoaccessPairs]] edge

@@ -337,6 +337,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("qDedupFunnel: stages telescope, totals reconcile with the exact and cluster dedups") {
+    val f = DedupOps.qDedupFunnel(spark, sf).collect()
+    assert(f.nonEmpty)
+    for (r <- f) {
+      val (n, ex, fin) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_exact_survivors"), r.getAs[Long]("n_final_survivors"))
+      assert(ex <= n && fin <= ex, "funnel must be monotone")
+      assert(r.getAs[Long]("removed_exact") === n - ex)
+      assert(r.getAs[Long]("removed_near") === ex - fin)
+      assert(r.getAs[Long]("retention_bp") === fin * 10000 / n)
+    }
+    // Sigma exact survivors = one keeper per content-hash group
+    val exTotal = f.map(_.getAs[Long]("n_exact_survivors")).sum
+    assert(exTotal === DedupOps.qDedupExact(spark, sf).count())
+    // Sigma final = |exact keepers ∩ cluster survivors|, recomputed
+    // independently from the two gated queries the funnel composes
+    val s = spark
+    import s.implicits._
+    val keepers = DedupOps.qDedupExact(spark, sf)
+      .select($"keeper_doc_id".as[Long]).collect().toSet
+    val clusterSurv = DedupOps.qDedupClusters(spark, sf)
+      .filter($"is_survivor" === 1L).select($"doc_id".as[Long]).collect().toSet
+    val finTotal = f.map(_.getAs[Long]("n_final_survivors")).sum
+    assert(finTotal === (keepers intersect clusterSurv).size.toLong)
+  }
+
   test("LSH band-bucket caps bound a planted clone storm on both pair generators") {
     val s = spark
     import s.implicits._

@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSpec {
       // one-row broadcast crosses: the contingency grand-total row
       // (MI / Cramér's V) and the 1-row (μ, σ²) stats frame the
       // per-user distance reads (Mahalanobis)
-      "q_mutual_info", "q_cramers_v", "q_mahalanobis")
+      "q_mutual_info", "q_cramers_v", "q_mahalanobis",
+      // inherits q_zscore_anomaly's one-row global-stats cross (the
+      // overlap table replays all three flag chains)
+      "q_anomaly_overlap")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

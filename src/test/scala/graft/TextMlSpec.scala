@@ -744,6 +744,60 @@ class TextMlSpec extends SparkSpec {
     assert(mix.forall(r => sm(r.getAs[String]("source")) == r.getAs[Long]("n_tokens")))
   }
 
+  test("qLexicalDiversity: token rollup matches the mix queries; a hand replay of one source agrees") {
+    val ld = TextOps.qLexicalDiversity(spark, sf).collect()
+    assert(ld.nonEmpty)
+    val mixTokens = TextOps.qTemperatureMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    for (r <- ld) {
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("sum_tokens") === mixTokens(src),
+        s"$src: token rollup diverges from qTemperatureMix")
+      assert(r.getAs[Long]("sum_types") <= r.getAs[Long]("sum_tokens"))
+      val ttr = r.getAs[Double]("micro_ttr")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      // thresholds 0.5 / 0.9 are disjoint: a doc can't be both
+      assert(r.getAs[Long]("n_low_diversity") + r.getAs[Long]("n_high_diversity")
+        <= r.getAs[Long]("n_docs"))
+    }
+    // independent in-process replay of one source's exact sums
+    val s = spark
+    import s.implicits._
+    val src0 = ld.head.getAs[String]("source")
+    val docs = graft.Tables.documents(spark, sf)
+      .filter($"source" === src0).select($"text".as[String]).collect()
+    val toks = docs.map(_.trim.split("\\s+").length.toLong).sum
+    val types = docs.map(_.trim.split("\\s+").distinct.length.toLong).sum
+    assert(ld.head.getAs[Long]("sum_tokens") === toks)
+    assert(ld.head.getAs[Long]("sum_types") === types)
+  }
+
+  test("qAnomalyOverlap: set sizes match the detectors they summarize; Jaccard is exact integer algebra") {
+    val ov = MLOps.qAnomalyOverlap(spark, sf).collect()
+    assert(ov.length === 3, "three detector pairs")
+    val nZ = MLOps.qZscoreAnomaly(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("is_anomaly") === 1L).count()
+    val nQ = MLOps.qQuantileOutlier(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("is_outlier") === 1L).count()
+    for (r <- ov) {
+      val (na, nb, both, union, bp) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("n_union"), r.getAs[Long]("jaccard_bp"))
+      assert(both <= math.min(na, nb), "intersection can't exceed either set")
+      assert(union === na + nb - both)
+      assert(bp === (if (union == 0) 0L else both * 10000 / union))
+      r.getAs[String]("det_b") match {
+        case "zscore" => assert(nb === nZ, "zscore set size must match qZscoreAnomaly's flags")
+        case "quantile" => assert(nb === nQ, "quantile set size must match qQuantileOutlier's flags")
+        case other => fail(s"unexpected det_b $other")
+      }
+      if (r.getAs[String]("det_a") == "quantile")
+        assert(na === nQ)
+    }
+    // the mad set size is reported identically on both of its rows
+    val madSizes = ov.filter(_.getAs[String]("det_a") == "mad").map(_.getAs[Long]("n_a")).distinct
+    assert(madSizes.length === 1)
+  }
+
   test("qSourceMix: basis-point shares telescope; weights are the uniform-mix correction") {
     val rows = TextOps.qSourceMix(spark, sf).collect()
     assert(rows.nonEmpty)

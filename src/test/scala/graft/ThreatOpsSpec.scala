@@ -282,6 +282,26 @@ class ThreatOpsSpec extends SparkSpec {
       "a survivor with within-core degree < k means the peel did not converge inside the round bound")
   }
 
+  test("qClusteringCoeff: triangle counts agree with qKnnTriangles; lcc is the exact integer ratio") {
+    val cc = ThreatOps.qClusteringCoeff(spark, sf).collect()
+    assert(cc.nonEmpty)
+    val tri = ThreatOps.qKnnTriangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_triangles")).toMap
+    for (r <- cc) {
+      val (u, d, t, bp) = (r.getAs[Long]("user_id"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("lcc_bp"))
+      assert(d >= 1, s"user $u in the edge frame must have degree >= 1")
+      // same triangle join, same Memo'd edge frame — counts must agree
+      assert(t === tri.getOrElse(u, 0L), s"user $u: triangle count diverges from qKnnTriangles")
+      // exact integer replay of the emitted ratio
+      val expected = if (d >= 2) t * 2 * 10000 / (d * (d - 1)) else 0L
+      assert(bp === expected, s"user $u: lcc_bp $bp != $expected")
+      assert(bp >= 0 && bp <= 10000, s"user $u: lcc_bp $bp out of [0, 10000]")
+    }
+    // every triangle participant appears in the coefficient frame
+    assert(tri.keySet.subsetOf(cc.map(_.getAs[Long]("user_id")).toSet))
+  }
+
   test("qCoaccessComponents: edges stay within components, ids are minima, sizes reconcile") {
     val comp = ThreatOps.qCoaccessComponents(spark, sf).cache()
     // one row per clean user
