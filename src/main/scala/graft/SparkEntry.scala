@@ -39,6 +39,8 @@ object SparkEntry {
     "q_degree_dist" -> (ThreatOps.qDegreeDist _),
     "q_risk_propagation" -> (ThreatOps.qRiskPropagation _),
     "q_handoff_pairs" -> (ThreatOps.qHandoffPairs _),
+    "q_handoff_balance" -> (ThreatOps.qHandoffBalance _),
+    "q_component_density" -> (ThreatOps.qComponentDensity _),
     "q_funnel" -> (ThreatOps.qFunnel _),
     "q_hourly_heatmap" -> (ThreatOps.qHourlyHeatmap _),
     "q_resource_access_approx" -> (ThreatOps.qResourceAccessApprox _),
@@ -134,6 +136,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (DedupOps.qDedupSimhashPairs _),
     "q_dedup_clusters" -> (DedupOps.qDedupClusters _),
     "q_dedup_funnel" -> (DedupOps.qDedupFunnel _),
+    "q_doc_dup_profile" -> (DedupOps.qDocDupProfile _),
     "q_ngram_jaccard" -> (DedupOps.qNgramJaccard _),
     "q_containment" -> (DedupOps.qContainment _),
     "q_edit_distance" -> (DedupOps.qEditDistance _),
@@ -734,6 +737,69 @@ object SparkEntry {
            AND b.first_us - a.first_us <= 3600000000
          GROUP BY 1, 2
          ORDER BY n_handoffs DESC, user_from, user_to LIMIT 50""",
+    // Same ft0/keep/ft first-touch chain as q_handoff_pairs; both
+    // directions aggregated from the one directed-event join, merged on
+    // user_id. All-integer output.
+    "q_handoff_balance" ->
+      s"""WITH ft0 AS (SELECT user_id,
+             json_extract_string(props,'$$.k') AS resource,
+             min(epoch_us(ts)) AS first_us
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         keep AS (SELECT resource FROM ft0 GROUP BY 1
+           HAVING count(*) <= $DegCap),
+         ft AS (SELECT * FROM ft0 WHERE resource IN (SELECT resource FROM keep)),
+         ho AS (SELECT a.user_id AS user_from, b.user_id AS user_to
+           FROM ft a JOIN ft b ON a.resource = b.resource
+             AND a.user_id <> b.user_id
+             AND b.first_us > a.first_us
+             AND b.first_us - a.first_us <= 3600000000),
+         o AS (SELECT user_from AS user_id, count(*) AS n_out,
+             count(DISTINCT user_to) AS n_recipients
+           FROM ho GROUP BY 1),
+         i AS (SELECT user_to AS user_id, count(*) AS n_in,
+             count(DISTINCT user_from) AS n_senders
+           FROM ho GROUP BY 1)
+         SELECT COALESCE(o.user_id, i.user_id) AS user_id,
+           CAST(COALESCE(n_out, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(n_in, 0) AS BIGINT) AS n_in,
+           CAST(COALESCE(n_out, 0) - COALESCE(n_in, 0) AS BIGINT) AS net,
+           CAST(COALESCE(n_recipients, 0) AS BIGINT) AS n_recipients,
+           CAST(COALESCE(n_senders, 0) AS BIGINT) AS n_senders
+         FROM o FULL JOIN i ON o.user_id = i.user_id
+         ORDER BY user_id""",
+    // Same ur/keep/pr/e/reach/comp closure as q_coaccess_components;
+    // edges attach to a component by ONE endpoint (both share it by
+    // definition); density = 2E·10000 // n(n−1) in pure integers.
+    "q_component_density" ->
+      s"""WITH RECURSIVE ur AS (SELECT DISTINCT user_id, json_extract_string(props,'$$.k') AS res
+           FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
+             AND user_id IS NOT NULL),
+         keep AS (SELECT res FROM ur GROUP BY res HAVING count(*) <= $DegCap),
+         pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM ur a JOIN ur b ON a.res = b.res AND a.user_id < b.user_id
+           WHERE a.res IN (SELECT res FROM keep)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT ua AS a, ub AS b FROM pr UNION ALL SELECT ub, ua FROM pr),
+         reach(s, d) AS (
+           SELECT DISTINCT a AS s, a AS d FROM e
+           UNION
+           SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+         comp AS (SELECT s AS uid, min(d) AS cid FROM reach GROUP BY s),
+         users AS (SELECT DISTINCT user_id FROM events),
+         c AS (SELECT u.user_id, COALESCE(comp.cid, u.user_id) AS component_id
+           FROM users u LEFT JOIN comp ON u.user_id = comp.uid),
+         nc AS (SELECT component_id, count(*) AS n_users FROM c GROUP BY 1),
+         ec AS (SELECT comp.cid AS component_id, count(*) AS n_edges
+           FROM pr JOIN comp ON pr.ua = comp.uid GROUP BY 1)
+         SELECT nc.component_id, CAST(nc.n_users AS BIGINT) AS n_users,
+           CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(CASE WHEN nc.n_users >= 2
+             THEN (COALESCE(ec.n_edges, 0) * 2 * 10000)
+               // (nc.n_users * (nc.n_users - 1))
+             ELSE 0 END AS BIGINT) AS density_bp
+         FROM nc LEFT JOIN ec USING (component_id)
+         ORDER BY component_id""",
     // forward push (user risk → resource mean, exact basis points via
     // integer div) then max-pull back to users; both hops on the
     // DISTINCT (user, resource) grid.
@@ -2136,6 +2202,30 @@ object SparkEntry {
             CAST((sum(ex_s * cl_s) * 10000) // count(*) AS BIGINT) AS retention_bp
           FROM ex JOIN cl USING (doc_id)
           GROUP BY source ORDER BY source""",
+    // Per-doc profile over the same pr/comp chain as the cluster oracle
+    // plus the md5 window; max_jaccard is the max of values
+    // q_dedup_minhash_pairs already emits hash-identically.
+    "q_doc_dup_profile" ->
+      s"""WITH RECURSIVE pr AS ($minhashPairsSql),
+          $clusterCompSql,
+          g AS (SELECT doc_id, source,
+              count(*) OVER (PARTITION BY md5(text)) - 1 AS n_exact_dups
+            FROM documents),
+          t AS (SELECT doc_a AS doc_id, jaccard FROM pr
+            UNION ALL SELECT doc_b, jaccard FROM pr),
+          np AS (SELECT doc_id, count(*) AS n_near_pairs,
+              max(jaccard) AS max_jaccard
+            FROM t GROUP BY 1),
+          cs AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY 1)
+          SELECT g.doc_id, g.source,
+            CAST(g.n_exact_dups AS BIGINT) AS n_exact_dups,
+            CAST(COALESCE(np.n_near_pairs, 0) AS BIGINT) AS n_near_pairs,
+            COALESCE(np.max_jaccard, 0.0) AS max_jaccard,
+            CAST(COALESCE(cs.sz, 1) AS BIGINT) AS cluster_size
+          FROM g LEFT JOIN np USING (doc_id)
+          LEFT JOIN comp ON g.doc_id = comp.doc_id
+          LEFT JOIN cs ON COALESCE(comp.cluster_id, g.doc_id) = cs.cluster_id
+          ORDER BY g.doc_id""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($minhashPairsSql),
           $clusterCompSql

@@ -99,32 +99,39 @@ object DedupOps {
     * then verify with exact shingle-Jaccard. The join key is a 32-hex
     * bucket id — never the document. Returned ordered by similarity.
     */
-  def qDedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(spark, dir)
-    // Jaccard verify runs on the 8-byte shingle hashes, not the shingle
-    // strings: the arrays shuffled to the pair join are ~5x narrower and
-    // the set-intersect compares longs (same result modulo md5 collisions,
-    // mirrored exactly in the oracle). Memo.cached: the cluster query
-    // re-verifies the same pairs.
-    val docs = graft.Memo.cached("docShingleHashes", spark, dir) {
-      spread(spark, documents(spark, dir)).select(col("doc_id"),
-        array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
+  /** Unordered verified LSH candidate pairs (doc_a, doc_b, jaccard) —
+    * Memo.cached: the ordered pairs dump, the cluster edge build, and
+    * the per-doc dup profile all fold this frame.
+    */
+  private def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("minhashVerifiedPairs", spark, dir) {
+      val sig = minhashSig(spark, dir)
+      // Jaccard verify runs on the 8-byte shingle hashes, not the shingle
+      // strings: the arrays shuffled to the pair join are ~5x narrower and
+      // the set-intersect compares longs (same result modulo md5 collisions,
+      // mirrored exactly in the oracle).
+      val docs = graft.Memo.cached("docShingleHashes", spark, dir) {
+        spread(spark, documents(spark, dir)).select(col("doc_id"),
+          array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
+      }
+      val nBands = MinhashPerms / BandsRows
+      val buckets = capBuckets(sig.select(col("doc_id"),
+        explode(array((0 until nBands).map(b =>
+          concat(lit(s"$b:"), col(s"band_$b"))): _*)).as("bucket")),
+        "bucket", MinhashBandCap)
+      val cand = buckets.as("a").join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), r4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
     }
-    val nBands = MinhashPerms / BandsRows
-    val buckets = capBuckets(sig.select(col("doc_id"),
-      explode(array((0 until nBands).map(b =>
-        concat(lit(s"$b:"), col(s"band_$b"))): _*)).as("bucket")),
-      "bucket", MinhashBandCap)
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), r4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+
+  def qDedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(spark, dir)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-  }
 
   /** MinHash estimator calibration: for every LSH candidate pair, the
     * SKETCH's Jaccard estimate (fraction of the 12 permutation minima
@@ -357,6 +364,44 @@ object DedupOps {
         (col("n_exact_survivors") - col("n_final_survivors")).as("removed_near"),
         expr("n_final_survivors * 10000 div n_docs").as("retention_bp"))
       .orderBy(col("source"))
+  }
+
+  /** Per-document duplication profile — the row-level inspection table
+    * behind the source-level rollups ([[qDupRateBySource]],
+    * [[qDedupFunnel]]): for every doc, its exact-clone count (md5 group
+    * size − 1), how many verified LSH candidate pairs touch it, the
+    * strongest of those similarities, and its near-dup cluster size.
+    * This is the frame an engineer samples when a source's dup rate
+    * spikes — WHICH docs, duplicated HOW (verbatim vs near), and how
+    * big the family is. Rides three Memo-pinned frames (verified pairs,
+    * cluster labels, the md5 grid recomputed as one groupBy); the only
+    * float column is the max of jaccard values an already-gated query
+    * emits verbatim, so the hash exposure is identical to
+    * [[qDedupMinhashPairs]]'.
+    */
+  def qDocDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val grp = d.groupBy(col("h")).agg(count(lit(1)).as("grp_n"))
+    val pairs = minhashVerifiedPairs(spark, dir)
+    val touch = pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+    val near = touch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near_pairs"), max(col("jaccard")).as("max_jaccard"))
+    val labels = graft.Memo("dedupClusterLabels", spark, dir)(
+      clusterLabels(spark, dir))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .withColumnRenamed("lbl", "size_lbl")
+    d.join(grp, Seq("h"))
+      .join(near, Seq("doc_id"), "left")
+      .join(labels, col("doc_id") === col("id"), "left")
+      .join(sizes, coalesce(col("lbl"), col("doc_id")) === col("size_lbl"), "left")
+      .select(col("doc_id"), col("source"),
+        (col("grp_n") - 1L).as("n_exact_dups"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"))
+      .orderBy(col("doc_id"))
   }
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {

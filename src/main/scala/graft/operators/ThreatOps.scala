@@ -288,6 +288,40 @@ object ThreatOps {
       .orderBy(col("user_id"))
   }
 
+  /** Component-level cohesion: per connected component of the capped
+    * co-access graph, member count, undirected edge count, and density
+    * in exact integer basis points (2·E·10000 div n(n−1)) — the triage
+    * column for [[qCoaccessComponents]]' ring candidates: a 12-user
+    * component at density 9800 is a closed ring (everyone co-accesses
+    * with everyone — the collusion shape), at 1800 it's a hub with
+    * spokes (a service account's blast pattern). Rides the SAME Memo'd
+    * label and pair frames the component/blast family pins (labels
+    * attach to the pair frame by ONE endpoint key join — both endpoints
+    * share a component by definition); singletons emit (1, 0, 0).
+    * All-integer output, nothing for the cross-engine hash to drift on.
+    */
+  def qComponentDensity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.Memo("coaccessCompLabels", spark, dir) {
+      GraphOps.minLabelPropagation(coaccessEdges(spark, dir))
+    }
+    val pairs = coaccessPairFrame(spark, dir, CoaccessMaxDegree)
+    val eCnt = pairs.join(labels, pairs("user_a") === labels("id"))
+      .groupBy(col("lbl").as("component_id"))
+      .agg(count(lit(1)).as("n_edges"))
+    val users = graft.Tables.cleanEvents(spark, dir).select(col("user_id")).distinct()
+    val nCnt = users.join(labels, col("user_id") === col("id"), "left")
+      .groupBy(coalesce(col("lbl"), col("user_id")).as("component_id"))
+      .agg(count(lit(1)).as("n_users"))
+    nCnt.join(eCnt, Seq("component_id"), "left")
+      .select(col("component_id"), col("n_users"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("density_bp",
+        when(col("n_users") >= 2,
+          expr("n_edges * 2 * 10000 div (n_users * (n_users - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("component_id"))
+  }
+
   def qCoaccessComponents(spark: SparkSession, dir: String): DataFrame = {
     val labels = graft.Memo("coaccessCompLabels", spark, dir) {
       GraphOps.minLabelPropagation(coaccessEdges(spark, dir))
@@ -1476,37 +1510,71 @@ object ThreatOps {
         .agg(min(unix_micros(col("ts"))).as("first_us"))
     }
 
-  def qHandoffPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ft0 = userResourceGrid(spark, dir)
-    val keep = ft0.groupBy(col("resource"))
-      .agg(count(lit(1)).as("deg"))
-      .filter(col("deg") <= CoaccessMaxDegree)
-      .select(col("resource"))
-    val ft = ft0.join(keep, Seq("resource"), "left_semi")
-    // Banded interval join: a row's 1-h forward window spans at most two
-    // hour buckets, so the FROM side is exploded to (bucket, bucket+1)
-    // and joined on (resource, bucket) equality — candidates shrink from
-    // deg² per resource to pairs whose first touches share adjacent
-    // hours (measured 5.6 s → the banded plan at sf0.1), and the exact
-    // window predicate filters inside each (already small) band group.
-    val hourUs = 3600000000L
-    val bucket = expr(s"first_us div ${hourUs}L") // integer div, no float
-    val a = ft.select(col("resource"), col("user_id").as("user_from"),
-        col("first_us").as("t_from"),
-        explode(array(bucket, bucket + 1L)).as("band"))
-    val b = ft.select(col("resource"), col("user_id").as("user_to"),
-      col("first_us").as("t_to"), bucket.as("band"))
-    a.join(b, Seq("resource", "band"))
-      .filter(col("user_from") =!= col("user_to") &&
-        col("t_to") > col("t_from") &&
-        col("t_to") - col("t_from") <= hourUs)
-      // no band double-count: a qualifying pair has bucket(t_to) ∈
-      // {bucket(t_from), bucket(t_from)+1} — exactly ONE of the two
-      // exploded band rows matches it
+  /** Directed handoff events (one row per qualifying ordered first-touch
+    * pair, pre-aggregation) — Memo.cached: the top-pairs rollup and the
+    * per-user balance fold the same banded interval join.
+    */
+  private def handoffEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("handoffEvents", spark, dir) {
+      val ft0 = userResourceGrid(spark, dir)
+      val keep = ft0.groupBy(col("resource"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= CoaccessMaxDegree)
+        .select(col("resource"))
+      val ft = ft0.join(keep, Seq("resource"), "left_semi")
+      // Banded interval join: a row's 1-h forward window spans at most two
+      // hour buckets, so the FROM side is exploded to (bucket, bucket+1)
+      // and joined on (resource, bucket) equality — candidates shrink from
+      // deg² per resource to pairs whose first touches share adjacent
+      // hours (measured 5.6 s → the banded plan at sf0.1), and the exact
+      // window predicate filters inside each (already small) band group.
+      val hourUs = 3600000000L
+      val bucket = expr(s"first_us div ${hourUs}L") // integer div, no float
+      val a = ft.select(col("resource"), col("user_id").as("user_from"),
+          col("first_us").as("t_from"),
+          explode(array(bucket, bucket + 1L)).as("band"))
+      val b = ft.select(col("resource"), col("user_id").as("user_to"),
+        col("first_us").as("t_to"), bucket.as("band"))
+      a.join(b, Seq("resource", "band"))
+        .filter(col("user_from") =!= col("user_to") &&
+          col("t_to") > col("t_from") &&
+          col("t_to") - col("t_from") <= hourUs)
+        // no band double-count: a qualifying pair has bucket(t_to) ∈
+        // {bucket(t_from), bucket(t_from)+1} — exactly ONE of the two
+        // exploded band rows matches it
+        .select(col("user_from"), col("user_to"))
+    }
+
+  def qHandoffPairs(spark: SparkSession, dir: String): DataFrame =
+    handoffEvents(spark, dir)
       .groupBy(col("user_from"), col("user_to"))
       .agg(count(lit(1)).as("n_handoffs"))
       .orderBy(col("n_handoffs").desc, col("user_from"), col("user_to"))
       .limit(50)
+
+  /** Per-user handoff BALANCE: handoffs initiated (another user's first
+    * touch of a shared resource lands inside my 1-h forward window) vs
+    * received, plus distinct downstream/upstream partners — the
+    * direction-of-flow rollup [[qHandoffPairs]]' top-50 edge list can't
+    * show. A staging account is a persistent SOURCE (high out, low in,
+    * many distinct recipients); a collection account is a SINK. Rides
+    * the same Memo'd banded interval join; one user-keyed agg per
+    * direction + a full-outer merge of two ǀusersǀ-row frames;
+    * all-integer output (net = out − in).
+    */
+  def qHandoffBalance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = handoffEvents(spark, dir)
+    val outF = ev.groupBy(col("user_from").as("user_id"))
+      .agg(count(lit(1)).as("n_out"),
+        countDistinct(col("user_to")).as("n_recipients"))
+    val inF = ev.groupBy(col("user_to").as("user_id"))
+      .agg(count(lit(1)).as("n_in"),
+        countDistinct(col("user_from")).as("n_senders"))
+    outF.join(inF, Seq("user_id"), "full_outer")
+      .na.fill(0L, Seq("n_out", "n_recipients", "n_in", "n_senders"))
+      .withColumn("net", col("n_out") - col("n_in"))
+      .select("user_id", "n_out", "n_in", "net", "n_recipients", "n_senders")
+      .orderBy(col("user_id"))
   }
 
   /** Two-hop risk propagation across the bipartite user→resource graph:

@@ -363,6 +363,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(finTotal === (keepers intersect clusterSurv).size.toLong)
   }
 
+  test("qDocDupProfile: exact/near/cluster columns reconcile with the queries they summarize") {
+    val prof = DedupOps.qDocDupProfile(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(prof.length.toLong === nDocs, "one profile row per document")
+    // Sigma (group−1) = docs − distinct content groups
+    assert(prof.map(_.getAs[Long]("n_exact_dups")).sum ===
+      nDocs - DedupOps.qDedupExact(spark, sf).count())
+    // every verified pair touches exactly two docs
+    assert(prof.map(_.getAs[Long]("n_near_pairs")).sum ===
+      2L * DedupOps.qDedupMinhashPairs(spark, sf).count())
+    // cluster_size agrees with the cluster assignment's own group sizes
+    val clusters = DedupOps.qDedupClusters(spark, sf).collect()
+    val sizeByCluster = clusters.groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (c, rs) => c -> rs.length.toLong }
+    val clusterByDoc = clusters
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    for (r <- prof) {
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("cluster_size") === sizeByCluster(clusterByDoc(d)),
+        s"doc $d: cluster_size diverges from qDedupClusters")
+      val mj = r.getAs[Double]("max_jaccard")
+      assert(mj >= 0.0 && mj <= 1.0)
+      if (r.getAs[Long]("n_near_pairs") == 0L) assert(mj === 0.0)
+    }
+  }
+
   test("LSH band-bucket caps bound a planted clone storm on both pair generators") {
     val s = spark
     import s.implicits._

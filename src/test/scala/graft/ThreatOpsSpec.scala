@@ -302,6 +302,45 @@ class ThreatOpsSpec extends SparkSpec {
     assert(tri.keySet.subsetOf(cc.map(_.getAs[Long]("user_id")).toSet))
   }
 
+  test("qHandoffBalance: flow conserves (every handoff has one sender, one receiver)") {
+    val bal = ThreatOps.qHandoffBalance(spark, sf).collect()
+    assert(bal.nonEmpty)
+    assert(bal.map(_.getAs[Long]("n_out")).sum === bal.map(_.getAs[Long]("n_in")).sum,
+      "total initiated must equal total received")
+    assert(bal.map(_.getAs[Long]("net")).sum === 0L)
+    for (r <- bal) {
+      assert(r.getAs[Long]("net") === r.getAs[Long]("n_out") - r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("n_recipients") <= r.getAs[Long]("n_out"))
+      assert(r.getAs[Long]("n_senders") <= r.getAs[Long]("n_in"))
+    }
+    // the top directed pair's sender must carry at least that many n_out
+    val top = ThreatOps.qHandoffPairs(spark, sf).collect()
+    if (top.nonEmpty) {
+      val byUser = bal.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_out")).toMap
+      assert(byUser(top.head.getAs[Long]("user_from")) >= top.head.getAs[Long]("n_handoffs"))
+    }
+  }
+
+  test("qComponentDensity: sizes match the component rollup, edges fit inside C(n,2), density replays") {
+    val cd = ThreatOps.qComponentDensity(spark, sf).collect()
+    assert(cd.nonEmpty)
+    val compSizes = ThreatOps.qCoaccessComponents(spark, sf).collect()
+      .groupBy(_.getAs[Long]("component_id"))
+      .map { case (c, rs) => c -> rs.head.getAs[Long]("component_size") }
+    for (r <- cd) {
+      val (c, n, e, bp) = (r.getAs[Long]("component_id"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("density_bp"))
+      assert(n === compSizes(c), s"component $c: n_users diverges from qCoaccessComponents")
+      assert(e <= n * (n - 1) / 2, s"component $c: more edges than C(n,2)")
+      val expected = if (n >= 2) e * 2 * 10000 / (n * (n - 1)) else 0L
+      assert(bp === expected)
+      if (n === 1L) assert(e === 0L && bp === 0L)
+    }
+    // same component set on both sides, and member counts tile the user base
+    assert(cd.map(_.getAs[Long]("component_id")).toSet === compSizes.keySet)
+    assert(cd.map(_.getAs[Long]("n_users")).sum === compSizes.values.sum)
+  }
+
   test("qCoaccessComponents: edges stay within components, ids are minima, sizes reconcile") {
     val comp = ThreatOps.qCoaccessComponents(spark, sf).cache()
     // one row per clean user
