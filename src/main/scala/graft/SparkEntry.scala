@@ -923,7 +923,9 @@ object SparkEntry {
           qf AS (SELECT user_id,
             CASE WHEN ${mlFeatures.map(f => s"flag_$f").mkString(" + ")} >= 2
               THEN 1 ELSE 0 END AS fq FROM fl),
-          ev AS (SELECT user_id, event_type, value FROM events WHERE value IS NOT NULL),
+          ev AS (SELECT user_id, event_type, value FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL AND event_type IS NOT NULL),
           med AS (SELECT event_type AS met, quantile_cont(value, 0.5) AS med
             FROM ev GROUP BY 1),
           dev AS (SELECT user_id, event_type, abs(value - med) AS adev

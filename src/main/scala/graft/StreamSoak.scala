@@ -140,11 +140,14 @@ object StreamSoak {
     * the one shape a 100 TB/day stream cannot run).
     */
   def soakIntervalJoin(spark: SparkSession, nBatches: Int, batchSize: Int,
-      nUsers: Int = 2000): JoinSoak = {
+      nUsers: Int = 2000,
+      pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        EventStream.purchaseLinkedErrors,
+      name: String = "soak_join"): JoinSoak = {
     import spark.implicits._
     val mem = MemoryStream[Event](spark)
-    val q = EventStream.purchaseLinkedErrors(mem.toDS().toDF())
-      .writeStream.format("memory").queryName("soak_join")
+    val q = pipeline(mem.toDS().toDF())
+      .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     var rows = 0L
     try {
@@ -178,6 +181,30 @@ object StreamSoak {
         if (series.isEmpty) 0L else series.last,
         series, nBatches + nDrain)
     } finally q.stop()
+  }
+
+  /** OHLC bar soak ([[EventStream.ohlcBars]], windowed min_by/max_by
+    * aggregation): the boundedness claim is six scalars per OPEN
+    * (window, event_type) pair — with 1 h windows, a 2 h watermark and
+    * event time advancing 15 min per batch, open windows are bounded at
+    * ~(watermark + window)/window + 1 ≈ 4 per type regardless of event
+    * count, so peak state rows must stay ≤ ~4·|types| + slack while
+    * events grow without bound (the r9 soak's missing series).
+    */
+  def soakOhlc(spark: SparkSession, nBatches: Int, batchSize: Int,
+      nTypes: Int = 4): OpSoak = {
+    import spark.implicits._
+    val types = Array("access", "purchase", "error", "login")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.ohlcBars(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("soak_ohlc")
+      .outputMode("append").start()
+    drive(q, nBatches, batchSize) { b =>
+      mem.addData((0 until batchSize).map { i =>
+        Event(b.toLong * batchSize + i, new Timestamp(eventMs(b, i)),
+          (i % 1000).toLong, types(i % nTypes), (i % 97).toDouble)
+      })
+    }
   }
 
   /** Streaming-CUSUM drift detector soak ([[EventStream.driftAlerts]],
@@ -219,6 +246,13 @@ object StreamSoak {
     // join soak: 30 steady batches is ~3.3 plateau windows (buffer bound
     // ≈ 9 batches) — enough to see rise → plateau → post-drain fall
     val join = soakIntervalJoin(spark, nBatches = 30, batchSize = nEvents / 160)
+    // LEFT OUTER twin: same watermark-eviction contract, PLUS the
+    // null-side rows must actually emit once the watermark proves
+    // no-match — both measured here (r9 verdict item 7).
+    val orphan = soakIntervalJoin(spark, nBatches = 30,
+      batchSize = nEvents / 160,
+      pipeline = EventStream.orphanErrors, name = "soak_orphan")
+    val ohlc = soakOhlc(spark, nBatches, batchSize)
     val drift = soakDrift(spark, nBatches, batchSize, nUsers)
     def j(o: OpSoak): String =
       f"""{"rows":${o.rows},"wall_sec":${o.wallSec}%.3f,""" +
@@ -226,26 +260,36 @@ object StreamSoak {
         s""""peak_state_rows":${o.peakStateRows},""" +
         s""""final_state_rows":${o.finalStateRows},""" +
         s""""peak_state_bytes":${o.peakStateBytes}}"""
-    val evicted = join.postWatermarkStateRows < join.peakStateRows / 4
-    val jj =
+    def jj(join: JoinSoak, extra: String = ""): String =
       f"""{"rows":${join.rows},"wall_sec":${join.wallSec}%.3f,""" +
         s""""batches":${join.batches},"peak_state_rows":${join.peakStateRows},""" +
         s""""post_watermark_state_rows":${join.postWatermarkStateRows},""" +
-        s""""state_dropped_after_watermark":$evicted,""" +
+        s""""state_dropped_after_watermark":${join.postWatermarkStateRows < join.peakStateRows / 4},""" +
+        extra +
         s""""state_rows_series":[${join.stateSeries.mkString(",")}]}"""
+    val evicted = join.postWatermarkStateRows < join.peakStateRows / 4
+    val orphanEvicted = orphan.postWatermarkStateRows < orphan.peakStateRows / 4
+    // null-side rows can only emit at the watermark — a left-outer join
+    // that never emits orphans is silently behaving as an inner join
+    val orphanRows = spark.sql("SELECT count(*) FROM soak_orphan").head().getLong(0)
     val out = s"""{"metric":"stream_soak","n_events":${sess.rows},""" +
       s""""n_users_active":$nUsers,"store":"rocksdb",""" +
       s""""sessionizer_tws":${j(sess)},"heavy_hitters_tws":${j(hh)},""" +
-      s""""interval_join":$jj,"cusum_tws":${j(drift)}}"""
+      s""""interval_join":${jj(join)},""" +
+      s""""left_outer_join":${jj(orphan, s""""null_side_rows_emitted":$orphanRows,""")},""" +
+      s""""ohlc_windows":${j(ohlc)},"cusum_tws":${j(drift)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.getBytes("UTF-8"))
     println(out)
     spark.stop()
-    // the eviction claim is the artifact's point — fail LOUDLY if the
-    // join's buffered rows did not fall after the watermark advanced
-    if (!evicted) {
-      System.err.println(s"[soak] interval-join state did NOT evict: " +
-        s"peak=${join.peakStateRows} final=${join.postWatermarkStateRows}")
+    // the eviction claims are the artifact's point — fail LOUDLY if any
+    // join's buffered rows did not fall after the watermark advanced, or
+    // the outer join never produced a null-side row
+    if (!evicted || !orphanEvicted || orphanRows == 0) {
+      System.err.println(s"[soak] join-state contract violated: " +
+        s"inner peak=${join.peakStateRows} final=${join.postWatermarkStateRows} " +
+        s"outer peak=${orphan.peakStateRows} final=${orphan.postWatermarkStateRows} " +
+        s"orphans=$orphanRows")
       sys.exit(1)
     }
   }

@@ -562,6 +562,23 @@ object SimilarityOps {
     * UNROUNDED per the suite's boundary-safety policy. One narrow
     * explode (dim× rows) + one (label, dim) aggregation with map-side
     * combine + a |labels|²·dim join — scan-shaped at any corpus size.
+    *
+    * BIT-IDENTITY POPULATION BOUND: the argument above needs every
+    * integer handed to a decimal→double cast to be ≤ 2⁵³ (above that,
+    * Java's BigDecimal.doubleValue is correctly rounded but DuckDB's
+    * int128→double conversion is not guaranteed to be, so a 1-ulp
+    * divergence becomes possible). The largest such integers are the
+    * dim-summed products sab/saa/sbb ≤ dim·(10⁴·Σ|x|)², so with
+    * near-unit vectors (per-component mean |x| ≈ dim^-½) the hash-exact
+    * regime holds while per-label population n ≲ √(2⁵³/dim)/10⁴·√dim =
+    * √(2⁵³)/10⁴ ≈ 9.5·10³ vectors per label — 19× the ×10 fixture's
+    * largest label, verified at every gated scale. Beyond that the
+    * production lever is the quantization exponent (each dropped digit
+    * buys 10× population at 10× coarser — still 3-significant-digit —
+    * centroids), mirrored in the oracle exactly like the population
+    * caps; the cosine VALUES stay correct far past the bound (doubles
+    * lose ulps, not magnitude) — only the cross-engine hash guarantee
+    * narrows.
     */
   def qCentroidSim(spark: SparkSession, dir: String): DataFrame = {
     val comps = embeddings(spark, dir)

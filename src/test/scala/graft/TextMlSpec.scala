@@ -362,15 +362,32 @@ class TextMlSpec extends SparkSpec {
     assert(uncapped.count() === n.toLong * (n - 1))
   }
 
-  test("qDensityOutlier neighbor counts match a brute-force recount") {
+  test("qDensityOutlier neighbor counts match a cap-aware brute-force recount") {
+    // The brute side REPLAYS epsPairs' first-K-by-id cell cap (a pair
+    // (a,b) survives iff either endpoint is a capped index member of its
+    // own cell) so this spec documents the cap's semantics instead of
+    // contradicting them: on fixtures where no cell exceeds EpsCellCap
+    // the replay is the identity and the recount is the plain eps-ball.
+    val eps = 0.5 // qDensityOutlier's declared radius
     val d = MLOps.qDensityOutlier(spark, sf).cache()
     val pts = d.select(col("user_id").as("u"), col("pc1").as("x"), col("pc2").as("y"))
+    val capped = pts
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(floor(col("x") / eps), floor(col("y") / eps))
+          .orderBy(col("u"))))
+      .filter(col("_rk") <= MLOps.EpsCellCap)
+      .select(col("u").as("cap_id"))
     val brute = pts.as("a").join(pts.as("b"), col("a.u") =!= col("b.u"))
-      .filter(pow(col("a.x") - col("b.x"), 2) + pow(col("a.y") - col("b.y"), 2) <= 0.25)
+      .filter(pow(col("a.x") - col("b.x"), 2) + pow(col("a.y") - col("b.y"), 2) <= eps * eps)
+      .join(capped.as("ca"), col("a.u") === col("ca.cap_id"), "left")
+      .join(capped.as("cb"), col("b.u") === col("cb.cap_id"), "left")
+      .filter(col("ca.cap_id").isNotNull || col("cb.cap_id").isNotNull)
       .groupBy(col("a.u").as("user_id")).agg(count(lit(1)).as("bn"))
     val joined = d.join(brute, Seq("user_id"), "left").na.fill(0, Seq("bn"))
       .filter(col("n_neighbors") =!= col("bn"))
-    assert(joined.count() === 0, "grid join must find exactly the eps-ball neighbors")
+    assert(joined.count() === 0,
+      "grid join must find exactly the cap-replayed eps-ball neighbors")
     d.unpersist()
   }
 
