@@ -241,6 +241,9 @@ object SparkEntry {
     "q_cross_source_dup" -> (DedupOps.qCrossSourceDup _),
     "q_char_entropy" -> (TextOps.qCharEntropy _),
     "q_centroid_sim" -> (SimilarityOps.qCentroidSim _),
+    "q_shingle_df_profile" -> (DedupOps.qShingleDfProfile _),
+    "q_pack_efficiency" -> (TextOps.qPackEfficiency _),
+    "q_source_overlap" -> (TextOps.qSourceOverlap _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2261,6 +2264,23 @@ object SparkEntry {
           SELECT doc_a, doc_b, c_ab, c_ba FROM ver
           WHERE greatest(c_ab, c_ba) >= ${DedupOps.ContainmentMin}
           ORDER BY greatest(c_ab, c_ba) DESC, doc_a, doc_b""",
+    // Corpus shingle df = number of documents whose DISTINCT shingle set
+    // contains the shingle (the engine reaches the same number through
+    // clone groups weighted by member count); digit buckets + integer
+    // division keep the profile hash-exact.
+    "q_shingle_df_profile" ->
+      s"""WITH h AS (SELECT doc_id, list_distinct(hs) AS h
+            FROM ($hashedShinglesSql) WHERE len(hs) > 0),
+          post AS (SELECT doc_id, unnest(h) AS hh FROM h),
+          df AS (SELECT hh, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1)
+          SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+            CAST(count(*) AS BIGINT) AS n_shingles,
+            CAST(sum(df) AS BIGINT) AS n_postings,
+            CAST(sum(least(df, ${DedupOps.ContainmentDfCap})) AS BIGINT)
+              AS capped_postings,
+            CAST((sum(df) - sum(least(df, ${DedupOps.ContainmentDfCap})))
+              * 10000 // sum(df) AS BIGINT) AS truncated_bp
+          FROM df GROUP BY 1 ORDER BY 1""",
     "q_embed_stats" ->
       s"""WITH n AS ($embNormSql)
           SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
@@ -2554,6 +2574,53 @@ object SparkEntry {
             FROM pack p JOIN toks t ON t.block = p.block AND t.rn = p.rn + 1)
           SELECT doc_id, toks, block, seq AS seq_in_block
           FROM pack ORDER BY doc_id""",
+    // Shares q_pack_docs' recursive pack CTE verbatim; the profile is
+    // two integer rollups on top.
+    "q_pack_efficiency" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS toks,
+              doc_id // ${TextOps.PackBlock} AS block,
+              row_number() OVER (PARTITION BY doc_id // ${TextOps.PackBlock}
+                ORDER BY doc_id) AS rn
+            FROM documents),
+          pack AS (
+            SELECT block, rn, doc_id, toks, CAST(0 AS BIGINT) AS seq,
+              toks AS fill
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.block, t.rn, t.doc_id, t.toks,
+              CASE WHEN p.fill > 0 AND p.fill + t.toks > ${TextOps.PackBudget}
+                   THEN p.seq + 1 ELSE p.seq END,
+              CASE WHEN p.fill > 0 AND p.fill + t.toks > ${TextOps.PackBudget}
+                   THEN t.toks ELSE p.fill + t.toks END
+            FROM pack p JOIN toks t ON t.block = p.block AND t.rn = p.rn + 1),
+          bins AS (SELECT block, seq, CAST(count(*) AS BIGINT) AS docs,
+              CAST(sum(toks) AS BIGINT) AS fill
+            FROM pack GROUP BY 1, 2)
+          SELECT docs AS docs_per_bin, CAST(count(*) AS BIGINT) AS n_bins,
+            CAST(sum(fill) AS BIGINT) AS total_fill,
+            CAST(sum(fill) * 10000
+              // (count(*) * ${TextOps.PackBudget}) AS BIGINT) AS fill_bp,
+            CAST(sum(CASE WHEN fill > ${TextOps.PackBudget} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overflow
+          FROM bins GROUP BY 1 ORDER BY 1""",
+    "q_source_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, tok FROM (
+              SELECT source, unnest($tokSql) AS tok FROM documents)
+            WHERE length(tok) > 0),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+            FROM st GROUP BY 1),
+          sh AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS shared
+            FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT source_a, source_b, x.vocab AS vocab_a, y.vocab AS vocab_b,
+            shared,
+            CAST(shared * 10000 // (x.vocab + y.vocab - shared) AS BIGINT)
+              AS jaccard_bp
+          FROM sh JOIN sz x ON x.source = source_a
+            JOIN sz y ON y.source = source_b
+          ORDER BY source_a, source_b""",
     "q_psi" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
          b AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),

@@ -543,22 +543,55 @@ object DedupOps {
     * boilerplate shingles are dropped from the postings list before the
     * join). Exact set arithmetic verifies.
     */
-  def qContainment(spark: SparkSession, dir: String): DataFrame = {
-    // Pinned: the shingled, clone-keyed frame is consumed by the group
-    // fold AND the two member-expansion joins — shingling the corpus
-    // once, not 3×.
-    val keyed = graft.Memo.cached("containmentShingles", spark, dir) {
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsGrouped(contShingles(spark, dir), contGroups(spark, dir),
+      ContainmentDfCap)
+
+  /** Pinned shingled, clone-keyed frame: consumed by the group fold AND
+    * the two member-expansion joins of [[qContainment]], plus the df
+    * profile — shingling the corpus once, not 4×.
+    */
+  private def contShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("containmentShingles", spark, dir) {
       cloneKeyed(spread(spark, documents(spark, dir))
         .select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("h"))
         .filter(size(col("h")) > 0))
     }
-    // The distinct-set group frame feeds df counting, anchors, postings
-    // and both scoring joins — pin it per (session, dir) so repeat calls
-    // don't re-aggregate.
-    val groups = graft.Memo.cached("containmentGroups", spark, dir) {
-      cloneGroups(keyed)
+
+  /** The distinct-set group frame feeds df counting, anchors, postings
+    * and both scoring joins — pinned per (session, dir) so repeat calls
+    * don't re-aggregate.
+    */
+  private def contGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("containmentGroups", spark, dir) {
+      cloneGroups(contShingles(spark, dir))
     }
-    containmentPairsGrouped(keyed, groups, ContainmentDfCap)
+
+  /** Shingle document-frequency profile in decimal-digit buckets — the
+    * table that SIZES [[ContainmentDfCap]] before a 100 TB run, exactly
+    * as [[qMinhashCalibration]] sizes the signature width: per df
+    * magnitude, how many distinct shingles live there, how many postings
+    * they contribute, and what share of postings the df cap would drop
+    * (hot boilerplate shingles dominate postings long before they
+    * dominate the vocabulary — this query shows WHERE the cap starts to
+    * bind). Rides the Memo'd clone-group frame; one |shingles|-keyed
+    * aggregate plus a ≤10-row rollup — scan-shaped at any corpus size.
+    * All-integer output (digit buckets, counts, basis points by integer
+    * division), so the hash has nothing to drift on.
+    */
+  def qShingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = contGroups(spark, dir)
+      .select(explode(col("h")).as("hh"), col("n_members"))
+      .groupBy(col("hh")).agg(sum(col("n_members")).as("df"))
+    df.groupBy(length(col("df").cast("string")).cast("long").as("df_digits"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(least(col("df"), lit(ContainmentDfCap.toLong))).as("capped_postings"))
+      .select(col("df_digits"), col("n_shingles"), col("n_postings"),
+        col("capped_postings"),
+        expr("(n_postings - capped_postings) * 10000 div n_postings")
+          .as("truncated_bp"))
+      .orderBy(col("df_digits"))
   }
 
   /** Exact-clone collapse key: documents with IDENTICAL shingle sets get

@@ -611,6 +611,68 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Packing-efficiency profile of [[qPackDocs]]' plan: per
+    * docs-per-sequence bucket, how many training sequences exist, their
+    * total token fill, the fill rate against [[PackBudget]] in integer
+    * basis points, and how many sequences OVERFLOW the budget (a
+    * single doc longer than the budget gets its own over-budget
+    * sequence — the truncation-policy signal). This is the dial a
+    * pipeline reads before choosing sequence length: a fat 1-doc/low
+    * -fill bucket means the budget is too small for the corpus'
+    * document lengths, a high overflow count means long docs need
+    * chunking first ([[qChunkDocs]]). Two bounded rollups over the
+    * packer's output — nothing beyond the pack fold's own shuffle
+    * moves, so the profile is free at any corpus size. All-integer
+    * output (counts + div-basis-points).
+    */
+  def qPackEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val bins = qPackDocs(spark, dir)
+      .groupBy(col("block"), col("seq_in_block"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("fill"))
+    bins.groupBy(col("docs").as("docs_per_bin"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("fill")).as("total_fill"),
+        sum(when(col("fill") > PackBudget, 1L).otherwise(0L)).as("n_overflow"))
+      .select(col("docs_per_bin"), col("n_bins"), col("total_fill"),
+        expr(s"total_fill * 10000 div (n_bins * $PackBudget)").as("fill_bp"),
+        col("n_overflow"))
+      .orderBy(col("docs_per_bin"))
+  }
+
+  /** Cross-source vocabulary overlap: pairwise Jaccard of the DISTINCT
+    * token sets of each source, in integer basis points — the
+    * contamination/mirror detector at the SOURCE granularity (two crawl
+    * sources whose vocabularies overlap at 9000 bp are mirrors of the
+    * same site; a source overlapping nothing is a different language or
+    * a parser bug), complementing [[DedupOps.qCrossSourceDup]]'s
+    * document-level matrix. One distinct projection to (source, token)
+    * — the only corpus-sized shuffle, token-keyed — then a token-keyed
+    * self-join whose output is bounded by |vocab|·|sources|² and a
+    * |sources|²-row rollup. Pairs with an empty intersection are
+    * definitionally absent on both engines (no outer grid, no
+    * cartesian). The distinct frame is Memo-pinned: sizes and overlaps
+    * read it once each.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = graft.Memo.cached("sourceVocab", spark, dir) {
+      documents(spark, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+    }
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("source").as("source_a"), col("vocab").as("vocab_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("vocab").as("vocab_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        col("shared"),
+        expr("shared * 10000 div (vocab_a + vocab_b - shared)").as("jaccard_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** KL divergence of each language slice's unigram distribution from
     * the corpus distribution, add-one smoothed over the SHARED corpus
     * vocabulary: KL(p_lang ‖ p_corpus) = Σ_t p̂·ln(p̂/q̂) with

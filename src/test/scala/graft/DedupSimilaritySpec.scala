@@ -254,6 +254,29 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("qShingleDfProfile: postings mass matches an independent shingle recount") {
+    val prof = DedupOps.qShingleDfProfile(spark, sf).collect()
+    assert(prof.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.ShingleHash32(col("text"), 3)).as("h"))
+      .filter(size(col("h")) > 0)
+    assert(prof.map(_.getAs[Long]("n_postings")).sum ===
+      docs.select(explode(col("h"))).count())
+    assert(prof.map(_.getAs[Long]("n_shingles")).sum ===
+      docs.select(explode(col("h")).as("hh")).distinct().count())
+    for (r <- prof) {
+      assert(r.getAs[Long]("capped_postings") <= r.getAs[Long]("n_postings"))
+      assert(r.getAs[Long]("truncated_bp") >= 0 &&
+        r.getAs[Long]("truncated_bp") < 10000)
+      // the cap binds exactly where df can exceed it: buckets whose
+      // digit count keeps df <= cap must report zero truncation
+      if (r.getAs[Long]("df_digits") <=
+          math.log10(DedupOps.ContainmentDfCap.toDouble).toLong)
+        assert(r.getAs[Long]("truncated_bp") === 0L)
+    }
+  }
+
   test("qContainment finds every exact-duplicate pair at full containment") {
     val df = DedupOps.qContainment(spark, sf).cache()
     // all reported pairs clear the threshold

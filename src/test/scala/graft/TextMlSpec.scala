@@ -736,6 +736,48 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("qPackEfficiency: bin masses conserve and only 1-doc bins may overflow") {
+    val prof = TextOps.qPackEfficiency(spark, sf).collect()
+    val packed = TextOps.qPackDocs(spark, sf).collect()
+    // doc and token mass both conserve against the packer's own output
+    assert(prof.map(r => r.getAs[Long]("docs_per_bin") * r.getAs[Long]("n_bins")).sum ===
+      packed.length.toLong)
+    assert(prof.map(_.getAs[Long]("total_fill")).sum ===
+      packed.map(_.getAs[Long]("toks")).sum)
+    for (r <- prof) {
+      val bp = r.getAs[Long]("fill_bp")
+      assert(bp >= 0, s"fill_bp $bp")
+      // greedy first-fit: a multi-doc bin NEVER exceeds the budget, so
+      // overflow counts can only live in the 1-doc bucket
+      if (r.getAs[Long]("docs_per_bin") > 1)
+        assert(r.getAs[Long]("n_overflow") === 0L)
+      if (r.getAs[Long]("docs_per_bin") > 1)
+        assert(bp <= 10000L, "multi-doc bins are budget-bounded")
+    }
+  }
+
+  test("qSourceOverlap: bounds hold and one pair recounts exactly") {
+    val d = TextOps.qSourceOverlap(spark, sf).collect()
+    assert(d.nonEmpty)
+    for (r <- d) {
+      val (va, vb, sh) = (r.getAs[Long]("vocab_a"), r.getAs[Long]("vocab_b"),
+        r.getAs[Long]("shared"))
+      assert(sh >= 1 && sh <= math.min(va, vb))
+      assert(r.getAs[Long]("jaccard_bp") >= 0 &&
+        r.getAs[Long]("jaccard_bp") <= 10000)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+    // independent recount of the first pair via raw token sets
+    val h = d.head
+    def vocab(src: String): Set[String] = Tables.documents(spark, sf)
+      .filter(col("source") === src).collect()
+      .flatMap(_.getAs[String]("text").trim.split("\\s+")).filter(_.nonEmpty).toSet
+    val (a, b) = (vocab(h.getAs[String]("source_a")), vocab(h.getAs[String]("source_b")))
+    assert(h.getAs[Long]("vocab_a") === a.size.toLong)
+    assert(h.getAs[Long]("vocab_b") === b.size.toLong)
+    assert(h.getAs[Long]("shared") === (a intersect b).size.toLong)
+  }
+
   test("qTemperatureMix: ratios anchor at the largest source and invert through sqrt") {
     val mix = TextOps.qTemperatureMix(spark, sf).collect()
     assert(mix.nonEmpty)
