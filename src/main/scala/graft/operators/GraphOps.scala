@@ -59,12 +59,23 @@ object GraphOps {
     * touching it, until a fixpoint or `rounds` rounds — whichever comes
     * first. Returns the surviving edge frame.
     *
-    * Each round is ONE node-keyed count aggregate + two semi-joins on
-    * the (caller-capped) edge frame — partition-parallel, nothing
-    * collected; edges are localCheckpointed per round so the plan stays
-    * flat instead of tripling per iteration (each round references the
-    * previous frame three times). Convergence probe = the edge count,
-    * one scalar to the driver per round.
+    * Each round probes convergence from the degree aggregate ALONE
+    * before building anything: one node-keyed count + a two-scalar
+    * rollup (total nodes, surviving nodes) to the driver. Every node in
+    * the aggregate carries ≥ 1 edge, so "every node survives" ⟺ "this
+    * round drops nothing" — and a converged round therefore costs one
+    * map-side-combined aggregate instead of two semi-joins plus a full
+    * edge-frame materialization (the r10 ×30 probe measured that
+    * difference as the peel's entire superlinear tail: the no-op
+    * confirming round was writing a second 67M-row checkpoint copy and
+    * pushing the local block manager into eviction). Rounds that DO
+    * peel run the two shuffle-hash semi-joins (build = the provably
+    * smaller survivor side; the edge frame streams — without the hint
+    * the planner flips to sort-merge exactly where the survivor set
+    * crosses the broadcast threshold and sorts the edges twice per
+    * round) and localCheckpoint the result so lineage stays flat. No
+    * entry checkpoint: the caller hands a cached/cheap frame, and a
+    * checkpoint here would materialize a second full copy of it.
     *
     * The round bound is part of the OPERATOR's semantics (an
     * "r-round peel"), not a safety valve: an oracle can replay exactly
@@ -73,19 +84,25 @@ object GraphOps {
     * diverges from the oracle's fixed unrolling.
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.localCheckpoint()
-    var nEdges = e.count()
+    val debug = sys.env.get("GRAFT_KCORE_DEBUG").contains("1")
+    var e = edges
     var converged = false
     var r = 0
     while (!converged && r < rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("keep_id"))
-      e = e.join(keep, col("src") === col("keep_id"), "left_semi")
-        .join(keep, col("dst") === col("keep_id"), "left_semi")
-        .localCheckpoint()
-      val n2 = e.count()
-      converged = n2 == nEdges
-      nEdges = n2
+      val t0 = System.nanoTime()
+      val degs = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val probe = degs.agg(count(lit(1)),
+        coalesce(sum(when(col("deg") >= k, 1L).otherwise(0L)), lit(0L))).first()
+      val (nNodes, nKeep) = (probe.getLong(0), probe.getLong(1))
+      if (nKeep == nNodes) converged = true
+      else {
+        val keep = degs.filter(col("deg") >= k).select(col("src").as("keep_id"))
+        e = e.join(keep.hint("shuffle_hash"), col("src") === col("keep_id"), "left_semi")
+          .join(keep.hint("shuffle_hash"), col("dst") === col("keep_id"), "left_semi")
+          .localCheckpoint()
+      }
+      if (debug) System.err.println(
+        f"[kcore] round=$r nodes=$nNodes%,d keep=$nKeep%,d converged=$converged sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       r += 1
     }
     e
