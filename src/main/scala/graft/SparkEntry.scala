@@ -244,6 +244,8 @@ object SparkEntry {
     "q_shingle_df_profile" -> (DedupOps.qShingleDfProfile _),
     "q_pack_efficiency" -> (TextOps.qPackEfficiency _),
     "q_source_overlap" -> (TextOps.qSourceOverlap _),
+    "q_dedup_threshold_sweep" -> (DedupOps.qDedupThresholdSweep _),
+    "q_token_freq_spectrum" -> (TextOps.qTokenFreqSpectrum _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -867,6 +869,20 @@ object SparkEntry {
            CAST(max(duration_s) AS BIGINT) AS max_session_duration_s,
            round(avg(n_events), 4) AS avg_session_events
          FROM g GROUP BY user_id ORDER BY user_id""",
+    // Same term universe as q_tfidf/q_vocab (unnest of the shared
+    // tokenizer, no extra filtering) so the spectrum reconciles with
+    // every other termFreq consumer.
+    "q_token_freq_spectrum" ->
+      s"""WITH t AS (SELECT doc_id, unnest(t) AS term
+            FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+          ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf
+            FROM t GROUP BY 1),
+          tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS tot FROM ctf)
+          SELECT CAST(length(CAST(ctf AS VARCHAR)) AS BIGINT) AS freq_digits,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(ctf) AS BIGINT) AS n_tokens,
+            CAST(sum(ctf) * 10000 // tot AS BIGINT) AS token_share_bp
+          FROM ctf CROSS JOIN tot GROUP BY 1, tot ORDER BY 1""",
     "q_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest(t) AS term
             FROM (SELECT doc_id, $tokSql AS t FROM documents)),
@@ -2132,6 +2148,23 @@ object SparkEntry {
             ${(0 until 4).map(b => s"md5(${bandSql(b)}) AS band_$b").mkString(", ")}
           FROM mh ORDER BY doc_id""",
     "q_dedup_minhash_pairs" -> minhashPairsSql,
+    // Shares minhashPairsSql verbatim; the sweep is two integer rollups
+    // per threshold literal (dyadic-safe doubles, so both engines cut
+    // the identical hash-verified jaccard set).
+    "q_dedup_threshold_sweep" ->
+      s"""WITH pr AS ($minhashPairsSql),
+          th(bp, t) AS (SELECT * FROM (VALUES (5000, 0.5), (6000, 0.6),
+            (7000, 0.7), (8000, 0.8), (9000, 0.9)) v(bp, t)),
+          jb AS (SELECT bp, doc_a, doc_b FROM pr CROSS JOIN th
+            WHERE jaccard >= t),
+          np AS (SELECT bp, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM jb GROUP BY 1),
+          nd AS (SELECT bp, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+            FROM (SELECT bp, doc_a AS d FROM jb
+                  UNION ALL SELECT bp, doc_b FROM jb) GROUP BY 1)
+          SELECT CAST(np.bp AS BIGINT) AS threshold_bp, n_pairs,
+            n_docs_affected
+          FROM np JOIN nd ON np.bp = nd.bp ORDER BY 1""",
     // Shares the s/bk/cand chain of minhashPairsSql verbatim (same
     // permutations, same band cap); estimate = integer agree-count k,
     // decile = 10k//12 in pure integer arithmetic, means divide EXACT

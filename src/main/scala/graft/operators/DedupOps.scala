@@ -133,6 +133,39 @@ object DedupOps {
     minhashVerifiedPairs(spark, dir)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
 
+  /** Near-dup threshold sweep: candidate-pair and affected-document
+    * counts at each Jaccard cut {0.5 … 0.9} — the table a pipeline
+    * reads to PICK the dedup threshold before committing to one (how
+    * many pairs, touching how many documents, does each cut act on;
+    * the knee of n_docs_affected is where near-dup stops being
+    * boilerplate removal and starts eating the corpus). Two bounded
+    * rollups over the Memo-pinned verified-pair frame every other
+    * MinHash consumer shares — zero new corpus-sized shuffles; a ×5
+    * threshold explode of a pair-sized frame, never doc×doc. The
+    * comparison runs on the hash-verified r4'd jaccard doubles against
+    * dyadic-safe literals, so both engines cut the identical pair set;
+    * output is pure integers. Thresholds with zero pairs are
+    * definitionally absent on both engines.
+    */
+  def qDedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ths = Seq(5000L -> 0.5, 6000L -> 0.6, 7000L -> 0.7, 8000L -> 0.8,
+      9000L -> 0.9)
+    val jb = minhashVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(ths.map { case (bp, t) =>
+          struct(lit(bp).as("bp"), lit(t).as("t")) }: _*)).as("th"))
+      .filter(col("jaccard") >= col("th.t"))
+      .select(col("th.bp").as("threshold_bp"), col("doc_a"), col("doc_b"))
+    val np = jb.groupBy(col("threshold_bp")).agg(count(lit(1)).as("n_pairs"))
+    val nd = jb.select(col("threshold_bp"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold_bp"))
+      .agg(countDistinct(col("d")).as("n_docs_affected"))
+    np.join(nd, "threshold_bp")
+      .select(col("threshold_bp"), col("n_pairs"), col("n_docs_affected"))
+      .orderBy(col("threshold_bp"))
+  }
+
   /** MinHash estimator calibration: for every LSH candidate pair, the
     * SKETCH's Jaccard estimate (fraction of the 12 permutation minima
     * that agree) against the EXACT shingle-hash Jaccard, aggregated per

@@ -333,6 +333,32 @@ object TextOps {
       .orderBy(col("df").desc, col("term").asc)
       .limit(50)
 
+  /** Token frequency-of-frequencies spectrum in decimal-digit buckets:
+    * per corpus-frequency magnitude, how many vocabulary TYPES live
+    * there and what share of all TOKEN mass they carry (exact integer
+    * basis points) — the Heaps/Zipf table a tokenizer build reads to
+    * size its vocabulary (the 1-digit bucket is the hapax tail a BPE
+    * merge never reaches; the top bucket is the function-word head
+    * that saturates merges early), and the aggregate twin of
+    * [[qZipfFit]]'s slope estimate. One |vocab|-keyed rollup of the
+    * Memo-shared (doc, term) tf frame + a ≤10-row digit rollup; the
+    * corpus total arrives as ONE broadcast row — nothing beyond
+    * termFreq's own shuffle moves at any corpus size. All-integer
+    * output, nothing for the hash to drift on.
+    */
+  def qTokenFreqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val ctf = graft.Memo.cached("corpusTermFreq", spark, dir) {
+      termFreq(spark, dir).groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    }
+    val tot = ctf.agg(sum(col("ctf")).as("tot"))
+    ctf.groupBy(length(col("ctf").cast("string")).cast("long").as("freq_digits"))
+      .agg(count(lit(1)).as("n_types"), sum(col("ctf")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("freq_digits"), col("n_types"), col("n_tokens"),
+        expr("n_tokens * 10000 div tot").as("token_share_bp"))
+      .orderBy(col("freq_digits"))
+  }
+
   /** Per-document unigram surprisal under the corpus's own add-one-
     * smoothed language model: mean −ln p(term) per token, where
     * p(term) = (ctf + 1)/(T + V) — the KenLM-perplexity-filter stand-in

@@ -277,6 +277,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("qDedupThresholdSweep: cuts are monotone and recount against the pair frame") {
+    val sweep = DedupOps.qDedupThresholdSweep(spark, sf).collect()
+    assert(sweep.nonEmpty)
+    val byT = sweep.sortBy(_.getAs[Long]("threshold_bp"))
+    // a higher cut can only act on fewer pairs / fewer documents
+    for (w <- byT.sliding(2) if w.length == 2) {
+      assert(w(1).getAs[Long]("n_pairs") <= w(0).getAs[Long]("n_pairs"))
+      assert(w(1).getAs[Long]("n_docs_affected") <= w(0).getAs[Long]("n_docs_affected"))
+    }
+    // the 0.5 row recounts exactly from the pair frame itself
+    val pairs = DedupOps.qDedupMinhashPairs(spark, sf)
+      .filter(col("jaccard") >= 0.5).cache()
+    val r5 = byT.find(_.getAs[Long]("threshold_bp") == 5000L)
+    assert(r5.isDefined === (pairs.count() > 0))
+    for (r <- r5) {
+      assert(r.getAs[Long]("n_pairs") === pairs.count())
+      assert(r.getAs[Long]("n_docs_affected") ===
+        pairs.select(explode(array(col("doc_a"), col("doc_b")))).distinct().count())
+    }
+    pairs.unpersist()
+  }
+
   test("qContainment finds every exact-duplicate pair at full containment") {
     val df = DedupOps.qContainment(spark, sf).cache()
     // all reported pairs clear the threshold

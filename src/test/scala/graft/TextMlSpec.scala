@@ -778,6 +778,18 @@ class TextMlSpec extends SparkSpec {
     assert(h.getAs[Long]("shared") === (a intersect b).size.toLong)
   }
 
+  test("qTokenFreqSpectrum: type and token mass conserve against the raw corpus") {
+    val spec = TextOps.qTokenFreqSpectrum(spark, sf).collect()
+    assert(spec.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+    assert(spec.map(_.getAs[Long]("n_tokens")).sum === toks.count())
+    assert(spec.map(_.getAs[Long]("n_types")).sum ===
+      toks.distinct().count())
+    assert(spec.map(_.getAs[Long]("token_share_bp")).sum <= 10000L)
+    for (r <- spec) assert(r.getAs[Long]("token_share_bp") >= 0)
+  }
+
   test("qTemperatureMix: ratios anchor at the largest source and invert through sqrt") {
     val mix = TextOps.qTemperatureMix(spark, sf).collect()
     assert(mix.nonEmpty)
