@@ -130,9 +130,20 @@ object Bench {
     // plumbing. SPARK_GRAFT_BENCH_COMPARE overrides (empty string
     // disables). The driver's BENCH_r*.json wrappers carry no flat
     // queries map, so they are not candidates.
+    // The default prior resolves NEXT TO the output file (same directory
+    // as SPARK_GRAFT_BENCH_OUT), not against the launch CWD — launched
+    // from outside the repo root a CWD-relative default silently loses
+    // the regression table. A missing default now also falls through to
+    // the loud skip message below instead of being pre-filtered away.
     val comparePath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_COMPARE")
       .map(p => if (p.isEmpty) None else Some(p))
-      .getOrElse(Some("bench_full.json").filter(p => new java.io.File(p).isFile))
+      .getOrElse {
+        val outF = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+        Some(new java.io.File(
+          Option(outF.getParentFile).getOrElse(new java.io.File(".")),
+          "bench_full.json").getPath)
+      }
     val compareOpt = comparePath.filter { path =>
       val ok = new java.io.File(path).isFile
       if (!ok) System.err.println(s"[bench] compare file $path missing — skipping A/B section")
@@ -205,9 +216,16 @@ object Bench {
     if (failed.nonEmpty)
       println(s"[bench] FAILED n=${failed.size}: ${failed.take(30).mkString(",")}")
     // -1 = no A/B source (first run on a box with no committed prior).
+    // median_spread = the run's own noise floor (median between-sweep
+    // disagreement) so the parsed wrapper carries the full A/B verdict
+    // (regressed / noise_suspect / noise floor) without bench_full.json.
+    val medianSpread = if (spreads.isEmpty) None else {
+      val s = spreads.values.toSeq.sorted
+      Some(math.rint(s(s.size / 2) * 1000) / 1000)
+    }
     val abJson =
-      if (nRegressed >= 0) s""","regressed":$nRegressed,"noise_suspect":$nNoiseSuspect"""
-      else ""
+      (if (nRegressed >= 0) s""","regressed":$nRegressed,"noise_suspect":$nNoiseSuspect""" else "") +
+      medianSpread.map(m => s""","median_spread":$m""").getOrElse("")
     println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$abJson,"headliners":$hq,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

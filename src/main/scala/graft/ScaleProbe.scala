@@ -250,8 +250,10 @@ object ScaleProbe {
     }
     // iid: copy c of a document suffixes EVERY token with "_c<c>" — token
     // and shingle spaces are disjoint across copies (no clone storm) at
-    // preserved document length profile and within-copy Zipf shape; copy
-    // 0 keeps the original text verbatim. n_chars tracks the new text.
+    // preserved document length profile and within-copy Zipf shape.
+    // EVERY copy is jittered, copy 0 included (it gets suffix _c0 and
+    // the perturbed vector — the iidv2 semantics the amplify docstring
+    // states). n_chars tracks the new text.
     def withCopy(df: DataFrame, keys: String*): DataFrame = {
       val c = explode(array((copyOffset until copyOffset + factor).map(i => lit(i.toLong)): _*)).as("_copy")
       keys.foldLeft(df.select(col("*"), c)) { (acc, k) =>

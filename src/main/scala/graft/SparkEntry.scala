@@ -171,6 +171,7 @@ object SparkEntry {
     // F. multimodal plumbing
     "q_multimodal_meta" -> (MultimodalOps.qMultimodalMeta _),
     "q_media_features" -> (MultimodalOps.qMediaFeatures _),
+    "q_media_neardup" -> (MultimodalOps.qMediaNeardup _),
     // D. anomaly detection
     "q_zscore_anomaly" -> (MLOps.qZscoreAnomaly _),
     "q_quantile_outlier" -> (MLOps.qQuantileOutlier _),
@@ -2498,6 +2499,50 @@ object SparkEntry {
            byte_len // 100 + 1 AS n_frames,
            (byte_len // 100 + 1 + 3) // 4 AS sampled_frames
          FROM m ORDER BY doc_id""",
+    // Byte-profile perceptual near-dup: the text payload IS the binary
+    // payload (ASCII, asserted by the spec), so ascii() over split chars
+    // reproduces the byte kernel exactly; quantization is pure integer
+    // division, the band key the same sorted byte:q8 cell string, the
+    // 64-doc bucket cap mirrored via QUALIFY, the L1 verify a full-outer
+    // cell merge — all integers, so the hash must match bit-for-bit.
+    "q_media_neardup" ->
+      s"""WITH ch AS (SELECT doc_id, ascii(c) AS byte,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                 FROM documents) GROUP BY 1, 2),
+         pr AS (SELECT doc_id, byte, cnt,
+             sum(cnt) OVER (PARTITION BY doc_id) AS len FROM ch),
+         q AS (SELECT doc_id, byte, byte % ${MultimodalOps.MediaBands} AS band,
+             cnt * 10000 // len AS s10k, cnt * 256 // len AS q8 FROM pr),
+         bk0 AS (SELECT doc_id, band,
+             band::VARCHAR || '|' || string_agg(
+               byte::VARCHAR || ':' || q8::VARCHAR, ',' ORDER BY byte) AS bkey
+           FROM q GROUP BY 1, 2),
+         bk AS (SELECT doc_id, bkey FROM bk0
+           QUALIFY row_number() OVER (PARTITION BY bkey ORDER BY doc_id)
+             <= ${MultimodalOps.MediaBandCap}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sa AS (SELECT doc_a, doc_b, byte, s10k AS v
+           FROM cand JOIN q ON q.doc_id = doc_a),
+         sb AS (SELECT doc_a, doc_b, byte, s10k AS v
+           FROM cand JOIN q ON q.doc_id = doc_b),
+         m AS (SELECT coalesce(sa.doc_a, sb.doc_a) AS doc_a,
+             coalesce(sa.doc_b, sb.doc_b) AS doc_b,
+             coalesce(sa.v, 0) AS va, coalesce(sb.v, 0) AS vb
+           FROM sa FULL JOIN sb ON sa.doc_a = sb.doc_a
+             AND sa.doc_b = sb.doc_b AND sa.byte = sb.byte),
+         l1 AS (SELECT doc_a, doc_b, CAST(sum(abs(va - vb)) AS BIGINT) AS l1_bp
+           FROM m GROUP BY 1, 2
+           HAVING sum(abs(va - vb)) <= ${MultimodalOps.MediaL1MaxBp}),
+         ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS blen,
+             md5(text) AS h FROM documents)
+         SELECT doc_a, doc_b, l1_bp,
+           la.blen AS byte_len_a, lb.blen AS byte_len_b,
+           CAST(CASE WHEN la.h = lb.h THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+         FROM l1 JOIN ln la ON la.doc_id = doc_a
+           JOIN ln lb ON lb.doc_id = doc_b
+         ORDER BY l1_bp, doc_a, doc_b""",
     "q_calibration" ->
       """WITH e AS (
            SELECT vec_id,

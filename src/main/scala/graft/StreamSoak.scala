@@ -194,7 +194,11 @@ object StreamSoak {
   def soakOhlc(spark: SparkSession, nBatches: Int, batchSize: Int,
       nTypes: Int = 4): OpSoak = {
     import spark.implicits._
-    val types = Array("access", "purchase", "error", "login")
+    // label count tracks nTypes (named labels for the first 4, synthetic
+    // beyond) so nTypes > 4 widens the type space instead of throwing
+    val named = Array("access", "purchase", "error", "login")
+    val types = Array.tabulate(nTypes)(i =>
+      if (i < named.length) named(i) else s"type_$i")
     val mem = MemoryStream[Event](spark)
     val q = EventStream.ohlcBars(mem.toDS().toDF())
       .writeStream.format("memory").queryName("soak_ohlc")

@@ -56,7 +56,7 @@ object DedupOps {
 
   /** First-`cap` rows per band bucket, by ascending doc_id — the shared
     * bucket-population clamp of both LSH pair generators. */
-  private def capBuckets(banded: DataFrame, bucketCol: String, cap: Int): DataFrame =
+  private[operators] def capBuckets(banded: DataFrame, bucketCol: String, cap: Int): DataFrame =
     banded
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col(bucketCol)).orderBy(col("doc_id"))))
@@ -143,9 +143,13 @@ object DedupOps {
     * MinHash consumer shares — zero new corpus-sized shuffles; a ×5
     * threshold explode of a pair-sized frame, never doc×doc. The
     * comparison runs on the hash-verified r4'd jaccard doubles against
-    * dyadic-safe literals, so both engines cut the identical pair set;
-    * output is pure integers. Thresholds with zero pairs are
-    * definitionally absent on both engines.
+    * the same decimal literals on both engines — the invariant is NOT
+    * that 0.6/0.7/0.8/0.9 are exactly representable (they aren't), but
+    * that Spark and DuckDB round the identical decimal literal to the
+    * identical nearest double (IEEE-754 correct rounding both sides),
+    * so both engines cut the identical pair set; output is pure
+    * integers. Thresholds with zero pairs are definitionally absent on
+    * both engines.
     */
   def qDedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val ths = Seq(5000L -> 0.5, 6000L -> 0.6, 7000L -> 0.7, 8000L -> 0.8,

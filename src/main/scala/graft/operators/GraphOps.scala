@@ -63,7 +63,15 @@ object GraphOps {
     * before building anything: one node-keyed count + a two-scalar
     * rollup (total nodes, surviving nodes) to the driver. Every node in
     * the aggregate carries ≥ 1 edge, so "every node survives" ⟺ "this
-    * round drops nothing" — and a converged round therefore costs one
+    * round drops nothing" — PROVIDED every dst also appears as a src
+    * (degrees are counted src-side; a dst-only node has no degree row
+    * and would still be peeled by the dst semi-join). All current
+    * callers pass symmetrized frames where that holds by construction;
+    * for safety on asymmetric input the candidate-converged round (and
+    * only it — once per call) runs a distinct-dst anti-join probe and
+    * falls back to a real peel round if dst-only nodes exist, so the
+    * r-round unrolled-oracle equivalence holds for ANY edge frame. A
+    * converged round on the symmetric fast path therefore costs one
     * map-side-combined aggregate instead of two semi-joins plus a full
     * edge-frame materialization (the r10 ×30 probe measured that
     * difference as the peel's entire superlinear tail: the no-op
@@ -94,7 +102,21 @@ object GraphOps {
       val probe = degs.agg(count(lit(1)),
         coalesce(sum(when(col("deg") >= k, 1L).otherwise(0L)), lit(0L))).first()
       val (nNodes, nKeep) = (probe.getLong(0), probe.getLong(1))
-      if (nKeep == nNodes) converged = true
+      // Src-side degrees alone prove "this round drops nothing" only
+      // when every dst also appears as a src (true by construction for
+      // the symmetrized co-access frames every current caller passes).
+      // A node appearing ONLY as dst has no degree row, is absent from
+      // the keep set, and the dst semi-join would still peel it — so on
+      // the candidate-converged round (and only there: once per call,
+      // not per round) verify no dst-only nodes exist before taking the
+      // early exit. Asymmetric frames fall through to a real peel round.
+      val symOk = nKeep == nNodes && {
+        e.select(col("dst").as("_d")).distinct()
+          .join(e.select(col("src")).distinct().hint("shuffle_hash"),
+            col("_d") === col("src"), "left_anti")
+          .isEmpty
+      }
+      if (symOk) converged = true
       else {
         val keep = degs.filter(col("deg") >= k).select(col("src").as("keep_id"))
         e = e.join(keep.hint("shuffle_hash"), col("src") === col("keep_id"), "left_semi")

@@ -109,6 +109,124 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** 256-bin byte-value profile — the full-resolution sibling of
+    * [[extractFeatures]]'s 16-bin histogram, same partition-local
+    * mapPartitions kernel shape (one tight JVM loop over the payload,
+    * no shuffle, no codec). For real media this is the byte-distribution
+    * perceptual profile (a block-mean pHash would slot into the same
+    * kernel); over the stand-in text payloads it is the per-character
+    * frequency profile.
+    */
+  case class ByteProfile(docId: Long, byteLen: Long, hist: Array[Long])
+
+  def byteProfileOf(spark: SparkSession, media: DataFrame): Dataset[ByteProfile] = {
+    val s = spark
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val hist = new Array[Long](256)
+        var i = 0
+        while (i < payload.length) { hist(payload(i) & 0xff) += 1; i += 1 }
+        ByteProfile(id, payload.length.toLong, hist)
+      })
+  }
+
+  def byteProfile(spark: SparkSession, dir: String): Dataset[ByteProfile] =
+    byteProfileOf(spark, spread(spark, mediaTable(spark, dir)))
+
+  /** Bucket cap + verify threshold for the binary near-dup pass.
+    * MediaBandCap bounds every band bucket's pair quadratic at
+    * C(64,2) exactly like the SimHash cap (the cap is mirrored in the
+    * oracle, so the query stays hash-checked); MediaL1MaxBp keeps only
+    * pairs whose exact byte-distribution L1 distance is ≤ 2.5% of total
+    * mass (the sf0.01 probe put the closest non-clone pairs at
+    * 1,100+ bp, planted near-dups under 150 bp — a 250 bp cut separates
+    * them with an order of magnitude of headroom each side).
+    */
+  val MediaBands = 4
+  val MediaBandCap = 64
+  val MediaL1MaxBp = 250L
+
+  /** Perceptual-hash-style near-dup detection over the BINARY payloads —
+    * the multimodal twin of [[graft.operators.DedupOps.qDedupSimhashPairs]]:
+    *
+    *  1. [[byteProfile]] (partition-local kernel) → sparse
+    *     (doc, byte, count) frame; shares quantized by exact integer
+    *     division (q8 = cnt·256 div len — 8-bit resolution for blocking,
+    *     s10k = cnt·10⁴ div len — basis points for the verify).
+    *  2. Banded signature: byte residue class (byte mod 4) splits the
+    *     profile into 4 interleaved bands; a band's key is its sorted
+    *     `byte:q8` cell string. Near-identical payloads agree exactly on
+    *     ≥ 1 band w.h.p. (pigeonhole over the few differing cells) —
+    *     candidate generation is a key-equality self-join, never
+    *     payload×payload, and recall is band-blocking-bounded exactly
+    *     like the SimHash twin.
+    *  3. Hot buckets clamped at [[MediaBandCap]] docs (ascending doc_id,
+    *     the shared [[DedupOps.capBuckets]] clamp) — at 100 TB a
+    *     boilerplate byte-profile (empty images, silence) lands millions
+    *     of payloads in one bucket; the cap bounds the quadratic by
+    *     construction.
+    *  4. Exact verify on candidates only: full-outer merge of the two
+    *     sides' basis-point profiles, L1 distance, keep ≤ [[MediaL1MaxBp]];
+    *     `exact_dup` = payload-digest equality (the byte-identical
+    *     subset). All-integer output → hash-oracled.
+    *
+    * Ref: the reference has no media pipeline; this is the
+    * LLM-training-data operator the brief's multimodal family calls for
+    * (dedup before training, CLIP-era corpora dedup on perceptual
+    * signatures, not exact bytes).
+    */
+  def qMediaNeardup(spark: SparkSession, dir: String): DataFrame =
+    mediaNeardupPairs(spark, spread(spark, mediaTable(spark, dir)))
+
+  /** Pipeline core over any (doc_id, payload binary) frame — the spec
+    * plants byte-identical and perturbed clones through this entry.
+    */
+  def mediaNeardupPairs(spark: SparkSession, media: DataFrame): DataFrame = {
+    val prof = byteProfileOf(spark, media).toDF()
+      .select(col("docId").as("doc_id"), col("byteLen").as("byte_len"),
+        posexplode(col("hist")).as(Seq("byte", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("doc_id"), col("byte_len"), col("byte"), col("cnt"),
+        expr("cnt * 10000 div byte_len").as("s10k"),
+        expr("cnt * 256 div byte_len").as("q8"),
+        (col("byte") % MediaBands).as("band"))
+    val bk = DedupOps.capBuckets(
+      prof.groupBy(col("doc_id"), col("band"))
+        .agg(array_sort(collect_list(struct(col("byte"), col("q8")))).as("cells"))
+        .select(col("doc_id"),
+          concat(col("band").cast("string"), lit("|"),
+            array_join(transform(col("cells"), c =>
+              concat(c("byte").cast("string"), lit(":"),
+                c("q8").cast("string"))), ",")).as("bkey")),
+      "bkey", MediaBandCap)
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val cells = prof.select(col("doc_id"), col("byte"), col("s10k"))
+    val sa = cand.join(cells.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("byte"), col("s10k").as("va"))
+    val sb = cand.join(cells.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("byte"), col("s10k").as("vb"))
+    val l1 = sa.join(sb, Seq("doc_a", "doc_b", "byte"), "full_outer")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(abs(coalesce(col("va"), lit(0L)) - coalesce(col("vb"), lit(0L))))
+        .as("l1_bp"))
+      .filter(col("l1_bp") <= MediaL1MaxBp)
+    val meta = media
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("blen"),
+        md5(col("payload")).as("digest"))
+    l1.join(meta.select(col("doc_id").as("doc_a"), col("blen").as("byte_len_a"),
+        col("digest").as("dig_a")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("blen").as("byte_len_b"),
+        col("digest").as("dig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("l1_bp"),
+        col("byte_len_a"), col("byte_len_b"),
+        (col("dig_a") === col("dig_b")).cast("long").as("exact_dup"))
+      .orderBy(col("l1_bp"), col("doc_a"), col("doc_b"))
+  }
+
   /** SQL-expressible slice of the metadata (oracle-checkable): byte
     * length + the deterministic fake decode fields + frame-sample count
     * (every 4th frame, at least 1).

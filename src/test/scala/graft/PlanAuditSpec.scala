@@ -54,7 +54,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_mutual_info", "q_cramers_v", "q_mahalanobis",
       // inherits q_zscore_anomaly's one-row global-stats cross (the
       // overlap table replays all three flag chains)
-      "q_anomaly_overlap")
+      "q_anomaly_overlap",
+      // one-row broadcast cross: the corpus token total (the spectrum's
+      // share-of-corpus denominator) — same O(1) build-side shape
+      "q_token_freq_spectrum")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

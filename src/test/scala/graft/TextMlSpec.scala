@@ -180,6 +180,51 @@ class TextMlSpec extends SparkSpec {
       MultimodalOps.MediaMeta(1, 10, 5, 5, 1, "img"), 64, 48).width === 64)
   }
 
+  test("qMediaNeardup: planted byte clone and light perturbation surface; cap bounds candidates") {
+    import org.apache.spark.sql.functions.lit
+    val base = MultimodalOps.mediaTable(spark, sf)
+    // plant: doc_id 900001 = byte-identical clone of a long donor doc;
+    // doc_id 900002 = the same payload with its LAST byte swapped for
+    // '~' (absent from the word corpus). Length unchanged ⇒ only the two
+    // touched cells move, ≥ 2 of the 4 residue bands keep identical keys
+    // (guaranteed candidate, no w.h.p. argument needed), and on a
+    // ≥200-byte donor the L1 delta is ≤ 2·⌊10000/200⌋ = 100 bp — under
+    // the 250 bp verify cut with deterministic headroom.
+    val donor = base.filter(expr("octet_length(payload) >= 200"))
+      .orderBy(col("doc_id")).limit(1)
+    val clone = donor.select(lit(900001L).as("doc_id"), col("payload"))
+    val near = donor.select(lit(900002L).as("doc_id"),
+      expr("concat(substring(payload, 1, octet_length(payload) - 1), " +
+        "cast('~' as binary))").as("payload"))
+    val out = MultimodalOps.mediaNeardupPairs(
+      spark, base.union(clone).union(near)).cache()
+    val donorId = donor.collect()(0).getLong(0)
+    val exact = out.filter(col("doc_a") === donorId && col("doc_b") === 900001L)
+      .collect()
+    assert(exact.length === 1 && exact(0).getAs[Long]("l1_bp") === 0L
+      && exact(0).getAs[Long]("exact_dup") === 1L,
+      "byte-identical clone must verify at L1=0 as an exact dup")
+    val pert = out.filter(col("doc_a") === donorId && col("doc_b") === 900002L)
+      .collect()
+    assert(pert.length === 1 && pert(0).getAs[Long]("exact_dup") === 0L
+      && pert(0).getAs[Long]("l1_bp") > 0L
+      && pert(0).getAs[Long]("l1_bp") <= MultimodalOps.MediaL1MaxBp,
+      s"perturbed clone must surface as a near (not exact) dup: ${pert.toSeq}")
+    // every emitted pair respects the verify threshold and ordering key
+    assert(out.filter(col("l1_bp") > MultimodalOps.MediaL1MaxBp).count() === 0)
+    out.unpersist()
+    // cap bounds the bucket quadratic: a 200-payload clone storm on ONE
+    // byte profile yields at most C(cap, 2) distinct pairs from its bucket
+    val storm = donor.crossJoin(
+      spark.range(1000000, 1000200).select(col("id").as("new_id")))
+      .select(col("new_id").as("doc_id"), col("payload"))
+    val stormPairs = MultimodalOps.mediaNeardupPairs(spark, storm).count()
+    val cap = MultimodalOps.MediaBandCap.toLong
+    assert(stormPairs <= cap * (cap - 1) / 2,
+      s"clone storm produced $stormPairs pairs — cap quadratic not bounded")
+    assert(stormPairs > 0)
+  }
+
   test("salted aggregation matches direct groupBy exactly") {
     import graft.operators.SkewOps
     val ev = Tables.events(spark, sf)
