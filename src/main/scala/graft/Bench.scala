@@ -40,12 +40,15 @@ object Bench {
     // amplified-fixture sweep mode) there is no later run to exclude the
     // one-time fit, so whichever consumer ran first was charged a cold
     // model build — the BENCH_X10 tail's 25-92× phantom slopes.
+    // …q_token_freq_spectrum pins the corpusTermFreq Memo rollup (r10
+    // verdict: its cold build + storage churn showed up as 1.4× drift on
+    // the OTHER termFreq consumers in whatever Map-hash order ran first)
     for (q <- Seq("q_supervised_rf", "q_supervised_gbt", "q_supervised_svc",
                   "q_tfidf", "q_cooccurrence", "q_dedup_minhash_pairs",
                   "q_dedup_simhash_pairs", "q_containment", "q_roc_points",
                   "q_pca_project", "q_kmeans_anomaly", "q_iforest_score",
                   "q_silhouette", "q_pq_codes", "q_ann_ivf", "q_ann_ivfpq",
-                  "q_semantic_dedup"))
+                  "q_semantic_dedup", "q_token_freq_spectrum"))
       try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => () }
     // min of 3 runs per query: later runs exclude one-time codegen
     // compilation, and the min rides out GC/JIT noise (observed ±15% on

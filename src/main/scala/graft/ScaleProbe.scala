@@ -96,7 +96,10 @@ object ScaleProbe {
       "q_containment", "q_semantic_dedup", "q_embed_neardup",
       "q_minhash_calibration", "q_dedup_clusters", "q_doc_dup_profile",
       "q_dedup_funnel", "q_window_dup", "q_ngram_novelty",
-      "q_cross_source_dup", "q_dup_rate_by_source", "q_decontaminate")
+      "q_cross_source_dup", "q_dup_rate_by_source", "q_decontaminate",
+      // byte-profile near-dup pairs depend on the per-copy content draw
+      // exactly like the shingle families
+      "q_media_neardup")
     val nReplicas =
       if (mode == "iid" && names.exists(JitterSensitive))
         sys.env.get("SPARK_GRAFT_IID_REPLICAS").map(_.toInt)

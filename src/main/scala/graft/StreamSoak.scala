@@ -128,6 +128,43 @@ object StreamSoak {
     }
   }
 
+  /** TWS funnel soak ([[EventStream.funnelConversions]]): every user
+    * cycles signup → click → purchase REPEATEDLY (time-ordered inside
+    * each batch — ts is monotone in the batch index so each user's
+    * phases arrive in order), so each user converts in their first
+    * cycle and every later cycle hits the terminal state. The two
+    * claims under measurement: (1) the state ceiling tracks |users|
+    * (one 3-field ValueState row per user — peak must stay ~nUsers
+    * while events grow 200× past it), and (2) terminal-state
+    * suppression holds — conversions emitted == distinct users
+    * converted == nUsers, EXACTLY once each, despite every user
+    * completing the funnel pattern dozens more times.
+    */
+  def soakFunnel(spark: SparkSession, nBatches: Int, batchSize: Int,
+      nUsers: Int): OpSoak = {
+    import spark.implicits._
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.funnelConversions(mem.toDS())
+      .writeStream.format("memory").queryName("soak_funnel")
+      .outputMode("append").start()
+    val perBatch = math.max(1, batchSize / nUsers)
+    drive(q, nBatches, batchSize) { b =>
+      mem.addData((0 until batchSize).map { i =>
+        val user = (i % nUsers).toLong
+        val cycle = b * perBatch + i / nUsers
+        val typ = (cycle % 3) match {
+          case 0 => "signup"
+          case 1 => "click"
+          case _ => "purchase"
+        }
+        // 1 ms apart, monotone in i: a user's phases are time-ordered
+        // within the batch AND across batches (15 min batch spacing)
+        Event(b.toLong * batchSize + i,
+          new Timestamp((1440L + b * 15) * 60000L + i), user, typ, 1.0)
+      })
+    }
+  }
+
   /** Watermarked STREAM-STREAM interval join soak
     * ([[EventStream.purchaseLinkedErrors]]): alternating purchase/error
     * load with event time advancing 15 min per batch. The 2 h watermark
@@ -258,11 +295,16 @@ object StreamSoak {
       pipeline = EventStream.orphanErrors, name = "soak_orphan")
     val ohlc = soakOhlc(spark, nBatches, batchSize)
     val drift = soakDrift(spark, nBatches, batchSize, nUsers)
-    def j(o: OpSoak): String =
+    val fun = soakFunnel(spark, nBatches, batchSize, nUsers)
+    val funnelRows = spark.sql("SELECT count(*) FROM soak_funnel").head().getLong(0)
+    val funnelUsers = spark.sql("SELECT count(DISTINCT user_id) FROM soak_funnel")
+      .head().getLong(0)
+    def j(o: OpSoak, extra: String = ""): String =
       f"""{"rows":${o.rows},"wall_sec":${o.wallSec}%.3f,""" +
         f""""rows_per_sec":${o.rowsPerSec}%.0f,"batches":${o.batches},""" +
         s""""peak_state_rows":${o.peakStateRows},""" +
         s""""final_state_rows":${o.finalStateRows},""" +
+        extra +
         s""""peak_state_bytes":${o.peakStateBytes}}"""
     def jj(join: JoinSoak, extra: String = ""): String =
       f"""{"rows":${join.rows},"wall_sec":${join.wallSec}%.3f,""" +
@@ -281,7 +323,10 @@ object StreamSoak {
       s""""sessionizer_tws":${j(sess)},"heavy_hitters_tws":${j(hh)},""" +
       s""""interval_join":${jj(join)},""" +
       s""""left_outer_join":${jj(orphan, s""""null_side_rows_emitted":$orphanRows,""")},""" +
-      s""""ohlc_windows":${j(ohlc)},"cusum_tws":${j(drift)}}"""
+      s""""ohlc_windows":${j(ohlc)},"cusum_tws":${j(drift)},""" +
+      s""""funnel_tws":${j(fun,
+        s""""conversions":$funnelRows,"distinct_converted":$funnelUsers,""" +
+        s""""exactly_once":${funnelRows == funnelUsers && funnelRows == nUsers},""")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.getBytes("UTF-8"))
     println(out)
@@ -289,11 +334,16 @@ object StreamSoak {
     // the eviction claims are the artifact's point — fail LOUDLY if any
     // join's buffered rows did not fall after the watermark advanced, or
     // the outer join never produced a null-side row
-    if (!evicted || !orphanEvicted || orphanRows == 0) {
-      System.err.println(s"[soak] join-state contract violated: " +
+    // funnel contracts: exactly-once emission (terminal suppression) and
+    // a |users|-bounded state ceiling
+    val funnelOk = funnelRows == funnelUsers && funnelRows == nUsers &&
+      fun.peakStateRows <= nUsers.toLong
+    if (!evicted || !orphanEvicted || orphanRows == 0 || !funnelOk) {
+      System.err.println(s"[soak] state contract violated: " +
         s"inner peak=${join.peakStateRows} final=${join.postWatermarkStateRows} " +
         s"outer peak=${orphan.peakStateRows} final=${orphan.postWatermarkStateRows} " +
-        s"orphans=$orphanRows")
+        s"orphans=$orphanRows funnel conv=$funnelRows distinct=$funnelUsers " +
+        s"peak=${fun.peakStateRows} (users=$nUsers)")
       sys.exit(1)
     }
   }

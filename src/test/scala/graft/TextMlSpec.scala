@@ -63,6 +63,42 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("qCentroidSim: largest decimal->double operand stays under 2^53 (bit-identity bound)") {
+    // The scaladoc's cross-engine hash argument requires every integer
+    // handed to a decimal->double cast (the dim-summed products
+    // sab/saa/sbb) to be <= 2^53. Derive the bound FROM THE FIXTURE by
+    // replaying the operator's exact quantization (double -> 10 dp
+    // HALF_UP -> decimal sum -> floor(x*10^4)) in BigInt arithmetic, so
+    // a fixture or scale change that voids the bit-identity argument
+    // fails loudly here instead of silently downgrading the oracle.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding")
+      .collect().map(r => r.getInt(0).toLong -> r.getSeq[Float](1).toArray)
+    val labels = vecs.map(_._1).distinct.sorted
+    val sv: Map[Long, Array[BigInt]] = labels.map { l =>
+      val vs = vecs.filter(_._1 == l).map(_._2)
+      val sums = Array.fill(vs.head.length)(JBD.ZERO)
+      for (v <- vs; i <- v.indices)
+        sums(i) = sums(i).add(new JBD(v(i).toDouble).setScale(10, RoundingMode.HALF_UP))
+      l -> sums.map(s => BigInt(
+        s.multiply(new JBD(10000)).setScale(0, RoundingMode.FLOOR).toBigIntegerExact))
+    }.toMap
+    val two53 = BigInt(1) << 53
+    var maxOp = BigInt(0)
+    for (i <- labels.indices; j <- i + 1 until labels.length) {
+      val (a, b) = (sv(labels(i)), sv(labels(j)))
+      maxOp = maxOp
+        .max(a.zip(b).map { case (x, y) => x * y }.sum.abs)
+        .max(a.map(x => x * x).sum)
+        .max(b.map(x => x * x).sum)
+    }
+    assert(maxOp > 0, "degenerate fixture: all-zero centroid sums")
+    assert(maxOp < two53,
+      s"largest cosine operand $maxOp breaches 2^53 = $two53 — the " +
+        "bit-identity argument no longer holds; coarsen the quantization " +
+        "exponent (the documented production lever) and mirror it in the oracle")
+  }
+
   test("qTokenLenDist: buckets partition each source, bounds exact, shares floor-exact") {
     val d = TextOps.qTokenLenDist(spark, sf).collect()
     val bySource = d.groupBy(_.getString(0))
