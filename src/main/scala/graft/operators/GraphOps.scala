@@ -65,13 +65,16 @@ object GraphOps {
     * the aggregate carries ≥ 1 edge, so "every node survives" ⟺ "this
     * round drops nothing" — PROVIDED every dst also appears as a src
     * (degrees are counted src-side; a dst-only node has no degree row
-    * and would still be peeled by the dst semi-join). All current
-    * callers pass symmetrized frames where that holds by construction;
-    * for safety on asymmetric input the candidate-converged round (and
-    * only it — once per call) runs a distinct-dst anti-join probe and
-    * falls back to a real peel round if dst-only nodes exist, so the
-    * r-round unrolled-oracle equivalence holds for ANY edge frame. A
-    * converged round on the symmetric fast path therefore costs one
+    * and would still be peeled by the dst semi-join). A caller that
+    * BUILDS its frame symmetrized (both directions unioned — every
+    * current caller does) passes `assumeSymmetric = true` and keeps
+    * the zero-edge-scan early exit; under the SAFE DEFAULT (`false`)
+    * the candidate-converged round — and only it, once per call — runs
+    * a distinct-dst anti-join probe over two map-side-combined node
+    * sets and falls back to a real peel round if dst-only nodes exist,
+    * so the r-round unrolled-oracle equivalence holds for ANY edge
+    * frame without silently trusting the caller. A converged round on
+    * the symmetric path therefore costs one
     * map-side-combined aggregate instead of two semi-joins plus a full
     * edge-frame materialization (the r10 ×30 probe measured that
     * difference as the peel's entire superlinear tail: the no-op
@@ -91,7 +94,8 @@ object GraphOps {
     * (rounds after the fixpoint are no-ops) early exit here never
     * diverges from the oracle's fixed unrolling.
     */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      assumeSymmetric: Boolean = false): DataFrame = {
     val debug = sys.env.get("GRAFT_KCORE_DEBUG").contains("1")
     var e = edges
     var converged = false
@@ -103,19 +107,21 @@ object GraphOps {
         coalesce(sum(when(col("deg") >= k, 1L).otherwise(0L)), lit(0L))).first()
       val (nNodes, nKeep) = (probe.getLong(0), probe.getLong(1))
       // Src-side degrees alone prove "this round drops nothing" only
-      // when every dst also appears as a src (true by construction for
-      // the symmetrized co-access frames every current caller passes).
-      // A node appearing ONLY as dst has no degree row, is absent from
-      // the keep set, and the dst semi-join would still peel it — so on
-      // the candidate-converged round (and only there: once per call,
-      // not per round) verify no dst-only nodes exist before taking the
-      // early exit. Asymmetric frames fall through to a real peel round.
-      val symOk = nKeep == nNodes && {
+      // when every dst also appears as a src. A node appearing ONLY as
+      // dst has no degree row, is absent from the keep set, and the dst
+      // semi-join would still peel it — so unless the caller vouches for
+      // a symmetrized frame, the candidate-converged round (and only
+      // there: once per call, not per round) verifies no dst-only nodes
+      // exist before taking the early exit; asymmetric frames fall
+      // through to a real peel round whose dst semi-join removes the
+      // dst-only edges. assumeSymmetric = true skips the probe so the
+      // converged round stays edge-scan-free (the r10 scale fix).
+      val symOk = nKeep == nNodes && (assumeSymmetric || {
         e.select(col("dst").as("_d")).distinct()
           .join(e.select(col("src")).distinct().hint("shuffle_hash"),
             col("_d") === col("src"), "left_anti")
           .isEmpty
-      }
+      })
       if (symOk) converged = true
       else {
         val keep = degs.filter(col("deg") >= k).select(col("src").as("keep_id"))

@@ -282,7 +282,10 @@ object ThreatOps {
     * unrolled peel-round CTEs (the q_blast_radius pattern).
     */
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
-    val core = GraphOps.kCorePeel(coaccessEdges(spark, dir), KcoreK, KcoreRounds)
+    // coaccessEdges unions both directions, so the frame is symmetric by
+    // construction — the peel's converged round stays edge-scan-free
+    val core = GraphOps.kCorePeel(coaccessEdges(spark, dir), KcoreK, KcoreRounds,
+      assumeSymmetric = true)
     core.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("user_id"), col("core_degree"))
       .orderBy(col("user_id"))

@@ -273,6 +273,17 @@ class ThreatOpsSpec extends SparkSpec {
     val kept = core.select("src").distinct().as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 3L, 4L), s"expected the clique, got $kept")
     assert(core.count() === 12, "4-clique has 12 directed edges")
+    // ASYMMETRIC frame (the r10 advisory's hazard): node 99 appears only
+    // as dst, so every src-side degree is >= k at round 0 — a src-only
+    // convergence probe would early-exit and keep the (1,99) edge, but
+    // the dst semi-join semantics peel it. The default (un-vouched) path
+    // must detect the dst-only node, run the peel round, and converge to
+    // the bare clique; the assumeSymmetric fast path is caller-vouched.
+    val asym = (clique ++ Seq((1L, 99L))).toSeq.toDF("src", "dst")
+    val asymCore = operators.GraphOps.kCorePeel(asym, k = 3, rounds = 8)
+    assert(asymCore.count() === 12,
+      "dst-only edge must peel on an asymmetric frame")
+    assert(asymCore.filter(col("dst") === 99L).count() === 0)
     // real fixture: every emitted within-core degree >= k is EXACTLY the
     // fixpoint certificate — had the 8-round bound run out before
     // convergence, some survivor would still carry degree < k in the
