@@ -7,6 +7,14 @@ object Bench {
     // differently-configured session would measure the wrong thing
     val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // The plan-audit allowlist admits a handful of provably-tiny
+    // unpartitioned window frames (numParts-row offset frames —
+    // PlanAuditSpec enforces the real invariant); Spark still logs its
+    // single-partition WARN for each, and ~10 repeats were drowning the
+    // JSON summary line in the artifact tail (r11 verdict). Silence that
+    // one logger — the audit, not the log line, guards the invariant.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen/parquet-reader warmup on the tiny flagship input so the
     // first timed query doesn't absorb one-time JIT + classloading cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -185,12 +193,31 @@ object Bench {
       val imp = results.collect { case (n, Some(v)) if qmap.get(n).exists(p => p / v > 1.5) =>
         row(n, qmap(n), v)
       }.mkString("[", ",", "]")
-      val priorTotal = qmap.view.filterKeys(results.contains).values.sum
-      (s""","compare":{"path":"$path","prior_total":$priorTotal,"regressed":$reg,"noise_suspect":$sus,"improved":$imp}""",
-        moved.count(_._4), moved.count(m => !m._4))
+      // TOTAL-LEVEL guard (r11 verdict #1): a uniform ~1.1x drift across
+      // 200 queries is invisible to any per-query 1.5x threshold by
+      // construction — r10→r11 crept +8% with regressed=[] — so the
+      // artifact also carries the common-query total ratio AND the
+      // median per-query ratio (robust to a few honest big movers), and
+      // flags total_drift when the common-query total grew >1.15x. The
+      // median disambiguates: total_ratio high + median_ratio ~1.0 means
+      // a few queries moved (read the per-query table); both high means
+      // uniform environment/session drift.
+      val common = results.collect {
+        case (n, Some(v)) if qmap.contains(n) => (n, qmap(n), v) }.toSeq
+      val priorTotal = common.map(_._2).sum
+      val nowTotal = common.map(_._3).sum
+      val totalRatio = if (priorTotal > 0) nowTotal / priorTotal else 1.0
+      val medianRatio = if (common.isEmpty) 1.0 else {
+        val rs = common.map { case (_, p, v) => v / p }.sorted
+        rs(rs.size / 2)
+      }
+      val totalDrift = totalRatio > 1.15
+      def r3(x: Double) = math.rint(x * 1000) / 1000
+      (s""","compare":{"path":"$path","prior_total":${r3(priorTotal)},"now_total":${r3(nowTotal)},"total_ratio":${r3(totalRatio)},"median_ratio":${r3(medianRatio)},"total_drift":$totalDrift,"regressed":$reg,"noise_suspect":$sus,"improved":$imp}""",
+        moved.count(_._4), moved.count(m => !m._4), r3(totalRatio), r3(medianRatio), totalDrift)
     }
-    val (compareJson, nRegressed, nNoiseSuspect) =
-      compareOpt.getOrElse(("", -1, -1))
+    val (compareJson, nRegressed, nNoiseSuspect, totalRatioOut, medianRatioOut, totalDriftOut) =
+      compareOpt.getOrElse(("", -1, -1, -1.0, -1.0, false))
     val spreadJson =
       if (spreads.nonEmpty)
         s""","mode":"$mode","spread":${spreads.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }.mkString("{", ",", "}")}"""
@@ -227,7 +254,9 @@ object Bench {
       Some(math.rint(s(s.size / 2) * 1000) / 1000)
     }
     val abJson =
-      (if (nRegressed >= 0) s""","regressed":$nRegressed,"noise_suspect":$nNoiseSuspect""" else "") +
+      (if (nRegressed >= 0)
+        s""","regressed":$nRegressed,"noise_suspect":$nNoiseSuspect,"total_ratio":$totalRatioOut,"median_ratio":$medianRatioOut,"total_drift":$totalDriftOut"""
+      else "") +
       medianSpread.map(m => s""","median_spread":$m""").getOrElse("")
     println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$abJson,"headliners":$hq,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()

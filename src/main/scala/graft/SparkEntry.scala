@@ -2500,8 +2500,10 @@ object SparkEntry {
            (byte_len // 100 + 1 + 3) // 4 AS sampled_frames
          FROM m ORDER BY doc_id""",
     // Byte-profile perceptual near-dup: the text payload IS the binary
-    // payload (ASCII, asserted by the spec), so ascii() over split chars
-    // reproduces the byte kernel exactly; quantization is pure integer
+    // payload (ASCII — asserted per fixture scale by TextMlSpec's
+    // "oracle precondition" test, which fails loudly if any documents
+    // fixture gains a non-ASCII or multi-byte character), so ascii()
+    // over split chars reproduces the byte kernel exactly; quantization is pure integer
     // division, the band key the same sorted byte:q8 cell string, the
     // 64-doc bucket cap mirrored via QUALIFY, the L1 verify a full-outer
     // cell merge — all integers, so the hash must match bit-for-bit.

@@ -142,6 +142,14 @@ object StreamSoak {
     */
   def soakFunnel(spark: SparkSession, nBatches: Int, batchSize: Int,
       nUsers: Int): OpSoak = {
+    // Events inside a batch are 1 ms apart but batch bases only 15 min
+    // (900,000 ms) apart — a batch larger than that would push its tail
+    // past the next batch's base, regressing event time across the
+    // boundary and breaking the monotone ordering FunnelProcessor's
+    // !ts.before(prev) guards rely on (r11 ADVICE). Fail loudly instead.
+    require(batchSize < 900000,
+      s"soakFunnel batchSize=$batchSize must stay < 900000 (15 min batch " +
+        "spacing at 1 ms/event) to keep event time monotone across batches")
     import spark.implicits._
     val mem = MemoryStream[Event](spark)
     val q = EventStream.funnelConversions(mem.toDS())

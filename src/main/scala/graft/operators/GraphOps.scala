@@ -69,9 +69,11 @@ object GraphOps {
     * BUILDS its frame symmetrized (both directions unioned — every
     * current caller does) passes `assumeSymmetric = true` and keeps
     * the zero-edge-scan early exit; under the SAFE DEFAULT (`false`)
-    * the candidate-converged round — and only it, once per call — runs
-    * a distinct-dst anti-join probe over two map-side-combined node
-    * sets and falls back to a real peel round if dst-only nodes exist,
+    * every candidate-converged round runs a distinct-dst anti-join
+    * probe over two map-side-combined node sets and falls back to a
+    * real peel round if dst-only nodes exist (a fallback peel can
+    * strand NEW dst-only nodes, so the probe may fire more than once
+    * per call — its cost bound is once per candidate-converged round),
     * so the r-round unrolled-oracle equivalence holds for ANY edge
     * frame without silently trusting the caller. A converged round on
     * the symmetric path therefore costs one
@@ -110,12 +112,13 @@ object GraphOps {
       // when every dst also appears as a src. A node appearing ONLY as
       // dst has no degree row, is absent from the keep set, and the dst
       // semi-join would still peel it — so unless the caller vouches for
-      // a symmetrized frame, the candidate-converged round (and only
-      // there: once per call, not per round) verifies no dst-only nodes
-      // exist before taking the early exit; asymmetric frames fall
-      // through to a real peel round whose dst semi-join removes the
-      // dst-only edges. assumeSymmetric = true skips the probe so the
-      // converged round stays edge-scan-free (the r10 scale fix).
+      // a symmetrized frame, each candidate-converged round verifies no
+      // dst-only nodes exist before taking the early exit; asymmetric
+      // frames fall through to a real peel round whose dst semi-join
+      // removes the dst-only edges (and may strand NEW dst-only nodes,
+      // so the probe can fire again on the next candidate convergence).
+      // assumeSymmetric = true skips the probe so the converged round
+      // stays edge-scan-free (the r10 scale fix).
       val symOk = nKeep == nNodes && (assumeSymmetric || {
         e.select(col("dst").as("_d")).distinct()
           .join(e.select(col("src")).distinct().hint("shuffle_hash"),

@@ -216,6 +216,27 @@ class TextMlSpec extends SparkSpec {
       MultimodalOps.MediaMeta(1, 10, 5, 5, 1, "img"), 64, 48).width === 64)
   }
 
+  test("qMediaNeardup oracle precondition: documents.text is pure ASCII at every fixture scale") {
+    // The q_media_neardup DuckDB oracle reconstructs the BYTE kernel
+    // from characters (ascii() over string_split, length() as char
+    // count). That is bit-equivalent to the Spark side's raw UTF-8
+    // bytes + octet_length ONLY while every payload codepoint is
+    // ≤ 0x7F — one multi-byte character silently breaks the
+    // cross-engine hash. Assert the precondition loudly on every
+    // fixture scale the gates run at, so a fixture change fails here
+    // instead of downgrading the oracle.
+    for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")
+         if new java.io.File(s"/root/testdata/$dir/documents.parquet").exists()) {
+      val docs = Tables.documents(spark, s"/root/testdata/$dir")
+      val nonAscii = docs.filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+      assert(nonAscii === 0L, s"$dir: $nonAscii documents carry non-ASCII text")
+      val lenDrift = docs.filter(
+        expr("octet_length(text)") =!= expr("char_length(text)")).count()
+      assert(lenDrift === 0L,
+        s"$dir: $lenDrift documents where byte length != char length")
+    }
+  }
+
   test("qMediaNeardup: planted byte clone and light perturbation surface; cap bounds candidates") {
     import org.apache.spark.sql.functions.lit
     val base = MultimodalOps.mediaTable(spark, sf)

@@ -13,7 +13,10 @@ CODE=${PIPESTATUS[0]}
 SUCC=$(grep -oE 'Tests: succeeded [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+' || echo 0)
 FAIL=$(grep -oE ', failed [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+' || echo -1)
 SUITES=$(grep -cE '^\[info\] [A-Za-z]+Spec:$' "$LOG" || true)
-FAILED_NAMES=$(grep -oE '^\[error\] Failed tests:' -A 40 "$LOG" 2>/dev/null \
+# NOTE: no -o on the header grep — GNU grep suppresses -A context lines
+# when -o is given, which would leave the name-extraction grep nothing
+# to match and failed_suites always empty (r11 ADVICE).
+FAILED_NAMES=$(grep -E -A 40 '^\[error\] Failed tests:' "$LOG" 2>/dev/null \
   | grep -oE 'graft\.[A-Za-z]+' | sort -u | paste -sd, - || true)
 printf '{"round":%s,"exit_code":%s,"suites":%s,"passed":%s,"failed":%s,"failed_suites":"%s"}\n' \
   "$ROUND" "$CODE" "$SUITES" "$SUCC" "$FAIL" "$FAILED_NAMES" > "TESTS_r${ROUND}.json"
