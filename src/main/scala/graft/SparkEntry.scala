@@ -131,6 +131,7 @@ object SparkEntry {
     "q_dedup_exact" -> (DedupOps.qDedupExact _),
     "q_dedup_minhash" -> (DedupOps.qDedupMinhash _),
     "q_dedup_minhash_pairs" -> (DedupOps.qDedupMinhashPairs _),
+    "q_dedup_incremental" -> (DedupOps.qDedupIncremental _),
     "q_minhash_calibration" -> (DedupOps.qMinhashCalibration _),
     "q_dedup_simhash" -> (DedupOps.qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (DedupOps.qDedupSimhashPairs _),
@@ -2149,6 +2150,37 @@ object SparkEntry {
             ${(0 until 4).map(b => s"md5(${bandSql(b)}) AS band_$b").mkString(", ")}
           FROM mh ORDER BY doc_id""",
     "q_dedup_minhash_pairs" -> minhashPairsSql,
+    // Incremental dedup = batch MinHash over the FULL corpus restricted
+    // to pairs with a new-shard endpoint (doc_id % mod = 0): the engine
+    // side probes a persisted signature index instead of re-shingling
+    // history, and equivalence to this unioned-frame batch run is the
+    // operator's correctness claim. Same s/bk chain as minhashPairsSql
+    // (same permutations, same first-K band cap — the cap is applied
+    // over the union on the engine side too, so capped buckets stay
+    // hash-checked); the shard restriction and pair_kind are pure
+    // integer arithmetic on doc_id.
+    "q_dedup_incremental" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(hs) AS hj,
+            ${(0 until 12).map(minhashSql).mkString(", ")}
+          FROM ($hashedShinglesSql)),
+          bk AS (SELECT doc_id, bucket
+            FROM (SELECT doc_id, unnest([${(0 until 4).map(b =>
+              s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
+            FROM s) t
+            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+              <= ${DedupOps.MinhashBandCap}),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE a.doc_id % ${DedupOps.IncrementalShardMod} = 0
+               OR b.doc_id % ${DedupOps.IncrementalShardMod} = 0)
+          SELECT doc_a, doc_b,
+            CASE WHEN doc_a % ${DedupOps.IncrementalShardMod} = 0
+                  AND doc_b % ${DedupOps.IncrementalShardMod} = 0
+                 THEN 'intra' ELSE 'cross' END AS pair_kind,
+            round(len(list_intersect(sa.hj, sb.hj))*1.0
+              / len(list_distinct(list_concat(sa.hj, sb.hj))), 4) AS jaccard
+          FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+          ORDER BY jaccard DESC, doc_a, doc_b""",
     // Shares minhashPairsSql verbatim; the sweep is two integer rollups
     // per threshold literal (dyadic-safe doubles, so both engines cut
     // the identical hash-verified jaccard set).

@@ -280,6 +280,38 @@ object StreamSoak {
     }
   }
 
+  /** Streaming near-dup soak ([[graft.streaming.DocStream.nearDupStream]],
+    * `transformWithState`, per-bucket member lists): documents draw
+    * their text from a FIXED pool of `nPool` distinct payloads, so the
+    * stream is one continuous clone storm — every pool text floods its
+    * 4 band buckets with an unbounded clone family. The boundedness
+    * contract is the per-bucket cap: state rows must plateau at
+    * ≤ nPool × 4 bands × cap member entries (and emissions stop once
+    * every bucket is full) no matter how many documents flow — the
+    * shape that makes near-dup ingest survivable at 100 TB/day, where
+    * per-key state growing with |docs| would be fatal.
+    */
+  def soakNearDup(spark: SparkSession, nBatches: Int, batchSize: Int,
+      nPool: Int = 200, cap: Int = 8): OpSoak = {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStream.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), cap = cap)
+      .writeStream.format("memory").queryName("soak_neardup")
+      .outputMode("append").start()
+    drive(q, nBatches, batchSize) { b =>
+      mem.addData((0 until batchSize).map { i =>
+        val id = b.toLong * batchSize + i
+        val pool = id % nPool
+        // pool texts are SHINGLE-DISJOINT (every token pool-specific):
+        // shared tokens across pools would let bands agree across clone
+        // families and merge their buckets, making the expected
+        // bucket/hit counts fixture-dependent instead of exact
+        (id, (0 until 12).map(k => s"w${pool}x$k").mkString(" "))
+      })
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.length > 0) args(0).toInt else 1000000
     val outPath = if (args.length > 1) args(1) else "STREAM_SOAK.json"
@@ -304,6 +336,10 @@ object StreamSoak {
     val ohlc = soakOhlc(spark, nBatches, batchSize)
     val drift = soakDrift(spark, nBatches, batchSize, nUsers)
     val fun = soakFunnel(spark, nBatches, batchSize, nUsers)
+    val nPool = 200
+    val ndCap = 8
+    val nd = soakNearDup(spark, nBatches, batchSize, nPool, ndCap)
+    val ndHits = spark.sql("SELECT count(*) FROM soak_neardup").head().getLong(0)
     val funnelRows = spark.sql("SELECT count(*) FROM soak_funnel").head().getLong(0)
     val funnelUsers = spark.sql("SELECT count(DISTINCT user_id) FROM soak_funnel")
       .head().getLong(0)
@@ -334,7 +370,11 @@ object StreamSoak {
       s""""ohlc_windows":${j(ohlc)},"cusum_tws":${j(drift)},""" +
       s""""funnel_tws":${j(fun,
         s""""conversions":$funnelRows,"distinct_converted":$funnelUsers,""" +
-        s""""exactly_once":${funnelRows == funnelUsers && funnelRows == nUsers},""")}}"""
+        s""""exactly_once":${funnelRows == funnelUsers && funnelRows == nUsers},""")},""" +
+      s""""neardup_tws":${j(nd,
+        s""""pool_texts":$nPool,"cap":$ndCap,"hits":$ndHits,""" +
+        s""""state_ceiling":${nPool * 4 * ndCap},""" +
+        s""""hits_ceiling":${nPool.toLong * 4 * ndCap * (ndCap - 1) / 2},""")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.getBytes("UTF-8"))
     println(out)
@@ -346,12 +386,23 @@ object StreamSoak {
     // a |users|-bounded state ceiling
     val funnelOk = funnelRows == funnelUsers && funnelRows == nUsers &&
       fun.peakStateRows <= nUsers.toLong
-    if (!evicted || !orphanEvicted || orphanRows == 0 || !funnelOk) {
+    // near-dup contracts: the bucket cap bounds BOTH state and emissions
+    // while events grow without bound. RocksDB reports ListState as one
+    // row per KEY, so the key-count bound (pool×bands buckets) is the
+    // tight one; pool×bands×cap also covers a per-element accounting.
+    // Shingle-disjoint pool texts make the hit count EXACT:
+    // every pool text owns 4 private buckets, each fills to cap and
+    // emits C(cap,2) verified pairs, then drops juniors forever.
+    val ndOk = nd.peakStateRows <= nPool.toLong * 4 * ndCap &&
+      ndHits == nPool.toLong * 4 * ndCap * (ndCap - 1) / 2 && ndHits > 0
+    if (!evicted || !orphanEvicted || orphanRows == 0 || !funnelOk || !ndOk) {
       System.err.println(s"[soak] state contract violated: " +
         s"inner peak=${join.peakStateRows} final=${join.postWatermarkStateRows} " +
         s"outer peak=${orphan.peakStateRows} final=${orphan.postWatermarkStateRows} " +
         s"orphans=$orphanRows funnel conv=$funnelRows distinct=$funnelUsers " +
-        s"peak=${fun.peakStateRows} (users=$nUsers)")
+        s"peak=${fun.peakStateRows} (users=$nUsers) " +
+        s"neardup peak=${nd.peakStateRows} hits=$ndHits " +
+        s"(ceilings ${nPool * 4 * ndCap}/${nPool.toLong * 4 * ndCap * (ndCap - 1) / 2})")
       sys.exit(1)
     }
   }

@@ -763,4 +763,147 @@ object DedupOps {
         r4(max(col("j_bp")).cast("double") / 10000.0).as("max_jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental dedup: a NEW shard against the EXISTING corpus via a
+  // PERSISTED signature index — the production 100 TB shape (daily crawl
+  // vs historical index) where re-shingling history every day is the
+  // cost being designed out.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic shard split: `doc_id % IncrementalShardMod == 0` is
+    * the "new" shard (the daily crawl, ~1/mod of the corpus); the rest
+    * is the historical corpus the index covers.
+    */
+  val IncrementalShardMod = 10L
+
+  /** `(doc_id, bucket)` LSH band-bucket rows for an arbitrary
+    * `(doc_id, text, …)` frame — the same md5-band keys
+    * [[minhashSig]] derives ("b:" + md5(mh·'|'·mh·'|'·mh)), factored
+    * over a caller-supplied frame so the index build (historical split)
+    * and the shard probe (new split, or a genuinely external frame) run
+    * the identical kernel. NULL buckets (shingle-less docs) ride
+    * through and never join, exactly as in [[minhashVerifiedPairs]].
+    */
+  private[operators] def bandRows(d: DataFrame): DataFrame = {
+    val mh = (0 until MinhashPerms).map(j => minhash(col("hs"), j).as(s"mh_$j"))
+    val sig = d.select(col("doc_id"), ShingleHash32(col("text"), 3).as("hs"))
+      .select(col("doc_id") +: mh: _*)
+    val nBands = MinhashPerms / BandsRows
+    val buckets = (0 until nBands).map { b =>
+      val parts = (0 until BandsRows)
+        .map(r => col(s"mh_${b * BandsRows + r}").cast("string"))
+        .flatMap(c => Seq(c, lit("|"))).dropRight(1)
+      concat(lit(s"$b:"), md5(concat(parts: _*)))
+    }
+    sig.select(col("doc_id"), explode(array(buckets: _*)).as("bucket"))
+  }
+
+  /** Distinct-shingle-hash verification sets for an arbitrary
+    * `(doc_id, text, …)` frame (the [[minhashVerifiedPairs]] `docs`
+    * kernel over a caller-supplied frame). */
+  private[operators] def sigRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
+
+  /** Builds the persistent MinHash index for `dir`'s HISTORICAL split
+    * (doc_id % mod != 0) at `indexPath`: `bands/` holds the exploded
+    * `(doc_id, bucket)` band rows UNCAPPED (the band cap depends on
+    * future members, so it is applied at probe time over the union —
+    * which is what makes the incremental result bit-equal to a batch
+    * run over the full corpus), `sigs/` the `(doc_id, sh)` verification
+    * sets. After this write, answering an incremental probe never
+    * touches a historical text byte again — shingling history is paid
+    * once, here.
+    */
+  def buildMinhashIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val hist = spread(spark, documents(spark, dir)
+      .filter(col("doc_id") % IncrementalShardMod =!= 0))
+    bandRows(hist).write.mode("overwrite").parquet(s"$indexPath/bands")
+    sigRows(hist).write.mode("overwrite").parquet(s"$indexPath/sigs")
+  }
+
+  /** Probes `newShard` (doc_id, text) against a stored index: verified
+    * LSH near-dup pairs touching at least one new-shard doc —
+    * `(doc_a, doc_b, pair_kind cross|intra, jaccard)`, the exact frame a
+    * batch MinHash run over (history ∪ shard) would emit restricted to
+    * pairs with a new endpoint.
+    *
+    * Scale shape: the stored band rows are first SEMI-JOINED on the
+    * shard's bucket set (broadcast — a daily shard's bucket count is
+    * tiny next to the index), so the per-bucket population cap, the
+    * pair join, and the verification all run over candidate buckets
+    * only, never the full index; the per-bucket cap is applied to the
+    * union first-[[MinhashBandCap]]-by-doc_id, identical to the batch
+    * clamp, so capped buckets stay hash-checked. Verification joins the
+    * union signature lookup (index `sigs/` for historical endpoints,
+    * fresh shard sigs for new ones) — historical TEXT is never read.
+    */
+  private[graft] def incrementalPairs(spark: SparkSession,
+      newShard: DataFrame, indexPath: String): DataFrame = {
+    val newBands = bandRows(newShard)
+    val histBands = spark.read.parquet(s"$indexPath/bands")
+      .join(broadcast(newBands.select(col("bucket")).distinct()),
+        Seq("bucket"), "left_semi")
+    val capped = capBuckets(
+      histBands.unionByName(newBands.select(col("bucket"), col("doc_id"))),
+      "bucket", MinhashBandCap)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .filter(col("doc_a") % IncrementalShardMod === 0 ||
+        col("doc_b") % IncrementalShardMod === 0)
+    val sigs = spark.read.parquet(s"$indexPath/sigs")
+      .unionByName(sigRows(newShard))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("doc_a") % IncrementalShardMod === 0 &&
+             col("doc_b") % IncrementalShardMod === 0, "intra")
+          .otherwise("cross").as("pair_kind"),
+        r4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** Index location for `dir`: content-fingerprinted (file names + sizes
+    * + mtimes of documents.parquet) under java.io.tmpdir, so a
+    * driver-regenerated fixture can NEVER silently reuse a stale index —
+    * a new fingerprint is a new path, and the build triggers again.
+    */
+  private[graft] def indexPathFor(dir: String): String = {
+    val docs = new java.io.File(s"$dir/documents.parquet")
+    val listing =
+      if (docs.isFile) s"${docs.getName}:${docs.length}:${docs.lastModified}"
+      else Option(docs.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$listing".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_mh_index_$fp"
+  }
+
+  /** Incremental near-dup entry: ensures the historical index for `dir`
+    * exists (built once per fingerprint, `_built` marker — reused across
+    * sessions AND rounds until the fixture changes), then probes the
+    * new shard read from `dir` against it. Memo keyed per (session,
+    * dir) so repeated calls skip even the marker stat. The marker check
+    * is not a lock: two PROCESSES racing the first build could overwrite
+    * each other mid-write (the per-round gates run sequentially; a
+    * production deployment would take a distributed lock or write to a
+    * staging path and rename).
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("dedupIncremental", spark, dir) {
+      val path = indexPathFor(dir)
+      val marker = new java.io.File(s"$path/_built")
+      if (!marker.isFile) {
+        buildMinhashIndex(spark, dir, path)
+        marker.createNewFile()
+      }
+      val newShard = spread(spark, documents(spark, dir)
+        .filter(col("doc_id") % IncrementalShardMod === 0))
+      incrementalPairs(spark, newShard, path)
+    }
 }

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.functions.ShingleHash32
+import graft.functions.TextFunctions.minhash
+import graft.operators.DedupOps
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues}
+
+/** One band-bucket probe: a document's membership claim on one LSH
+  * bucket, carrying the distinct-shingle-hash set the exact verify
+  * needs. */
+case class BandProbe(bucket: String, doc_id: Long, sh: Array[Long])
+
+/** A verified streaming near-dup hit. `bucket` names the band that
+  * surfaced the pair — a pair agreeing on k bands emits k times (one
+  * per shared bucket); consumers that want the batch pair set apply
+  * `dropDuplicates("doc_a","doc_b")`, mirroring the batch `distinct()`
+  * between candidate generation and verify. */
+case class NearDupHit(doc_a: Long, doc_b: Long, bucket: String,
+    jaccard: Double)
+
+/** One stored bucket member (id + verification set). */
+case class BandMember(doc_id: Long, sh: Array[Long])
+
+/** Streaming near-duplicate detection — the `transformWithState` twin of
+  * [[graft.operators.DedupOps.qDedupIncremental]]: the continuous form
+  * of "dedup arriving documents against everything already ingested"
+  * that a streaming corpus ingest needs, with the NEAR-dup semantics
+  * `dropDuplicatesWithinWatermark` (exact only) cannot express.
+  *
+  * Shape: each arriving document is shingled and banded with the exact
+  * batch kernel (ShingleHash32 → 12 affine permutation minima → 4 md5
+  * band keys — [[DedupOps.bandRows]]), exploded to one probe per band,
+  * and keyed BY BUCKET. Each bucket's StatefulProcessor holds at most
+  * [[DedupOps.MinhashBandCap]] members (doc_id + distinct shingle-hash
+  * set): a new probe exact-verifies (set Jaccard, HALF_UP 4dp — the
+  * batch `r4(jaccard(...))` arithmetic) against every stored member,
+  * emits the verified hits, then joins the member list iff the cap has
+  * room. A probe arriving at a FULL bucket emits nothing and is
+  * dropped — the identical junior-drop semantics of the batch
+  * first-cap-by-doc_id clamp, so for in-order (doc_id-ascending)
+  * arrival the emitted pair set (after the per-band dropDuplicates)
+  * EQUALS the batch LSH pair frame; out-of-order arrival degrades only
+  * WHICH family members survive a saturated bucket, never the bound.
+  *
+  * Scale posture: per-bucket state is ≤ cap members regardless of how
+  * many clones flood that bucket (the clone-storm soak's claim — state
+  * plateaus while events grow without bound); bucket keys hash-spread
+  * across executors like any keyed state. Total state across keys
+  * grows with the DISTINCT-bucket count (i.e. with corpus novelty, not
+  * with event count); a deployment bounding total retention sets a
+  * TTL on the member state — plumbed here via `ttl` — turning the
+  * index into a sliding-recency dedup window.
+  */
+object DocStream {
+
+  /** Near-dup hits over a streaming `(doc_id, text)` frame. */
+  def nearDupStream(docs: DataFrame, cap: Int = DedupOps.MinhashBandCap,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val nBands = DedupOps.MinhashPerms / DedupOps.BandsRows
+    val mh = (0 until DedupOps.MinhashPerms)
+      .map(j => minhash(col("hs"), j).as(s"mh_$j"))
+    val sig = docs
+      .select(col("doc_id"), ShingleHash32(col("text"), 3).as("hs"))
+      .select(col("doc_id") +: array_distinct(col("hs")).as("sh") +: mh: _*)
+    val buckets = (0 until nBands).map { b =>
+      val parts = (0 until DedupOps.BandsRows)
+        .map(r => col(s"mh_${b * DedupOps.BandsRows + r}").cast("string"))
+        .flatMap(c => Seq(c, lit("|"))).dropRight(1)
+      concat(lit(s"$b:"), md5(concat(parts: _*)))
+    }
+    sig
+      .select(explode(array(buckets: _*)).as("bucket"), col("doc_id"), col("sh"))
+      .filter(col("bucket").isNotNull) // shingle-less docs band to NULL: no bucket, no state
+      .as[BandProbe]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor(cap, ttl), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The batch verify arithmetic on driver-side sets: |a∩b| / |a∪b|
+    * rounded HALF_UP to 4dp (Spark's `round`), so streamed jaccards are
+    * bit-equal to the batch column. */
+  private[graft] def jaccardSets(a: Array[Long], b: Array[Long]): Double = {
+    val sb = b.toSet
+    var inter = 0
+    var i = 0
+    while (i < a.length) { if (sb.contains(a(i))) inter += 1; i += 1 }
+    val uni = a.length + b.length - inter
+    BigDecimal(inter.toDouble / uni)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Per-bucket member list + probe-verify-join state machine for
+    * [[nearDupStream]]. Within a micro-batch, probes are processed in
+    * doc_id order (the iterator's order is partition-racy) so replayed
+    * or multi-doc batches emit deterministically; a doc_id already in
+    * the member list is skipped (idempotent under micro-batch replay).
+    */
+  private[graft] class NearDupProcessor(cap: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, BandProbe, NearDupHit] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[BandMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BandMember]("members",
+        Encoders.product[BandMember], ttl)
+
+    override def handleInputRows(bucket: String, rows: Iterator[BandProbe],
+        timerValues: TimerValues): Iterator[NearDupHit] = {
+      val stored = scala.collection.mutable.ArrayBuffer[BandMember]()
+      stored ++= members.get()
+      val have = scala.collection.mutable.Set[Long](stored.toSeq.map(_.doc_id): _*)
+      val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+      var appended = false
+      for (p <- rows.toArray.sortBy(_.doc_id) if !have.contains(p.doc_id)) {
+        if (stored.size < cap) {
+          var i = 0
+          while (i < stored.length) {
+            val m = stored(i)
+            out += NearDupHit(math.min(m.doc_id, p.doc_id),
+              math.max(m.doc_id, p.doc_id), bucket, jaccardSets(m.sh, p.sh))
+            i += 1
+          }
+          stored += BandMember(p.doc_id, p.sh)
+          have += p.doc_id
+          appended = true
+        } // full bucket: junior dropped, nothing emitted (batch cap semantics)
+      }
+      if (appended) members.put(stored.toArray)
+      out.iterator
+    }
+  }
+}

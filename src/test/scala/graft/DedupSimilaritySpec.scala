@@ -560,4 +560,64 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(maxPairCos(mmrIds) <= maxPairCos(topk) + 1e-9,
       "MMR selection must not be more clumped than plain top-k")
   }
+
+  test("qDedupIncremental: probe reads ZERO historical text — tampered history cannot change the result") {
+    val s = spark
+    import s.implicits._
+    // Planted corpus: hist docs 1-3, new-shard docs 10/20/30
+    // (doc_id % 10 == 0). 10 and 30 are byte clones of hist doc 1 →
+    // expected pairs (1,10) cross, (1,30) cross, (10,30) intra, all at
+    // jaccard 1.0; doc 20 and hist 2/3 are unrelated.
+    val donor = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val real = Seq(
+      (1L, "en", donor.length.toLong, "plant", donor),
+      (2L, "en", 40L, "plant", "completely different content about spark catalyst plans"),
+      (3L, "en", 40L, "plant", "yet another unrelated historical document body text"),
+      (10L, "en", donor.length.toLong, "plant", donor),
+      (20L, "en", 40L, "plant", "a fresh crawl document sharing nothing with history"),
+      (30L, "en", donor.length.toLong, "plant", donor))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val tmpReal = java.nio.file.Files.createTempDirectory("graft-increal").toString
+    real.write.mode("overwrite").parquet(s"$tmpReal/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-incidx").toString
+    DedupOps.buildMinhashIndex(spark, tmpReal, idx)
+    // Tamper EVERY historical text (ids % 10 != 0) — if the probe path
+    // re-read any historical text byte, the planted (1,10)/(1,30) pairs
+    // would vanish (scrambled doc 1 shares no shingles with the donor).
+    val tampered = real.withColumn("text",
+      when(col("doc_id") % DedupOps.IncrementalShardMod =!= 0,
+        concat(lit("SCRAMBLED "), reverse(col("text")), lit(" ZZZ")))
+        .otherwise(col("text")))
+    val tmpBad = java.nio.file.Files.createTempDirectory("graft-incbad").toString
+    tampered.write.mode("overwrite").parquet(s"$tmpBad/documents.parquet")
+    val newShard = Tables.documents(spark, tmpBad)
+      .filter(col("doc_id") % DedupOps.IncrementalShardMod === 0)
+    val got = DedupOps.incrementalPairs(spark, newShard, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got === Set((1L, 10L, "cross", 1.0), (1L, 30L, "cross", 1.0),
+      (10L, 30L, "intra", 1.0)),
+      s"index probe must surface exactly the planted pairs from the STORED index: $got")
+    // and the registered entry (index built + probed from the real dir)
+    // agrees with the explicit two-step path
+    val viaEntry = DedupOps.qDedupIncremental(spark, tmpReal).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(viaEntry === got)
+  }
+
+  test("qDedupIncremental equals the batch MinHash run restricted to new-shard pairs") {
+    // The operator's correctness claim: probing the persisted index is
+    // bit-equal to running batch LSH over the full corpus and keeping
+    // pairs with a new-shard endpoint (same band keys, same first-K
+    // bucket cap over the union, same jaccard verify).
+    val mod = DedupOps.IncrementalShardMod
+    val inc = DedupOps.qDedupIncremental(spark, sf)
+    val exp = DedupOps.qDedupMinhashPairs(spark, sf)
+      .filter(col("doc_a") % mod === 0 || col("doc_b") % mod === 0)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("doc_a") % mod === 0 && col("doc_b") % mod === 0, "intra")
+          .otherwise("cross").as("pair_kind"),
+        col("jaccard"))
+    assert(inc.exceptAll(exp).count() === 0)
+    assert(exp.exceptAll(inc).count() === 0)
+  }
 }

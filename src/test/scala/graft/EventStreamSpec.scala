@@ -491,4 +491,93 @@ class EventStreamSpec extends SparkSpec {
       assert(got === Map(1L -> 2, 2L -> 1, 3L -> 1))
     } finally q.stop()
   }
+
+  test("nearDupStream: streamed near-dup pairs equal the batch LSH frame for in-order arrival") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStream.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      // the whole sf0.001 corpus, streamed in doc_id order across three
+      // micro-batches — the arrival order under which the streaming cap
+      // semantics coincide with the batch first-K-by-doc_id clamp
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      for (chunk <- docs.grouped(math.max(1, docs.length / 3 + 1))) {
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("neardup_stream")
+        .select("doc_a", "doc_b", "jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.DedupOps.qDedupMinhashPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+      assert(batch.nonEmpty, "fixture must surface at least one near-dup pair")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("nearDupStream: full buckets drop juniors — emissions and state stay cap-bounded under a clone storm") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cap = 4
+    val clone = "the same boilerplate license header text repeated on every single clone"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStream.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), cap = cap)
+      .writeStream.format("memory").queryName("neardup_storm")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L to 10L).map(i => (i, clone)))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_storm").collect()
+      // identical text -> identical signature -> all 4 bands share one
+      // bucket each; members cap at 4 per bucket, so each band emits
+      // C(4,2) = 6 pairs at jaccard 1.0 and the distinct pair set is 6
+      assert(hits.length === 4 * 6, s"got ${hits.length} hits")
+      assert(hits.forall(_.getAs[Double]("jaccard") === 1.0))
+      val distinctPairs = spark.table("neardup_storm")
+        .select("doc_a", "doc_b").distinct().count()
+      assert(distinctPairs === 6L)
+      // seniors only: every surviving endpoint is one of the first four
+      assert(hits.forall(r => r.getAs[Long]("doc_a") <= 4 &&
+        r.getAs[Long]("doc_b") <= 4))
+      // a second storm wave adds NOTHING: buckets are full
+      mem.addData((11L to 40L).map(i => (i, clone)))
+      q.processAllAvailable()
+      assert(spark.table("neardup_storm").count() === 24L,
+        "full buckets must drop juniors without emitting")
+      // replayed doc_ids are idempotent (skipped, no duplicate emission)
+      mem.addData(Seq((2L, clone)))
+      q.processAllAvailable()
+      assert(spark.table("neardup_storm").count() === 24L)
+      // state ceiling: bands x cap list rows, never |docs|
+      val stateRows = q.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows >= 0 && stateRows <= 4L * cap,
+        s"state rows $stateRows exceed bands*cap=${4 * cap}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
