@@ -248,6 +248,12 @@ object SparkEntry {
     "q_source_overlap" -> (TextOps.qSourceOverlap _),
     "q_dedup_threshold_sweep" -> (DedupOps.qDedupThresholdSweep _),
     "q_token_freq_spectrum" -> (TextOps.qTokenFreqSpectrum _),
+    // F. LM scoring / corpus accounting / index maintenance / embedding
+    // monitoring (round 12)
+    "q_bigram_surprisal" -> (TextOps.qBigramSurprisal _),
+    "q_tokenizer_fertility" -> (TextOps.qTokenizerFertility _),
+    "q_dedup_index_compact" -> (DedupOps.qDedupIndexCompact _),
+    "q_embed_drift" -> (SimilarityOps.qEmbedDrift _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -3157,6 +3163,109 @@ object SparkEntry {
              AS cosine
          FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_bigram_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+         bgx AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t)-1),
+               i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+           FROM tok WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+           FROM bgx GROUP BY 1, 2, 3),
+         cbg AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+         cw AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cbg GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS v_size
+           FROM (SELECT unnest(t) AS x FROM tok)),
+         sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             round(sum(-tf * ln((c12 + 1.0)/(c1 + v_size)))/sum(tf), 4)
+               AS bigram_surprisal
+           FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v
+           GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           bigram_surprisal
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+    "q_tokenizer_fertility" ->
+      s"""WITH d AS (SELECT lang, source,
+             CAST(len($tokSql) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               AS BIGINT) AS bpe,
+             CAST(len(text) AS BIGINT) AS nc
+           FROM documents)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(bpe) * 10000 // greatest(sum(ws), 1) AS BIGINT) AS fertility_bp,
+           CAST(sum(nc) * 100 // greatest(sum(bpe), 1) AS BIGINT)
+             AS chars_per_token_x100
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    // The oracle rebuilds the index content FROM SCRATCH over the full
+    // documents table (uncapped band rows + distinct-hash signature sets)
+    // and digests it identically — a hash match proves
+    // compaction(history-index, shard) ≡ build(full corpus) without the
+    // oracle ever reading the stored files.
+    "q_dedup_index_compact" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(hs) AS hj,
+            ${(0 until 12).map(minhashSql).mkString(", ")}
+          FROM ($hashedShinglesSql)),
+         bk AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
+            s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
+           FROM s),
+         bd AS (SELECT CAST(substr(bucket, 1, 1) AS BIGINT) AS band,
+             count(*) AS n_rows, count(DISTINCT bucket) AS n_keys,
+             count(DISTINCT doc_id) AS n_docs,
+             CAST(sum(CAST(('0x' || substr(md5(bucket || '#' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)::DECIMAL(38,0))
+               AS VARCHAR) AS checksum
+           FROM bk WHERE bucket IS NOT NULL GROUP BY 1),
+         sg AS (SELECT doc_id, unnest(hj) AS h FROM s),
+         sd AS (SELECT CAST(-1 AS BIGINT) AS band, count(*) AS n_rows,
+             count(DISTINCT h) AS n_keys, count(DISTINCT doc_id) AS n_docs,
+             CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+               CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)::DECIMAL(38,0))
+               AS VARCHAR) AS checksum
+           FROM sg)
+         SELECT band, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys, CAST(n_docs AS BIGINT) AS n_docs,
+           checksum
+         FROM (SELECT * FROM bd UNION ALL SELECT * FROM sd) ORDER BY band""",
+    // Bin edges ±0.25/±0.125/0 are dyadic (exact in float32 AND double),
+    // so the bin decision is bit-identical cross-engine; the PSI sum is
+    // the same fixed 6-term left-to-right tree as the Spark side.
+    "q_embed_drift" -> {
+      val nBins = 6
+      def cnt(side: String, b: Int): String = {
+        val cond = b match {
+          case 0 => "v < -0.25"
+          case 1 => "v >= -0.25 AND v < -0.125"
+          case 2 => "v >= -0.125 AND v < 0.0"
+          case 3 => "v >= 0.0 AND v < 0.125"
+          case 4 => "v >= 0.125 AND v < 0.25"
+          case 5 => "v >= 0.25"
+        }
+        val split = if (side == "a") "is_a" else "NOT is_a"
+        s"CAST(sum(CASE WHEN $cond AND $split THEN 1 ELSE 0 END) AS BIGINT) AS c${side}_$b"
+      }
+      val counters = (0 until nBins)
+        .flatMap(b => Seq(cnt("a", b), cnt("b", b))).mkString(", ")
+      val psiTerms = (0 until nBins).map { b =>
+        val pa = s"((ca_$b + 1.0)/(n_a + $nBins))"
+        val pb = s"((cb_$b + 1.0)/(n_b + $nBins))"
+        s"($pa - $pb) * ln($pa / $pb)"
+      }.mkString(" + ")
+      s"""WITH ev AS (SELECT CAST(pos AS BIGINT) AS dim,
+             (embedding[pos])::DOUBLE AS v, vec_id % 2 = 0 AS is_a
+           FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(pos)),
+         c AS (SELECT dim, $counters FROM ev GROUP BY dim),
+         n AS (SELECT dim,
+             CAST(${(0 until nBins).map(b => s"ca_$b").mkString(" + ")} AS BIGINT) AS n_a,
+             CAST(${(0 until nBins).map(b => s"cb_$b").mkString(" + ")} AS BIGINT) AS n_b,
+             ${(0 until nBins).map(b => s"ca_$b, cb_$b").mkString(", ")}
+           FROM c)
+         SELECT dim, n_a, n_b, round($psiTerms, 6) AS psi
+         FROM n ORDER BY dim"""
+    },
   )
 
   /** Oracle for q_corr_matrix, generated from the same feature list the

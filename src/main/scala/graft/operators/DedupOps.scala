@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables._
 import graft.functions.ShingleHash32
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -785,7 +785,7 @@ object DedupOps {
     * the identical kernel. NULL buckets (shingle-less docs) ride
     * through and never join, exactly as in [[minhashVerifiedPairs]].
     */
-  private[operators] def bandRows(d: DataFrame): DataFrame = {
+  private[graft] def bandRows(d: DataFrame): DataFrame = {
     val mh = (0 until MinhashPerms).map(j => minhash(col("hs"), j).as(s"mh_$j"))
     val sig = d.select(col("doc_id"), ShingleHash32(col("text"), 3).as("hs"))
       .select(col("doc_id") +: mh: _*)
@@ -802,7 +802,7 @@ object DedupOps {
   /** Distinct-shingle-hash verification sets for an arbitrary
     * `(doc_id, text, …)` frame (the [[minhashVerifiedPairs]] `docs`
     * kernel over a caller-supplied frame). */
-  private[operators] def sigRows(d: DataFrame): DataFrame =
+  private[graft] def sigRows(d: DataFrame): DataFrame =
     d.select(col("doc_id"), array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
 
   /** Builds the persistent MinHash index for `dir`'s HISTORICAL split
@@ -896,14 +896,100 @@ object DedupOps {
     */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame =
     graft.Memo("dedupIncremental", spark, dir) {
-      val path = indexPathFor(dir)
-      val marker = new java.io.File(s"$path/_built")
-      if (!marker.isFile) {
-        buildMinhashIndex(spark, dir, path)
-        marker.createNewFile()
-      }
+      val path = ensureIndex(spark, dir)
       val newShard = spread(spark, documents(spark, dir)
         .filter(col("doc_id") % IncrementalShardMod === 0))
       incrementalPairs(spark, newShard, path)
+    }
+
+  /** Builds the historical index for `dir` once per content fingerprint
+    * (`_built` marker — reused across sessions AND rounds until the
+    * fixture changes) and returns its path. Shared by the incremental
+    * probe and the compaction entry. Marker-not-lock caveat as above.
+    */
+  private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
+    val path = indexPathFor(dir)
+    val marker = new java.io.File(s"$path/_built")
+    if (!marker.isFile) {
+      buildMinhashIndex(spark, dir, path)
+      marker.createNewFile()
+    }
+    path
+  }
+
+  /** Folds a probed shard's band/sig rows into a stored index, writing a
+    * NEW index generation at `outPath` (LSM-style: the old generation
+    * stays readable until the swap). Reads ONLY the stored parquet parts
+    * plus the shard frame — no historical text. Band rows are written
+    * clustered by bucket so tomorrow's probe semi-join scans co-located
+    * files; both unions stay uncapped, preserving
+    * [[buildMinhashIndex]]'s invariant that the cap is applied at probe
+    * time over whatever union is current.
+    */
+  def compactIndex(spark: SparkSession, basePath: String,
+      shardDocs: DataFrame, outPath: String): Unit = {
+    spark.read.parquet(s"$basePath/bands")
+      .unionByName(bandRows(shardDocs))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+    spark.read.parquet(s"$basePath/sigs")
+      .unionByName(sigRows(shardDocs))
+      .write.mode("overwrite").parquet(s"$outPath/sigs")
+  }
+
+  /** Index-maintenance entry (the day-after step of
+    * [[qDedupIncremental]]'s production loop: probe the shard, then
+    * compact it into the index so tomorrow's shard probes an up-to-date
+    * generation). Ensures the historical index, compacts the new shard
+    * into a fresh generation, and emits a per-band DIGEST of the
+    * compacted index — row/bucket/doc counts plus an order-independent
+    * 60-bit-hash checksum in DECIMAL(38,0) (sums commute, so the digest
+    * is layout- and partitioning-invariant) — with the `sigs/` side as
+    * the band = −1 row. The oracle recomputes the same digest from the
+    * full documents table from scratch: a hash match IS the proof that
+    * compaction(history-index, shard) ≡ build(full corpus), byte-for-byte
+    * in content, without the oracle ever seeing the stored files. Scale
+    * shape: compaction is one parquet-to-parquet union write clustered on
+    * the probe key; the digest is two rollups over the index — nothing
+    * touches text.
+    */
+  def qDedupIndexCompact(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("dedupIndexCompact", spark, dir) {
+      val base = ensureIndex(spark, dir)
+      val compacted = s"${base}_compacted"
+      val marker = new java.io.File(s"$compacted/_built")
+      if (!marker.isFile) {
+        val shard = spread(spark, documents(spark, dir)
+          .filter(col("doc_id") % IncrementalShardMod === 0))
+        compactIndex(spark, base, shard, compacted)
+        marker.createNewFile()
+      }
+      def h60(parts: Column): Column =
+        conv(substring(md5(parts), 1, 15), 16, 10)
+          .cast("long").cast("decimal(38,0)")
+      // checksum emitted as STRING: a DECIMAL(38,0) round-trips through
+      // pandas as opaque Decimal objects, while the decimal→string cast
+      // is exact and identical on both engines (scale-0, no point).
+      val bandDigest = spark.read.parquet(s"$compacted/bands")
+        // a doc too short to shingle has NULL minhashes → NULL band keys;
+        // those rows can never match a probe, so the digest (and the
+        // oracle) ignores them
+        .filter(col("bucket").isNotNull)
+        .groupBy(substring(col("bucket"), 1, 1).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("bucket")).as("n_keys"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(h60(concat(col("bucket"), lit("#"), col("doc_id").cast("string"))))
+            .cast("string").as("checksum"))
+      val sigDigest = spark.read.parquet(s"$compacted/sigs")
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("h")).as("n_keys"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(h60(concat(col("doc_id").cast("string"), lit("#"),
+            col("h").cast("string")))).cast("string").as("checksum"))
+        .select(lit(-1L).as("band"), col("n_rows"), col("n_keys"),
+          col("n_docs"), col("checksum"))
+      bandDigest.unionByName(sigDigest).orderBy(col("band"))
     }
 }

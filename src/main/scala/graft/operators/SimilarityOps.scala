@@ -618,4 +618,54 @@ object SimilarityOps {
           .as("cosine"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** Embedding-distribution drift monitor: per-DIMENSION Population
+    * Stability Index between two corpus splits (even vs odd vec_id — the
+    * stand-in for yesterday's embedding batch vs today's). The detector a
+    * production embedding pipeline runs after every encoder change or
+    * data-mix shift: a dimension whose value distribution moved is a
+    * retrain/re-index trigger long before recall visibly degrades.
+    *
+    * Bin edges are the DYADIC constants ±0.25, ±0.125, 0 — exactly
+    * representable in float32 and double, so the float→double widening
+    * and the < comparisons are bit-identical cross-engine (no quantile
+    * estimation to diverge). Each (dim, split) histogram lands in ONE
+    * conditional aggregation — 12 integer counters per dim, no grid join,
+    * absent bins are genuine zeros — and the PSI sum over the 6 bins is a
+    * FIXED left-to-right expression tree over add-one-smoothed
+    * proportions, not a float sum(): deterministic without relying on
+    * aggregation order. Scale shape: one narrow posexplode projection +
+    * one |dims|-keyed rollup; 100 TB of vectors stream through as a
+    * scan-bound partial aggregate with |dims| result rows.
+    */
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 6
+    val binOf = {
+      val v = col("v")
+      when(v < -0.25, 0).when(v < -0.125, 1).when(v < 0.0, 2)
+        .when(v < 0.125, 3).when(v < 0.25, 4).otherwise(5)
+    }
+    val binned = embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "f")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("f").cast("double").as("v"), (col("vec_id") % 2 === 0).as("is_a"))
+      .select(col("dim"), binOf.as("bin"), col("is_a"))
+    val counters = (0 until nBins).flatMap { b =>
+      Seq(sum(when(col("bin") === b && col("is_a"), 1L).otherwise(0L)).as(s"ca_$b"),
+        sum(when(col("bin") === b && !col("is_a"), 1L).otherwise(0L)).as(s"cb_$b"))
+    }
+    val agged = binned.groupBy(col("dim")).agg(counters.head, counters.tail: _*)
+    val na = (0 until nBins).map(b => col(s"ca_$b")).reduce(_ + _)
+    val nb = (0 until nBins).map(b => col(s"cb_$b")).reduce(_ + _)
+    val withN = agged.withColumn("n_a", na).withColumn("n_b", nb)
+    // Σ over the 6 bins, left-to-right in bin order — same tree in the
+    // oracle SQL, so the only float ops are smoothed divides and ln.
+    val psi = (0 until nBins).map { b =>
+      val pa = (col(s"ca_$b") + lit(1.0)) / (col("n_a") + lit(nBins))
+      val pb = (col(s"cb_$b") + lit(1.0)) / (col("n_b") + lit(nBins))
+      (pa - pb) * log(pa / pb)
+    }.reduce(_ + _)
+    withN.select(col("dim"), col("n_a"), col("n_b"), round(psi, 6).as("psi"))
+      .orderBy(col("dim"))
+  }
 }

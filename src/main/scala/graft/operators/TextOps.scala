@@ -346,10 +346,17 @@ object TextOps {
     * termFreq's own shuffle moves at any corpus size. All-integer
     * output, nothing for the hash to drift on.
     */
-  def qTokenFreqSpectrum(spark: SparkSession, dir: String): DataFrame = {
-    val ctf = graft.Memo.cached("corpusTermFreq", spark, dir) {
+  /** Corpus-level term frequencies — a |vocab|-keyed rollup of the shared
+    * (doc, term) tf frame, Memo.cached because the spectrum, the bigram
+    * LM normalizer, and any future vocab consumer all want the same rows.
+    */
+  private def corpusTermFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("corpusTermFreq", spark, dir) {
       termFreq(spark, dir).groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     }
+
+  def qTokenFreqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val ctf = corpusTermFreq(spark, dir)
     val tot = ctf.agg(sum(col("ctf")).as("tot"))
     ctf.groupBy(length(col("ctf").cast("string")).cast("long").as("freq_digits"))
       .agg(count(lit(1)).as("n_types"), sum(col("ctf")).as("n_tokens"))
@@ -945,4 +952,88 @@ object TextOps {
         coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document (doc, w1, w2) adjacent-bigram frequencies — the bigram
+    * twin of [[termFreq]], Memo.cached for the same reason: the LM scorer
+    * and any future Markov-style text consumer share one pinned copy.
+    * Docs with fewer than two tokens have no bigrams and drop here (they
+    * re-enter consumers via a left join when the consumer needs them).
+    */
+  private def bigramFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("bigramFreq", spark, dir) {
+      spread(spark, documents(spark, dir))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** Per-document bigram surprisal under the corpus's own add-one-smoothed
+    * bigram LM: mean −ln p(w₂|w₁) per bigram token, with
+    * p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) — one Markov order above
+    * [[qUnigramSurprisal]], and the cheap stand-in for the KenLM 5-gram
+    * perplexity filter (CCNet ranks documents by exactly this kind of
+    * conditional cross-entropy; a doc whose TRANSITIONS the corpus finds
+    * improbable is scrambled/generated text that unigram frequency can't
+    * see). Shuffle shape: the Memo-shared (doc, w₁, w₂) tf frame, one
+    * |bigram-vocab|-keyed rollup, a |unigram-vocab| first-word marginal
+    * derived FROM that rollup (no extra token pass), the V normalizer as
+    * ONE broadcast row, and a doc-keyed mean — every key is vocab-sized,
+    * never corpus-sized. ln is irrational so 4-dp rounding is
+    * boundary-safe; single-token/empty docs re-enter with NULL surprisal
+    * and n_bigrams 0 via the restoring left join.
+    */
+  def qBigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigramFreq(spark, dir)
+    val cbg = bg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val cw = cbg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = corpusTermFreq(spark, dir).agg(count(lit(1)).as("v_size"))
+    val scored = bg
+      .join(cbg, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        r4(sum(-col("tf") *
+            log((col("c12") + lit(1.0)) / (col("c1") + col("v_size")))) /
+          sum(col("tf"))).as("bigram_surprisal"))
+    documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer fertility accounting per (lang, source): BPE-ish tokens per
+    * whitespace word and characters per BPE token — THE table a tokenizer
+    * choice is judged on (a language whose fertility runs high pays more
+    * context budget per sentence, and a source whose chars-per-token runs
+    * low is punctuation/code-heavy). All-integer output: sums of exact
+    * per-doc counts, ratios in integer basis points / ×100 fixed-point
+    * (`div`), nothing for the hash to drift on. One narrow scan + one
+    * |langs|·|sources| rollup — scan-bound at 100 TB.
+    */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, documents(spark, dir))
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
+        expr("bpe_tokens * 10000 div greatest(ws_tokens, 1)").as("fertility_bp"),
+        expr("n_chars * 100 div greatest(bpe_tokens, 1)").as("chars_per_token_x100"))
+      .orderBy(col("lang"), col("source"))
 }

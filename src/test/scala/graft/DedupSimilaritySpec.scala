@@ -604,6 +604,118 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaEntry === got)
   }
 
+  test("compactIndex: compacted generation is CONTENT-equal to a from-scratch full-corpus build, reading zero historical text") {
+    val s = spark
+    import s.implicits._
+    val donor = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val real = Seq(
+      (1L, "en", donor.length.toLong, "plant", donor),
+      (2L, "en", 40L, "plant", "completely different content about spark catalyst plans"),
+      (3L, "en", 40L, "plant", "yet another unrelated historical document body text"),
+      (10L, "en", donor.length.toLong, "plant", donor),
+      (20L, "en", 40L, "plant", "a fresh crawl document sharing nothing with history"),
+      (30L, "en", donor.length.toLong, "plant", donor))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val tmpReal = java.nio.file.Files.createTempDirectory("graft-cpreal").toString
+    real.write.mode("overwrite").parquet(s"$tmpReal/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-cpidx").toString
+    DedupOps.buildMinhashIndex(spark, tmpReal, idx)
+    // Tamper EVERY historical text; the shard rows (ids % 10 == 0) stay
+    // intact — compaction may read shard text (it must shingle the new
+    // docs) but never a historical byte (those come from the stored
+    // index). If it re-read history, the tampered band/sig rows would
+    // diverge from the from-scratch build over the REAL corpus.
+    val tampered = real.withColumn("text",
+      when(col("doc_id") % DedupOps.IncrementalShardMod =!= 0,
+        concat(lit("SCRAMBLED "), reverse(col("text")), lit(" ZZZ")))
+        .otherwise(col("text")))
+    val tmpBad = java.nio.file.Files.createTempDirectory("graft-cpbad").toString
+    tampered.write.mode("overwrite").parquet(s"$tmpBad/documents.parquet")
+    val shard = Tables.documents(spark, tmpBad)
+      .filter(col("doc_id") % DedupOps.IncrementalShardMod === 0)
+    val out = java.nio.file.Files.createTempDirectory("graft-cpout").toString
+    DedupOps.compactIndex(spark, idx, shard, out)
+    // ground truth: band/sig rows built from scratch over the FULL real corpus
+    val fullBands = DedupOps.bandRows(Tables.documents(spark, tmpReal))
+    val fullSigs = DedupOps.sigRows(Tables.documents(spark, tmpReal))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val gotBands = spark.read.parquet(s"$out/bands")
+    val gotSigs = spark.read.parquet(s"$out/sigs")
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    assert(gotBands.exceptAll(fullBands).count() === 0 &&
+      fullBands.exceptAll(gotBands).count() === 0,
+      "compacted band rows must equal the from-scratch full-corpus build")
+    assert(gotSigs.exceptAll(fullSigs).count() === 0 &&
+      fullSigs.exceptAll(gotSigs).count() === 0,
+      "compacted signature rows must equal the from-scratch build")
+  }
+
+  test("qDedupIndexCompact: digest counts conserve against the live band/sig kernels") {
+    val d = DedupOps.qDedupIndexCompact(spark, sf).collect()
+    assert(d.map(_.getLong(0)).toSeq.sorted === Seq(-1L, 0L, 1L, 2L, 3L),
+      "one digest row per band plus the sigs row")
+    val docs = Tables.documents(spark, sf)
+    val bands = DedupOps.bandRows(Tables.spread(spark, docs))
+      .filter(col("bucket").isNotNull)
+    val byBand = bands.groupBy(substring(col("bucket"), 1, 1).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigRowCount = DedupOps.sigRows(docs)
+      .select(explode(col("sh"))).count()
+    for (r <- d) {
+      val (band, nRows) = (r.getLong(0), r.getLong(1))
+      if (band >= 0) assert(nRows === byBand(band),
+        s"band $band digest row count must equal the live kernel's")
+      else assert(nRows === sigRowCount, "sigs digest row count")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, "keys/docs positive")
+      assert(BigDecimal(r.getString(4)) > 0, "checksum is a positive decimal")
+    }
+  }
+
+  test("qEmbedDrift: psi is exactly 0 on identical splits, spikes only on the shifted dimension, and is non-negative on the fixture") {
+    val s = spark
+    import s.implicits._
+    // planted: 8 base vectors duplicated into even (2k) and odd (2k+1)
+    // ids — the two split histograms are IDENTICAL, so every PSI term
+    // has pa == pb and the sum is exactly 0.0
+    val base = (0 until 8).map(i =>
+      Array.tabulate(4)(j => ((i + j) % 5 - 2) * 0.11f))
+    val same = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v.toSeq, 0), (2L * i + 1, v.toSeq, 0)) }
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val tmpSame = java.nio.file.Files.createTempDirectory("graft-driftA").toString
+    same.write.mode("overwrite").parquet(s"$tmpSame/embeddings.parquet")
+    val zero = SimilarityOps.qEmbedDrift(spark, tmpSame).collect()
+    assert(zero.length === 4)
+    assert(zero.forall(_.getDouble(3) === 0.0),
+      "identical split histograms must score PSI exactly 0")
+    // shift dim 2 of the ODD split far right: only dim 2 drifts
+    val shifted = base.zipWithIndex.flatMap { case (v, i) =>
+      val moved = v.updated(1, 0.9f)
+      Seq((2L * i, v.toSeq, 0), (2L * i + 1, moved.toSeq, 0)) }
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val tmpShift = java.nio.file.Files.createTempDirectory("graft-driftB").toString
+    shifted.write.mode("overwrite").parquet(s"$tmpShift/embeddings.parquet")
+    val drift = SimilarityOps.qEmbedDrift(spark, tmpShift).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(drift(2L) > 0.5, s"shifted dim must drift hard: ${drift(2L)}")
+    assert(Seq(1L, 3L, 4L).forall(dim => drift(dim) === 0.0),
+      s"unshifted dims must stay at exactly 0: $drift")
+    // fixture: one row per dim, split sizes conserve, PSI ≥ 0 (each term
+    // (pa−pb)·ln(pa/pb) has matching signs)
+    val f = SimilarityOps.qEmbedDrift(spark, sf).collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(f.length === 64)
+    for (r <- f) {
+      assert(r.getLong(1) + r.getLong(2) === nVec, "split sizes conserve")
+      assert(r.getDouble(3) >= 0.0, s"PSI must be non-negative: $r")
+    }
+  }
+
   test("qDedupIncremental equals the batch MinHash run restricted to new-shard pairs") {
     // The operator's correctness claim: probing the persisted index is
     // bit-equal to running batch LSH over the full corpus and keeping

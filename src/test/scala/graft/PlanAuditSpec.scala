@@ -22,6 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("q_ann_brute", "q_zscore_anomaly", "q_ensemble_vote", "q_anomaly_report",
       "q_tfidf", "q_bm25", "q_rare_access_pmi", "q_sketch_setops", "q22_dormant",
       "q_cooccurrence", "q11_important", "q_rfm", "q_unigram_surprisal",
+      // same ONE-ROW vocab-size broadcast cross as q_unigram_surprisal
+      "q_bigram_surprisal",
       "q_assoc_rules",
       // q_skyline's dominance refine is a non-equi anti-join over the
       // candidate frontier — O(skyline), not O(n), by construction

