@@ -254,6 +254,12 @@ object SparkEntry {
     "q_tokenizer_fertility" -> (TextOps.qTokenizerFertility _),
     "q_dedup_index_compact" -> (DedupOps.qDedupIndexCompact _),
     "q_embed_drift" -> (SimilarityOps.qEmbedDrift _),
+    // F. contamination forensics / boilerplate triage / weighted dedup /
+    // ANN calibration (round 12, batch 2)
+    "q_contamination_pairs" -> (DedupOps.qContaminationPairs _),
+    "q_boilerplate_chunks" -> (TextOps.qBoilerplateChunks _),
+    "q_weighted_jaccard" -> (DedupOps.qWeightedJaccard _),
+    "q_ann_recall_sweep" -> (SimilarityOps.qAnnRecallSweep _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -3266,6 +3272,67 @@ object SparkEntry {
          SELECT dim, n_a, n_b, round($psiTerms, 6) AS psi
          FROM n ORDER BY dim"""
     },
+    "q_contamination_pairs" ->
+      s"""WITH d AS (SELECT doc_id,
+            list_distinct(list_transform(${shingleSqlK(5)}, x -> $hash32Sql)) AS sh
+          FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+         tr AS (SELECT doc_id AS train_doc, unnest(sh) AS h FROM d
+           WHERE doc_id % 20 <> 0),
+         ev AS (SELECT doc_id AS eval_doc, CAST(len(sh) AS BIGINT) AS eval_sh,
+             unnest(sh) AS h
+           FROM d WHERE doc_id % 20 = 0),
+         pr AS (SELECT eval_doc, train_doc, count(*) AS n_shared,
+             max(eval_sh) AS eval_sh
+           FROM tr JOIN ev USING (h) GROUP BY 1, 2),
+         sc AS (SELECT eval_doc, train_doc, CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(n_shared * 10000 // eval_sh AS BIGINT) AS containment_bp
+           FROM pr WHERE n_shared * 10000 // eval_sh >= ${DedupOps.ContaminationMinBp})
+         SELECT eval_doc, train_doc, n_shared, containment_bp, rk FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY eval_doc
+             ORDER BY containment_bp DESC, train_doc) AS BIGINT) AS rk
+           FROM sc)
+         WHERE rk <= ${DedupOps.ContaminationTopK}
+         ORDER BY eval_doc, rk""",
+    "q_boilerplate_chunks" ->
+      s"""WITH ch AS (SELECT doc_id, source,
+            substr(md5(array_to_string(
+              list_slice(t, s+1, s+${TextOps.ChunkSize}), ' ')), 1, 8) AS chunk_hash
+          FROM (SELECT doc_id, source, t,
+              unnest(generate_series(0, len(t)-1, ${TextOps.ChunkStride})) AS s
+            FROM (SELECT doc_id, source, $tokSql AS t FROM documents))),
+         bo AS (SELECT chunk_hash FROM ch GROUP BY chunk_hash
+           HAVING count(DISTINCT doc_id) >= ${TextOps.BoilerMinDocs})
+         SELECT source, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN bo.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boiler_chunks,
+           CAST(count(DISTINCT CASE WHEN bo.chunk_hash IS NOT NULL
+             THEN ch.chunk_hash END) AS BIGINT) AS n_boiler_hashes,
+           CAST(sum(CASE WHEN bo.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+             * 10000 // count(*) AS BIGINT) AS boiler_bp
+         FROM ch LEFT JOIN bo USING (chunk_hash)
+         GROUP BY source ORDER BY source""",
+    // The ratio is ONE IEEE division of exact integer sums — emitted
+    // UNROUNDED per the q_centroid_sim policy (bit-identical operands →
+    // bit-identical quotient; rounding would break .xxxx5 boundaries).
+    "q_weighted_jaccard" ->
+      s"""WITH pr AS ($minhashPairsSql),
+         t AS (SELECT doc_id, unnest(t) AS term
+           FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         sh AS (SELECT pr.doc_a, pr.doc_b,
+             CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS w_inter
+           FROM pr JOIN tf ta ON ta.doc_id = pr.doc_a
+                   JOIN tf tb ON tb.doc_id = pr.doc_b AND tb.term = ta.term
+           GROUP BY 1, 2)
+         SELECT pr.doc_a, pr.doc_b, pr.jaccard,
+           CAST(coalesce(w_inter, 0) AS BIGINT) AS w_inter,
+           coalesce(w_inter, 0)::DOUBLE
+             / (da.dl + db.dl - coalesce(w_inter, 0)) AS w_jaccard
+         FROM pr LEFT JOIN sh ON sh.doc_a = pr.doc_a AND sh.doc_b = pr.doc_b
+           JOIN dl da ON da.doc_id = pr.doc_a
+           JOIN dl db ON db.doc_id = pr.doc_b
+         ORDER BY w_jaccard DESC, pr.doc_a, pr.doc_b""",
   )
 
   /** Oracle for q_corr_matrix, generated from the same feature list the

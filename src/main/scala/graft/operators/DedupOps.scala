@@ -291,6 +291,88 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-eval-doc cap on reported contamination pairs (deterministic
+    * top-K by containment then train id) and the minimum containment
+    * (in basis points of the EVAL doc's distinct shingles) worth
+    * reporting. Both mirrored in the oracle. */
+  val ContaminationTopK = 20
+  val ContaminationMinBp = 1000L
+
+  /** Contamination PAIR attribution — the drill-down behind
+    * [[qDecontaminate]]'s per-train-doc flag: WHICH eval-benchmark doc
+    * leaked into WHICH training doc, and how much of it (shared distinct
+    * 5-shingle hashes / the eval doc's distinct shingles, exact integer
+    * bp). The report an eval-integrity review reads: containment near
+    * 10⁴ bp = the benchmark item is inside the training doc verbatim;
+    * a long tail of ~10³ bp = shared idiom, not leakage. Scale shape:
+    * the eval set is tiny next to the corpus, so its exploded shingle
+    * index BROADCASTS and candidate generation is one semi-join-shaped
+    * hash probe over the training shingles — the corpus is scanned once,
+    * no pair term; the ≥[[ContaminationMinBp]] gate plus the
+    * first-[[ContaminationTopK]]-per-eval-doc window bound the output
+    * under a clone storm (the juniors dropped are later train docs of
+    * the same clone family).
+    */
+  def qContaminationPairs(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % 20 === 0
+    val docs = spread(spark, documents(spark, dir))
+      .select(col("doc_id"),
+        array_distinct(ShingleHash32(col("text"), 5)).as("sh"))
+    val train = docs.filter(!isEval)
+      .select(col("doc_id").as("train_doc"), explode(col("sh")).as("h"))
+    val ev = docs.filter(isEval)
+      .select(col("doc_id").as("eval_doc"),
+        size(col("sh")).cast("long").as("eval_sh"), explode(col("sh")).as("h"))
+    val pairs = train.join(broadcast(ev), Seq("h"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"), max(col("eval_sh")).as("eval_sh"))
+      .select(col("eval_doc"), col("train_doc"), col("n_shared"),
+        expr("n_shared * 10000 div eval_sh").as("containment_bp"))
+      .filter(col("containment_bp") >= ContaminationMinBp)
+    val w = Window.partitionBy(col("eval_doc"))
+      .orderBy(col("containment_bp").desc, col("train_doc"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ContaminationTopK)
+      .orderBy(col("eval_doc"), col("rk"))
+  }
+
+  /** TF-WEIGHTED Jaccard verification over the capped LSH candidate
+    * pairs: Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) — the multiset
+    * similarity that set-Jaccard is blind to (a doc and the same doc
+    * with every sentence repeated 5× are set-identical but only ~0.2
+    * weighted). Near-dup pipelines use it as the second opinion when
+    * templating inflates repetition. Identity used: Σ max = dl_a + dl_b
+    * − Σ min, so only the SHARED terms join (never a full-outer term
+    * align); the candidate set, the (doc, term) tf frame and the dl
+    * rollup are all Memo-shared with their other consumers. All sums
+    * are exact integers; the final ratio is ONE IEEE division of exact
+    * integers — bit-identical cross-engine, emitted UNROUNDED per the
+    * q_centroid_sim policy.
+    */
+  def qWeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val tf = TextOps.termFreq(spark, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val shared = pairs.select(col("doc_a"), col("doc_b"))
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"),
+        col("tf").as("tf_a")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"),
+        col("tf").as("tf_b")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("w_inter"))
+    pairs
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .join(dl.select(col("doc_id").as("doc_a"), col("dl").as("dl_a")), Seq("doc_a"))
+      .join(dl.select(col("doc_id").as("doc_b"), col("dl").as("dl_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("w_inter"), lit(0L)).as("w_inter"),
+        (coalesce(col("w_inter"), lit(0L)).cast("double") /
+          (col("dl_a") + col("dl_b") - coalesce(col("w_inter"), lit(0L))))
+          .as("w_jaccard"))
+      .orderBy(col("w_jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -91,34 +91,52 @@ object SimilarityOps {
     * lists are the partitioning: a probe touches nprobe/k of the data.
     * Centroids come from an MLlib fit → rows-only check.
     */
+  /** Squared L2 distance of a float-array column to a literal centroid —
+    * a narrow codegen projection (‖v‖² − 2 v·c + ‖c‖²). */
+  private def ivfDist2(vec: Column, c: Array[Double]): Column = {
+    val cc = array(c.map(lit): _*)
+    dotProd(vec, vec) - lit(2.0) * dotProd(vec, cc) + lit(c.map(x => x * x).sum)
+  }
+
+  /** The `n` nearest inverted-list ids for a vector, over literal
+    * centroids (in-row array_sort — no shuffle, no UDF). Shared by the
+    * IVF search, the IVF+PQ search shape, and the recall sweep. */
+  private def ivfNearestLists(centroids: Array[Array[Double]])(
+      vec: Column, n: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(ivfDist2(vec, c).as("d"), lit(i).as("i"))
+    }: _*)
+    slice(transform(array_sort(scored), s => s.getField("i")), 1, n)
+  }
+
+  /** Coarse IVF quantizer for `dir`: k=16 seeded KMeans fit on a bounded
+    * DETERMINISTIC sample (id-range, not limit(): an unordered limit
+    * takes whichever rows arrive first and would break cross-run
+    * reproducibility). The model is tiny (k centroids) regardless of
+    * corpus size; memoized so the IVF search and the recall sweep score
+    * against the SAME quantizer.
+    */
+  private val ivfCentroids =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), Array[Array[Double]]]()
+  private def ivfModelCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    ivfCentroids.computeIfAbsent((spark, dir), { _ =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val fit = embeddings(spark, dir)
+        .filter(col("vec_id") < 2000)
+        .select(array_to_vector(toDouble(col("embedding"))).as("fv"))
+      new KMeans().setK(16).setSeed(42)
+        .setFeaturesCol("fv").setPredictionCol("list_id")
+        .fit(fit).clusterCenters.map(_.toArray)
+    })
+
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     graft.Memo("ann_ivf", spark, dir) {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val k = 16; val nprobe = 4
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(toDouble(col("embedding"))).as("fv"))
-    // Coarse quantizer fit on a bounded DETERMINISTIC sample (id-range,
-    // not limit(): an unordered limit takes whichever rows arrive first
-    // and would break cross-run reproducibility of the fit). The model
-    // is tiny (k centroids) regardless of corpus size.
-    val model = new KMeans().setK(k).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("list_id")
-      .fit(e.filter(col("vec_id") < 2000))
-    val centroids = model.clusterCenters.map(_.toArray)
-    // Inverted-list assignment + per-probe nprobe list selection are both
-    // narrow projections over literal centroids (codegen'd dotProd).
-    def dist2(vec: Column, c: Array[Double]): Column = {
-      val cc = array(c.map(lit): _*)
-      dotProd(vec, vec) - lit(2.0) * dotProd(vec, cc) + lit(c.map(x => x * x).sum)
-    }
-    def nearestLists(vec: Column, n: Int): Column = {
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(vec, c).as("d"), lit(i).as("i"))
-      }: _*)
-      slice(transform(array_sort(scored), s => s.getField("i")), 1, n)
-    }
+    val nprobe = 4
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val centroids = ivfModelCentroids(spark, dir)
+    def nearestLists(vec: Column, n: Int): Column =
+      ivfNearestLists(centroids)(vec, n)
     val lists = e.select(col("vec_id"), col("embedding"),
       nearestLists(col("embedding"), 1).getItem(0).as("list_id"))
     val probes = e.filter(col("vec_id") < ProbeCount)
@@ -134,6 +152,66 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
       .orderBy(col("probe_id"), col("rank"))
   }
+
+  /** nprobe settings the recall sweep measures (16 = every list — the
+    * degenerate-to-brute-force anchor the spec pins at recall 10⁴ bp). */
+  val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** IVF recall/cost calibration sweep — the table that SIZES nprobe
+    * before committing a billion-vector search deployment (the ANN twin
+    * of q_minhash_calibration's sketch-trust table): for each nprobe,
+    * mean recall@10 against the exact brute-force ground truth and the
+    * fraction of the corpus the probe actually scanned. Reads as "paying
+    * X% of a full scan buys Y recall". One candidate frame is built with
+    * each vector labeled by the RANK of the probe list that found it
+    * (candidate visible at nprobe ≥ rank), so all five settings share a
+    * single join; recall and scan fractions are exact integer basis
+    * points from overlap/row counts. Seeded KMeans quantizer (shared
+    * with [[qAnnIvf]] via the model registry) → rows-only; the spec pins
+    * recall monotone in nprobe and EXACTLY 10⁴ bp at nprobe = k, where
+    * visiting every list degenerates to [[qAnnBrute]] by construction.
+    */
+  def qAnnRecallSweep(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo("ann_recall_sweep", spark, dir) {
+      val k = 16
+      val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val centroids = ivfModelCentroids(spark, dir)
+      val lists = e.select(col("vec_id"), col("embedding"),
+        ivfNearestLists(centroids)(col("embedding"), 1).getItem(0).as("list_id"))
+      val probes = e.filter(col("vec_id") < ProbeCount)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          posexplode(ivfNearestLists(centroids)(col("embedding"), k))
+            .as(Seq("lr", "list_id")))
+      val cand = lists.join(broadcast(probes), Seq("list_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (col("lr") + 1).cast("long").as("list_rank"),
+          r4(cosineSim(col("probe_emb"), col("embedding"))).as("cos"))
+        .cache()
+      val brute = qAnnBrute(spark, dir).select(col("probe_id"), col("vec_id"))
+      val nVec = e.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      // 5 bounded driver-side measurements over the one cached candidate
+      // frame — a constant number of jobs, not a per-row loop
+      val rows = SweepNprobes.map { np =>
+        val vis = cand.filter(col("list_rank") <= np)
+        val top = vis.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+        val hits = top.join(brute, Seq("probe_id", "vec_id"), "left_semi").count()
+        (np.toLong, hits, vis.count())
+      }
+      cand.unpersist()
+      val s = spark
+      import s.implicits._
+      rows.toDF("nprobe", "n_hits", "n_candidates")
+        .select(col("nprobe"), lit(ProbeCount.toLong).as("n_probes"),
+          col("n_hits"), col("n_candidates"),
+          expr(s"n_hits * 10000 div ${ProbeCount.toLong * TopK}").as("recall_bp"),
+          expr(s"n_candidates * 10000 div ${ProbeCount.toLong * nVec}")
+            .as("scanned_bp"))
+        .orderBy(col("nprobe"))
+    }
 
   /** Multi-table LSH: number of hash tables × sign bits per table.
     * Recall of single-table sign-LSH decays as (p_agree)^bits; running L

@@ -102,7 +102,7 @@ object TextOps {
     * repeat calls don't stack InMemoryRelations, and Memo.invalidate(dir)
     * releases the storage (same pattern as the ML feature matrix).
     */
-  private def termFreq(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def termFreq(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.cached("termFreq", spark, dir) {
       spread(spark, documents(spark, dir))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -224,6 +224,47 @@ object TextOps {
         size(col("chunk")).cast("long").as("chunk_tokens"),
         substring(md5(concat_ws(" ", col("chunk"))), 1, 8).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** A chunk hash is "boilerplate" when it appears in at least this many
+    * DISTINCT documents (CCNet-style: a span two docs share is likely a
+    * quote; a span three or more share is a template/header). */
+  val BoilerMinDocs = 3
+
+  /** Boilerplate attribution at CHUNK granularity per source: how much of
+    * each source's chunk mass is template/header material shared by ≥
+    * [[BoilerMinDocs]] DISTINCT documents. The source-level triage view
+    * that decides where a boilerplate-stripping pass pays for itself —
+    * [[qWindowDup]] answers "which spans of THIS doc are duplicated";
+    * this answers "which SOURCE is shipping templates". Same token
+    * windows as [[qChunkDocs]] (size 20, stride 15), so a flagged source
+    * can be drilled into with the chunk dump directly. Shuffle shape: one
+    * ǀchunk-hashǀ-keyed df rollup (map-side combined), one hash-keyed
+    * back-join of the ≥3-doc survivors, one ǀsourcesǀ-row rollup — no
+    * pair term anywhere, linear in corpus size. All-integer output.
+    */
+  def qBoilerplateChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride))).as("s"),
+        col("t"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat_ws(" ",
+          slice(col("t"), col("s") + 1, lit(ChunkSize)))), 1, 8).as("chunk_hash"))
+    val boiler = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+      .filter(col("df_docs") >= BoilerMinDocs)
+    chunks.join(boiler, Seq("chunk_hash"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df_docs").isNotNull, 1L).otherwise(0L)).as("n_boiler_chunks"),
+        countDistinct(when(col("df_docs").isNotNull, col("chunk_hash")))
+          .as("n_boiler_hashes"))
+      .select(col("source"), col("n_chunks"), col("n_boiler_chunks"),
+        col("n_boiler_hashes"),
+        expr("n_boiler_chunks * 10000 div n_chunks").as("boiler_bp"))
+      .orderBy(col("source"))
+  }
 
   /** Corpus-filter thresholds for [[qCorpusFilter]]. */
   val MinTokens = 40

@@ -716,6 +716,99 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("qAnnRecallSweep: recall monotone in nprobe, exactly 10000 bp at nprobe = k, scan fraction monotone and bounded") {
+    val rows = SimilarityOps.qAnnRecallSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === SimilarityOps.SweepNprobes.map(_.toLong),
+      "one row per swept nprobe")
+    val recalls = rows.map(_._2)
+    val scanned = rows.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recalls.toSeq}")
+    assert(scanned.zip(scanned.tail).forall { case (a, b) => a <= b },
+      s"scan fraction must be monotone in nprobe: ${scanned.toSeq}")
+    // nprobe = k visits every list: the candidate set IS the corpus minus
+    // self, the ranking is qAnnBrute's (same r4 cos, same tiebreak) —
+    // recall must be exactly 1.0, not approximately
+    assert(recalls.last === 10000L,
+      s"nprobe = k must degenerate to brute force: ${recalls.last}")
+    assert(scanned.forall(s => s > 0 && s <= 10000), s"scan bp bounded: ${scanned.toSeq}")
+  }
+
+  test("qContaminationPairs: a planted eval clone scores full containment; every reported train doc is decontaminate-flagged") {
+    val s = spark
+    import s.implicits._
+    // doc 40 is the eval doc (id % 20 == 0); doc 7 is its byte clone in
+    // the training split; docs 3 and 9 share nothing with it
+    val leaked = (1 to 30).map(i => s"leak$i").mkString(" ")
+    val planted = Seq(
+      (3L, "en", 40L, "plant", (1 to 30).map(i => s"alpha$i").mkString(" ")),
+      (7L, "en", leaked.length.toLong, "plant", leaked),
+      (9L, "en", 40L, "plant", (1 to 30).map(i => s"beta$i").mkString(" ")),
+      (40L, "en", leaked.length.toLong, "plant", leaked))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.qContaminationPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((40L, 7L, 10000L)),
+      s"the clone pair at full containment and nothing else: ${got.toSeq}")
+    // fixture cross-check: every train doc the pair report names must be
+    // flagged by the per-doc decontaminate screen (containment ≥ 10% of
+    // an eval doc implies ≥ 1 shared shingle instance)
+    val flagged = DedupOps.qDecontaminate(spark, sf).collect()
+      .filter(_.getLong(2) === 1L).map(_.getLong(0)).toSet
+    val pairsTrain = DedupOps.qContaminationPairs(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(pairsTrain.subsetOf(flagged),
+      s"pair-report train docs must be decontaminate-flagged: ${pairsTrain -- flagged}")
+    val bounds = DedupOps.qContaminationPairs(spark, sf).collect()
+    bounds.foreach { r =>
+      assert(r.getLong(3) >= DedupOps.ContaminationMinBp && r.getLong(3) <= 10000L)
+      assert(r.getLong(4) <= DedupOps.ContaminationTopK)
+    }
+  }
+
+  test("qWeightedJaccard: hand replay on the strongest pair; clones score exactly 1.0; repetition-inflated clone drops below its set jaccard") {
+    val s = spark
+    import s.implicits._
+    val rows = DedupOps.qWeightedJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tf(id: Long): Map[String, Int] =
+      docs(id).trim.split("\\s+").toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    for (r <- rows) {
+      val (a, b, w) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+      val (ta, tb) = (tf(a), tf(b))
+      val inter = (ta.keySet & tb.keySet).toSeq.map(t => math.min(ta(t), tb(t))).sum
+      val union = ta.values.sum + tb.values.sum - inter
+      assert(r.getLong(3) === inter.toLong, s"pair ($a,$b) w_inter")
+      assert(math.abs(w - inter.toDouble / union) < 1e-12, s"pair ($a,$b) w_jaccard")
+      assert(w >= 0.0 && w <= 1.0 + 1e-12)
+    }
+    // planted: X, its byte clone (weighted 1.0) and its 3x-repeated
+    // variant — set-jaccard-identical to X but weighted ~= 1/3
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tripled = Seq(base, base, base).mkString(" ")
+    val planted = Seq(
+      (1L, "en", base.length.toLong, "plant", base),
+      (2L, "en", base.length.toLong, "plant", base),
+      (3L, "en", tripled.length.toLong, "plant", tripled))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wjac").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.qWeightedJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(4))).toMap
+    assert(got((1L, 2L))._2 === 1.0, "byte clones score weighted 1.0 exactly")
+    val (setJ, wJ) = got((1L, 3L))
+    // near-set-identical: the 3x repeat adds only the two wrap-around
+    // boundary shingles (38 shared / 40 union = 0.95)
+    assert(setJ >= 0.9, s"tripled doc must stay near-set-identical: $setJ")
+    assert(math.abs(wJ - 40.0 / 120.0) < 1e-9,
+      s"weighted jaccard must see the 3x repetition: $wJ")
+  }
+
   test("qDedupIncremental equals the batch MinHash run restricted to new-shard pairs") {
     // The operator's correctness claim: probing the persisted index is
     // bit-equal to running batch LSH over the full corpus and keeping
