@@ -260,6 +260,10 @@ object SparkEntry {
     "q_boilerplate_chunks" -> (TextOps.qBoilerplateChunks _),
     "q_weighted_jaccard" -> (DedupOps.qWeightedJaccard _),
     "q_ann_recall_sweep" -> (SimilarityOps.qAnnRecallSweep _),
+    // F. label QA / ingest verdict / embedding QA (round 12, batch 3)
+    "q_lang_confusion" -> (TextOps.qLangConfusion _),
+    "q_shard_ingest_report" -> (DedupOps.qShardIngestReport _),
+    "q_embed_outliers" -> (SimilarityOps.qEmbedOutliers _),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -291,6 +295,25 @@ object SparkEntry {
     s"list_min(list_transform(hs, h -> (h*${permA(j)} + ${permB(j)}) % $MP)) AS mh_$j"
   private def bandSql(b: Int): String =
     (0 until 3).map(r => s"mh_${3 * b + r}::VARCHAR").mkString(" || '|' || ")
+  /** Per-doc language-ID verdict (mirror of TextOps.qLangId, no ORDER BY
+    * so it can sit inside a CTE) — shared by the lang-id oracle and the
+    * confusion-matrix oracle so the argmax can never silently diverge. */
+  private val langIdSql = {
+    val markerIn = TextOps.markers.map { case (l, ws) =>
+      s"len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
+    }.mkString(", ")
+    val gr = s"greatest(${TextOps.markers.map(m => s"score_${m._1}").mkString(",")})"
+    val caseExpr = TextOps.markers.map { case (l, _) =>
+      s"WHEN score_$l = $gr AND score_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang, $markerIn
+        FROM (SELECT doc_id, lang, $tokSql AS t FROM documents))
+        SELECT doc_id, lang AS declared_lang,
+          CASE $caseExpr ELSE 'und' END AS pred_lang,
+          ${TextOps.markers.map(m => s"score_${m._1}").mkString(", ")}
+        FROM sc"""
+  }
+
   private val embNormSql =
     """SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nv
        FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2413,21 +2436,7 @@ object SparkEntry {
               AS BIGINT) AS rank FROM sc)
           SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
           ORDER BY probe_id, rank""",
-    "q_lang_id" -> {
-      val markerIn = TextOps.markers.map { case (l, ws) =>
-        s"len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
-      }.mkString(", ")
-      val gr = s"greatest(${TextOps.markers.map(m => s"score_${m._1}").mkString(",")})"
-      val caseExpr = TextOps.markers.map { case (l, _) =>
-        s"WHEN score_$l = $gr AND score_$l > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""WITH sc AS (SELECT doc_id, lang, $markerIn
-          FROM (SELECT doc_id, lang, $tokSql AS t FROM documents))
-          SELECT doc_id, lang AS declared_lang,
-            CASE $caseExpr ELSE 'und' END AS pred_lang,
-            ${TextOps.markers.map(m => s"score_${m._1}").mkString(", ")}
-          FROM sc ORDER BY doc_id"""
-    },
+    "q_lang_id" -> s"""$langIdSql ORDER BY doc_id""",
     "q_quality_score" ->
       s"""WITH s AS (SELECT doc_id, text, $tokSql AS t FROM documents),
           m AS (SELECT doc_id,
@@ -3333,6 +3342,72 @@ object SparkEntry {
            JOIN dl da ON da.doc_id = pr.doc_a
            JOIN dl db ON db.doc_id = pr.doc_b
          ORDER BY w_jaccard DESC, pr.doc_a, pr.doc_b""",
+    "q_lang_confusion" ->
+      s"""WITH lid AS (SELECT declared_lang, pred_lang FROM ($langIdSql)),
+         pd AS (SELECT declared_lang, CAST(count(*) AS BIGINT) AS decl_docs
+           FROM lid GROUP BY 1),
+         cm AS (SELECT declared_lang, pred_lang, count(*) AS n_docs
+           FROM lid GROUP BY 1, 2)
+         SELECT cm.declared_lang, pred_lang, n_docs,
+           CAST(n_docs * 10000 // decl_docs AS BIGINT) AS share_bp,
+           CAST(cm.declared_lang = pred_lang AS BIGINT) AS is_match
+         FROM cm JOIN pd USING (declared_lang)
+         ORDER BY 1, 2""",
+    // near-dup column = the batch pair frame restricted to cross pairs —
+    // the identity q_dedup_incremental's spec proves (probe ≡ batch)
+    "q_shard_ingest_report" ->
+      s"""WITH pr AS ($minhashPairsSql),
+         nd AS (SELECT doc_id, source, md5(text) AS ch,
+             CAST(len($tokSql) AS BIGINT) AS nt
+           FROM documents WHERE doc_id % ${DedupOps.IncrementalShardMod} = 0),
+         hh AS (SELECT DISTINCT md5(text) AS ch FROM documents
+           WHERE doc_id % ${DedupOps.IncrementalShardMod} <> 0),
+         ex AS (SELECT DISTINCT doc_id FROM nd WHERE ch IN (SELECT ch FROM hh)),
+         nr AS (SELECT DISTINCT d AS doc_id FROM (
+             SELECT unnest([doc_a, doc_b]) AS d FROM pr
+             WHERE jaccard >= ${DedupOps.ClusterJaccard}
+               AND ((doc_a % ${DedupOps.IncrementalShardMod} = 0)
+                 <> (doc_b % ${DedupOps.IncrementalShardMod} = 0)))
+           WHERE d % ${DedupOps.IncrementalShardMod} = 0)
+         SELECT source, count(*) AS n_new_docs,
+           CAST(sum(nt) AS BIGINT) AS new_tokens,
+           CAST(sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN ex.doc_id IS NULL AND nr.doc_id IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN ex.doc_id IS NULL AND nr.doc_id IS NULL
+             THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS novel_bp
+         FROM nd LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+         GROUP BY source ORDER BY source""",
+    // The 3σ decision is the pure-integer comparison (n·x − Σx)² >
+    // 9·(n·Σx² − (Σx)²); z² is ONE IEEE division of the two exact decimal
+    // operands (unrounded, q_centroid_sim policy). Every decimal product
+    // is cast so its TYPE stays inside DECIMAL(38) — DuckDB rejects wider
+    // products at bind time.
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+            CAST(floor(sqrt(list_sum(list_transform(embedding,
+              x -> (x::DOUBLE)*(x::DOUBLE)))) * 1000000) AS DECIMAL(19,0)) AS x
+          FROM embeddings),
+         st AS (SELECT label, CAST(count(*) AS DECIMAL(18,0)) AS n,
+             CAST(sum(x) AS DECIMAL(19,0)) AS s1,
+             CAST(sum(x*x) AS DECIMAL(19,0)) AS s2
+           FROM e GROUP BY 1),
+         j AS (SELECT vec_id, e.label, x,
+             CAST(n*x - s1 AS DECIMAL(19,0)) AS dev,
+             CAST(CAST(n*s2 AS DECIMAL(37,0)) - CAST(s1*s1 AS DECIMAL(37,0))
+               AS DECIMAL(37,0)) AS rhs
+           FROM e JOIN st USING (label))
+         SELECT vec_id, label, CAST(x AS BIGINT) AS norm_q,
+           CASE WHEN rhs = 0 THEN 0.0
+             ELSE CAST(CAST(dev*dev AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(rhs AS DOUBLE) END AS z2,
+           CAST(CASE WHEN rhs = 0 THEN FALSE
+             ELSE CAST(dev*dev AS DECIMAL(38,0)) > CAST(rhs * 9 AS DECIMAL(38,0))
+             END AS BIGINT) AS is_outlier
+         FROM j ORDER BY vec_id""",
   )
 
   /** Oracle for q_corr_matrix, generated from the same feature list the

@@ -984,6 +984,48 @@ object DedupOps {
       incrementalPairs(spark, newShard, path)
     }
 
+  /** The day's ingest verdict — per SOURCE of the new shard (doc_id %
+    * [[IncrementalShardMod]] = 0, the daily crawl): how many docs and
+    * tokens arrived, how many are byte-exact clones of history, how many
+    * near-duplicate history (cross pairs of [[qDedupIncremental]] at
+    * jaccard ≥ [[ClusterJaccard]]), and the genuinely-novel share in
+    * exact bp. THE table an ingest pipeline reads before promoting a
+    * crawl snapshot ("yesterday's crawl was 60% resyndication — stop
+    * paying for that feed"). Rides the Memo'd incremental pair frame (so
+    * the near-dup column costs nothing beyond the probe already run) and
+    * one md5 semi-join against history's 16-byte hashes — never
+    * historical text. All-integer output.
+    */
+  def qShardIngestReport(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % IncrementalShardMod === 0
+    val docs = spread(spark, documents(spark, dir))
+    val newDocs = docs.filter(isNew).select(col("doc_id"), col("source"),
+      md5(col("text")).as("ch"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val histHashes = docs.filter(!isNew).select(md5(col("text")).as("ch")).distinct()
+    val exactIds = newDocs.join(histHashes, Seq("ch"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val nearIds = qDedupIncremental(spark, dir)
+      .filter(col("pair_kind") === "cross" && col("jaccard") >= ClusterJaccard)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .filter(col("doc_id") % IncrementalShardMod === 0)
+      .distinct().withColumn("is_near", lit(1L))
+    newDocs
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new_docs"),
+        sum(col("nt")).as("new_tokens"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"),
+        sum(when(col("is_exact").isNull && col("is_near").isNull, 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_new_docs"), col("new_tokens"),
+        col("n_exact_dup"), col("n_near_dup"), col("n_novel"),
+        expr("n_novel * 10000 div n_new_docs").as("novel_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Builds the historical index for `dir` once per content fingerprint
     * (`_built` marker — reused across sessions AND rounds until the
     * fixture changes) and returns its path. Shared by the incremental

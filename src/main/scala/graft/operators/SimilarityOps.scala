@@ -153,6 +153,50 @@ object SimilarityOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Embedding-QA outlier gate: per vector, the squared z-score of its
+    * L2 norm against its LABEL's population, 3σ flag — the screen that
+    * catches broken encodings before they poison an index (a zeroed-out
+    * or exploded vector has a wildly deviant norm long before any
+    * recall metric notices). The q_peer_anomaly numeric discipline:
+    * norms quantize to exact integer micro-units via floor (tie-free,
+    * bit-identical), per-label (n, Σx, Σx²) accumulate in DECIMAL, and
+    * the 3σ decision is the pure-integer comparison
+    * (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — no float ever enters the flag.
+    * z² itself is emitted as ONE IEEE division of the two exact decimal
+    * operands (unrounded, q_centroid_sim policy). Zero-variance labels
+    * score 0 / not-outlier by definition. One narrow projection + one
+    * ǀlabelsǀ-row stats rollup attached by label-keyed join — scan-bound.
+    */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val normQ = floor(sqrt(dotProd(col("embedding"), col("embedding"))) * 1e6)
+      .cast("decimal(19,0)")
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        normQ.as("x"))
+    // operand widths sized so every product stays ≤ DECIMAL(38) AT TYPE
+    // level (DuckDB rejects wider products at bind time, Spark would
+    // silently truncate precision): n ≤ 1e18, Σx ≤ 1e19, Σx² ≤ 1e19 —
+    // headroom ≥ 10× beyond the ×100 fixture
+    val stats = e.groupBy(col("label"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("n"),
+        sum(col("x")).cast("decimal(19,0)").as("s1"),
+        sum(col("x") * col("x")).cast("decimal(19,0)").as("s2"))
+    val dev = (col("n") * col("x") - col("s1")).cast("decimal(19,0)")
+    val lhs = (dev * dev).cast("decimal(38,0)")
+    // each product cast to 37 digits before the subtraction and the ×9 so
+    // every intermediate TYPE stays inside DECIMAL(38) on both engines
+    val rhs = ((col("n") * col("s2")).cast("decimal(37,0)") -
+      (col("s1") * col("s1")).cast("decimal(37,0)")).cast("decimal(37,0)")
+    e.join(stats, Seq("label"))
+      .select(col("vec_id"), col("label"), col("x").cast("long").as("norm_q"),
+        when(rhs === 0, lit(0.0))
+          .otherwise(lhs.cast("double") / rhs.cast("double")).as("z2"),
+        when(rhs === 0, lit(0L))
+          .otherwise((lhs > (rhs * lit(9)).cast("decimal(38,0)")).cast("long"))
+          .as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** nprobe settings the recall sweep measures (16 = every list — the
     * degenerate-to-brute-force anchor the spec pins at recall 10⁴ bp). */
   val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)

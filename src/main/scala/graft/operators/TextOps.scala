@@ -46,6 +46,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix: declared (metadata) language ×
+    * predicted (n-gram heuristic) language, with each cell's share of
+    * its declared row in exact integer bp — the data-card table that
+    * says whether a source's language labels can be TRUSTED before
+    * lang-stratified sampling/mixing keys on them (a row whose diagonal
+    * share is low means either mislabeled metadata or an under-resourced
+    * marker set). One ǀlangsǀ²-cell rollup over [[qLangId]]'s verdict —
+    * scan-bound, all-integer.
+    */
+  def qLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val lid = qLangId(spark, dir).select(col("declared_lang"), col("pred_lang"))
+    val perDecl = lid.groupBy(col("declared_lang"))
+      .agg(count(lit(1)).as("decl_docs"))
+    lid.groupBy(col("declared_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(perDecl, Seq("declared_lang"))
+      .select(col("declared_lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 10000 div decl_docs").as("share_bp"),
+        (col("declared_lang") === col("pred_lang")).cast("long").as("is_match"))
+      .orderBy(col("declared_lang"), col("pred_lang"))
+  }
+
   /** Document quality scoring: length, punctuation ratio, stopword ratio,
     * mean word length, plus a bounded composite score.
     *

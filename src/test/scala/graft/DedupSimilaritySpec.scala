@@ -809,6 +809,90 @@ class DedupSimilaritySpec extends SparkSpec {
       s"weighted jaccard must see the 3x repetition: $wJ")
   }
 
+  test("qEmbedOutliers: exact stats replay; a planted 5x-norm vector is the only flag; zero-variance label scores 0") {
+    val s = spark
+    import s.implicits._
+    // fixture replay: per-label (n, Σx, Σx²) from the collected norm_q
+    // must reproduce z² and the 3σ flag exactly
+    val rows = SimilarityOps.qEmbedOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.length.toLong === Tables.embeddings(spark, sf).count())
+    val byLabel = rows.groupBy(_._2)
+    for ((_, g) <- byLabel) {
+      val n = BigInt(g.length)
+      val s1 = g.map(r => BigInt(r._3)).sum
+      val s2 = g.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      val rhs = n * s2 - s1 * s1
+      for ((_, _, x, z2, flag) <- g) {
+        val dev = n * BigInt(x) - s1
+        val lhs = dev * dev
+        if (rhs == 0) assert(z2 === 0.0 && flag === 0L)
+        else {
+          assert(math.abs(z2 - lhs.toDouble / rhs.toDouble) < 1e-9,
+            s"z2 replay: $z2 vs ${lhs.toDouble / rhs.toDouble}")
+          assert(flag === (if (lhs > rhs * 9) 1L else 0L), "3-sigma gate replay")
+        }
+      }
+    }
+    // planted: 19 near-unit vectors + one 5x-norm rogue in label 0, plus
+    // a zero-variance label 1 (identical vectors)
+    val unit = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val rogue = unit.map(_ * 5.0f)
+    val planted = ((0 until 19).map(i =>
+        (i.toLong, unit.map(v => v + i * 1e-4f).toSeq, 0)) :+
+        (19L, rogue.toSeq, 0)) ++
+      (20 until 24).map(i => (i.toLong, unit.toSeq, 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-embout").toString
+    planted.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = SimilarityOps.qEmbedOutliers(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    assert(got(19L)._3 === 1L, s"the 5x-norm vector must flag: ${got(19L)}")
+    assert((0L until 19L).forall(got(_)._3 === 0L), "near-unit peers stay clean")
+    assert((20L until 24L).forall(i => got(i)._2 === 0.0 && got(i)._3 === 0L),
+      "zero-variance label scores 0 by definition")
+  }
+
+  test("qShardIngestReport: planted clones attribute to the exact and near columns; fixture masses conserve") {
+    val s = spark
+    import s.implicits._
+    // history: docs 1-3; shard: 10/30 byte clones of hist doc 1, 20 novel
+    val donor = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val planted = Seq(
+      (1L, "en", donor.length.toLong, "plant", donor),
+      (2L, "en", 40L, "plant", "completely different content about spark catalyst plans"),
+      (3L, "en", 40L, "plant", "yet another unrelated historical document body text"),
+      (10L, "en", donor.length.toLong, "plant", donor),
+      (20L, "en", 40L, "plant", "a fresh crawl document sharing nothing with history"),
+      (30L, "en", donor.length.toLong, "plant", donor))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.qShardIngestReport(spark, tmp).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "plant")
+    assert(r.getLong(1) === 3L, "three shard docs")
+    assert(r.getLong(3) === 2L, s"both clones are exact dups: $r")
+    assert(r.getLong(4) === 2L, s"both clones are near dups too: $r")
+    assert(r.getLong(5) === 1L && r.getLong(6) === 3333L,
+      s"doc 20 is the one novel arrival: $r")
+    // fixture conservation: per-source doc counts sum to the shard size,
+    // novel excludes every doc either column claims
+    val f = DedupOps.qShardIngestReport(spark, sf).collect()
+    val shardN = Tables.documents(spark, sf)
+      .filter(col("doc_id") % DedupOps.IncrementalShardMod === 0).count()
+    assert(f.map(_.getLong(1)).sum === shardN, "shard doc mass conserves")
+    f.foreach { r =>
+      assert(r.getLong(5) >= r.getLong(1) - r.getLong(3) - r.getLong(4),
+        "novel can't under-count the union bound")
+      assert(r.getLong(5) <= r.getLong(1) - math.max(r.getLong(3), r.getLong(4)),
+        "novel excludes every flagged doc")
+    }
+  }
+
   test("qDedupIncremental equals the batch MinHash run restricted to new-shard pairs") {
     // The operator's correctness claim: probing the persisted index is
     // bit-equal to running batch LSH over the full corpus and keeping

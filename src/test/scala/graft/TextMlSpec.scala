@@ -1152,6 +1152,23 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("qLangConfusion: cells partition qLangId's verdicts; row shares telescope; diagonal flags match") {
+    val cm = TextOps.qLangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val lid = TextOps.qLangId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(cm.map(_._3).sum === lid.length.toLong,
+      "cells must partition the verdict set")
+    val expected = lid.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    for ((d, p, n, bp, m) <- cm) {
+      assert(n === expected((d, p)), s"cell ($d,$p)")
+      assert(m === (if (d == p) 1L else 0L))
+      val declTotal = lid.count(_._1 == d).toLong
+      assert(bp === n * 10000 / declTotal, "exact integer row share")
+    }
+  }
+
   test("qTokenizerFertility: mass conserves against qTokenCount; ratios are exact integer fixed-point") {
     val f = TextOps.qTokenizerFertility(spark, sf).collect()
     val tc = TextOps.qTokenCount(spark, sf).collect()
