@@ -81,6 +81,31 @@ object DocStream {
         OutputMode.Append())
   }
 
+  /** Streaming benchmark-decontamination gate — the continuous twin of
+    * [[graft.operators.DedupOps.qDecontaminate]]: every arriving
+    * document is scored against the held-out eval set's distinct
+    * 5-shingle hashes and emits `(doc_id, n_shared, contaminated)`, so
+    * a training-data ingest can drop leaked benchmark items ON ARRIVAL
+    * instead of in a later batch scrub. STATELESS by design: the eval
+    * set is a compile-into-the-plan constant (eval benchmarks are small
+    * by definition — the batch operator broadcasts the same set), so
+    * the gate is a narrow codegen projection with no state store, no
+    * watermark, no shuffle; it composes in front of [[nearDupStream]]
+    * in the same ingest query. `n_shared` counts DISTINCT shared
+    * shingle hashes (the containment numerator of
+    * q_contamination_pairs, summed over the whole eval set).
+    */
+  def decontaminateStream(docs: DataFrame, evalHashes: Set[Long]): DataFrame = {
+    val evalArr = typedLit(evalHashes.toSeq.sorted)
+    docs
+      .select(col("doc_id"),
+        array_distinct(ShingleHash32(col("text"), 5)).as("sh"))
+      .select(col("doc_id"),
+        size(array_intersect(col("sh"), evalArr)).cast("long").as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") > 0).cast("long").as("contaminated"))
+  }
+
   /** The batch verify arithmetic on driver-side sets: |a∩b| / |a∪b|
     * rounded HALF_UP to 4dp (Spark's `round`), so streamed jaccards are
     * bit-equal to the batch column. */

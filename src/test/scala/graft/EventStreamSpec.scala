@@ -530,6 +530,42 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateStream: streamed contamination flags equal the batch scrub; stateless narrow plan") {
+    val s = spark
+    import s.implicits._
+    // eval hash set exactly as the batch operator builds it
+    val evalHashes = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0)
+      .select(explode(graft.functions.ShingleHash32(col("text"), 5)).as("h"))
+      .distinct().as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStream.decontaminateStream(
+        mem.toDS().toDF("doc_id", "text"), evalHashes)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      val train = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 20 =!= 0).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      for (chunk <- train.grouped(math.max(1, train.length / 3 + 1))) {
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("decon_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val batch = graft.operators.DedupOps.qDecontaminate(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "streamed contamination flags must equal the batch scrub")
+      assert(batch.values.sum > 0, "fixture must surface contaminated docs")
+      // stateless: the gate must run no stateful operator (narrow
+      // projection only — no state store, no watermark, no shuffle)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "decontamination gate must hold zero state")
+    } finally q.stop()
+  }
+
   test("nearDupStream: full buckets drop juniors — emissions and state stay cap-bounded under a clone storm") {
     val s = spark
     import s.implicits._
