@@ -1362,7 +1362,8 @@ object SparkEntry {
          hs AS (SELECT doc_id,
              list_transform(sh, x -> $hash32Sql) AS hs
            FROM sh),
-         ce AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 20 <> 0),
+         ce AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hs
+           WHERE doc_id % 20 <> 0),
          ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 20 = 0),
          sc AS (SELECT doc_id, count(*) AS n_shared FROM ce
              WHERE h IN (SELECT h FROM ev) GROUP BY doc_id)
@@ -3226,7 +3227,7 @@ object SparkEntry {
          bk AS (SELECT doc_id, unnest([${(0 until 4).map(b =>
             s"'$b:' || md5(${bandSql(b)})").mkString(", ")}]) AS bucket
            FROM s),
-         bd AS (SELECT CAST(substr(bucket, 1, 1) AS BIGINT) AS band,
+         bd AS (SELECT CAST(split_part(bucket, ':', 1) AS BIGINT) AS band,
              count(*) AS n_rows, count(DISTINCT bucket) AS n_keys,
              count(DISTINCT doc_id) AS n_docs,
              CAST(sum(CAST(('0x' || substr(md5(bucket || '#' ||

@@ -81,6 +81,24 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** MD5 fingerprint of a parquet table's on-disk content identity (file
+    * names + sizes + mtimes, plus the path itself). Anything derived from
+    * a table's CONTENT — a persisted index generation, a cached fitted
+    * model — must be keyed by this rather than by the path alone, so a
+    * driver-regenerated fixture at the same path can never silently serve
+    * a stale derivation: new content → new fingerprint → fresh build.
+    */
+  def contentFingerprint(pathStr: String): String = {
+    val p = new java.io.File(pathStr)
+    val listing =
+      if (p.isFile) s"${p.getName}:${p.length}:${p.lastModified}"
+      else Option(p.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$pathStr|$listing".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Round a double column for cross-engine hash stability.
     *
     * Double aggregation is order-dependent in any distributed engine; the

@@ -273,13 +273,20 @@ object DedupOps {
     * corpus runs before a model sees it. Eval shingles are a SMALL
     * distinct hash set → broadcast; the corpus side stays narrow
     * (doc_id, hash) and aggregates per doc. Contamination evidence
-    * (`n_shared`) survives for audit; 0 = clean.
+    * (`n_shared`) survives for audit; 0 = clean. `n_shared` counts
+    * DISTINCT shared shingle hashes (the corpus side is deduped before
+    * the probe) — the same arithmetic as [[qContaminationPairs]]'s
+    * containment numerator and the streaming
+    * [[graft.streaming.DocStream.decontaminateStream]] gate, so the
+    * batch scrub and the continuous gate agree on MAGNITUDES, not just
+    * on the contaminated flag.
     */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val isEval = col("doc_id") % 20 === 0
     val docs = spread(spark, documents(spark, dir))
     val corpusH = docs.filter(!isEval)
-      .select(col("doc_id"), explode(ShingleHash32(col("text"), 5)).as("h"))
+      .select(col("doc_id"),
+        explode(array_distinct(ShingleHash32(col("text"), 5))).as("h"))
     val evalH = docs.filter(isEval)
       .select(explode(ShingleHash32(col("text"), 5)).as("h")).distinct()
     val shared = corpusH.join(broadcast(evalH), Seq("h"), "left_semi")
@@ -955,14 +962,7 @@ object DedupOps {
     * a new fingerprint is a new path, and the build triggers again.
     */
   private[graft] def indexPathFor(dir: String): String = {
-    val docs = new java.io.File(s"$dir/documents.parquet")
-    val listing =
-      if (docs.isFile) s"${docs.getName}:${docs.length}:${docs.lastModified}"
-      else Option(docs.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$listing".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    val fp = graft.Tables.contentFingerprint(s"$dir/documents.parquet")
     s"${sys.props("java.io.tmpdir")}/graft_mh_index_$fp"
   }
 
@@ -1049,16 +1049,47 @@ object DedupOps {
     * files; both unions stay uncapped, preserving
     * [[buildMinhashIndex]]'s invariant that the cap is applied at probe
     * time over whatever union is current.
+    *
+    * The generation is PUBLISHED atomically: both sides are written into
+    * a staging directory (`<outPath>.inprogress`, cleared first so a
+    * crashed attempt can't contaminate a retry) and rename(2)'d into
+    * place — so `outPath` either doesn't exist or holds one complete
+    * generation; a reader can never observe a half-written bands/ next
+    * to yesterday's sigs/. Two processes racing the SAME generation:
+    * the loser's rename fails on the existing target and its staging
+    * dir is discarded — first-writer-wins, and since both computed the
+    * same deterministic fold, which one landed is immaterial. The
+    * `_built` marker written by [[qDedupIndexCompact]] keeps its
+    * documented single-process-idempotence role only.
     */
   def compactIndex(spark: SparkSession, basePath: String,
       shardDocs: DataFrame, outPath: String): Unit = {
+    val staging = s"$outPath.inprogress"
+    deleteRecursively(new java.io.File(staging))
     spark.read.parquet(s"$basePath/bands")
       .unionByName(bandRows(shardDocs))
       .repartition(col("bucket"))
-      .write.mode("overwrite").parquet(s"$outPath/bands")
+      .write.mode("overwrite").parquet(s"$staging/bands")
     spark.read.parquet(s"$basePath/sigs")
       .unionByName(sigRows(shardDocs))
-      .write.mode("overwrite").parquet(s"$outPath/sigs")
+      .write.mode("overwrite").parquet(s"$staging/sigs")
+    try
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(outPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException
+          if new java.io.File(s"$outPath/bands").isDirectory =>
+        // a concurrent compaction published this generation first;
+        // its content is the same deterministic fold — keep it
+        deleteRecursively(new java.io.File(staging))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Index-maintenance entry (the day-after step of
@@ -1088,24 +1119,41 @@ object DedupOps {
         compactIndex(spark, base, shard, compacted)
         marker.createNewFile()
       }
+      indexDigest(spark, compacted)
+    }
+
+  /** Per-band content digest of a stored index generation —
+    * row/bucket/doc counts plus an order-independent 60-bit-hash-sum
+    * checksum per band, with the `sigs/` side as the band = −1 row.
+    * Sums commute, so the digest is layout- and partitioning-invariant:
+    * two generations digest equal iff their CONTENT (the band and
+    * signature row sets) is equal, however they were produced — the
+    * equivalence [[qDedupIndexCompact]]'s oracle certifies against a
+    * from-scratch build, and MultiGenCompactionSpec chains across three
+    * compaction generations.
+    */
+  private[graft] def indexDigest(spark: SparkSession, indexPath: String): DataFrame = {
       def h60(parts: Column): Column =
         conv(substring(md5(parts), 1, 15), 16, 10)
           .cast("long").cast("decimal(38,0)")
       // checksum emitted as STRING: a DECIMAL(38,0) round-trips through
       // pandas as opaque Decimal objects, while the decimal→string cast
       // is exact and identical on both engines (scale-0, no point).
-      val bandDigest = spark.read.parquet(s"$compacted/bands")
+      val bandDigest = spark.read.parquet(s"$indexPath/bands")
         // a doc too short to shingle has NULL minhashes → NULL band keys;
         // those rows can never match a probe, so the digest (and the
         // oracle) ignores them
         .filter(col("bucket").isNotNull)
-        .groupBy(substring(col("bucket"), 1, 1).cast("long").as("band"))
+        // band id = the FULL prefix before ':' (bucket = "<band>:<md5>"),
+        // not a single leading character — parses correctly for any
+        // future nBands ≥ 11, mirrored as split_part in the oracle
+        .groupBy(split(col("bucket"), ":", 2).getItem(0).cast("long").as("band"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("bucket")).as("n_keys"),
           countDistinct(col("doc_id")).as("n_docs"),
           sum(h60(concat(col("bucket"), lit("#"), col("doc_id").cast("string"))))
             .cast("string").as("checksum"))
-      val sigDigest = spark.read.parquet(s"$compacted/sigs")
+      val sigDigest = spark.read.parquet(s"$indexPath/sigs")
         .select(col("doc_id"), explode(col("sh")).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("h")).as("n_keys"),
@@ -1115,5 +1163,5 @@ object DedupOps {
         .select(lit(-1L).as("band"), col("n_rows"), col("n_keys"),
           col("n_docs"), col("checksum"))
       bandDigest.unionByName(sigDigest).orderBy(col("band"))
-    }
+  }
 }

@@ -114,12 +114,19 @@ object SimilarityOps {
     * takes whichever rows arrive first and would break cross-run
     * reproducibility). The model is tiny (k centroids) regardless of
     * corpus size; memoized so the IVF search and the recall sweep score
-    * against the SAME quantizer.
+    * against the SAME quantizer. Keyed by the embeddings table's CONTENT
+    * fingerprint (names/sizes/mtimes — the same identity the persisted
+    * minhash index uses), not by (session, dir): a fixture regenerated
+    * at the same path within one process refits instead of silently
+    * serving stale centroids, and the map retains only plain double
+    * arrays — never a (possibly stopped) SparkSession reference. The
+    * fit itself is seeded, so a concurrent double-fit is benign.
     */
   private val ivfCentroids =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
   private def ivfModelCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    ivfCentroids.computeIfAbsent((spark, dir), { _ =>
+    ivfCentroids.computeIfAbsent(
+      graft.Tables.contentFingerprint(s"$dir/embeddings.parquet"), { _ =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val fit = embeddings(spark, dir)
