@@ -15,6 +15,14 @@ object Bench {
     // one logger — the audit, not the log line, guards the invariant.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // Same artifact-tail hygiene for DAGScheduler's "Broadcasting large
+    // task binary" WARN (r12 verdict): 1-2 MiB task binaries are the
+    // expected cost of wide whole-stage-codegen plans at 222 queries,
+    // and the ~20 repeats were again burying the summary JSON line. The
+    // bench-only silence changes nothing about execution; Verify and the
+    // specs keep the default logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen/parquet-reader warmup on the tiny flagship input so the
     // first timed query doesn't absorb one-time JIT + classloading cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -312,6 +312,108 @@ object StreamSoak {
     }
   }
 
+  /** TTL soak result: state must RISE to phase-1's plateau, then — after
+    * the harness sleeps past the TTL — phase 2's per-batch cleanup must
+    * sweep the expired members back out, and a re-sent phase-1 clone
+    * must probe an EMPTY bucket (zero hits). */
+  final case class TtlSoak(rows: Long, wallSec: Double,
+      peakStateRows: Long, phase1PlateauRows: Long, finalStateRows: Long,
+      probeHits: Long, batches: Int)
+
+  /** Sliding-recency TTL soak for
+    * [[graft.streaming.DocStream.nearDupStream]]: with a member TTL the
+    * near-dup index must be a WINDOW, not an archive. Phase 1 streams a
+    * clone storm from pool tag `a` (state rises to its bucket plateau),
+    * the harness sleeps past the TTL, then phase 2 streams the disjoint
+    * pool tag `b`: the state-store TTL cleanup that runs with each
+    * phase-2 batch removes `a`'s expired members, so final state decays
+    * toward `b`'s own plateau instead of accumulating both pools — and
+    * a fresh probe of an `a` text afterwards emits ZERO hits (its
+    * former family no longer matches). Contracts asserted in [[main]]:
+    * final < combined-pools row count, probe hits == 0.
+    */
+  def soakNearDupTtl(spark: SparkSession, nBatches: Int, batchSize: Int,
+      nPool: Int, cap: Int, ttlSec: Int): TtlSoak = {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    // A TTL'd transformWithState runs in processing-time mode, where the
+    // planner re-triggers micro-batches forever (processing time always
+    // advances — that is what fires the TTL cleanup between arrivals).
+    // Under the default 0ms trigger that is a busy loop and
+    // processAllAvailable never observes quiescence — so the TTL soak
+    // drives on a real trigger interval and polls cumulative processed
+    // rows instead.
+    val q = graft.streaming.DocStream.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), cap = cap,
+        ttl = org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(ttlSec)))
+      .writeStream.format("memory").queryName("soak_neardup_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+      .start()
+    // pool texts are shingle-disjoint across pools AND phases (the
+    // soakNearDup construction): expected bucket counts stay exact
+    def poolText(pool: Long, tag: String): String =
+      (0 until 12).map(k => s"$tag$pool" + s"x$k").mkString(" ")
+    // Await COMMIT of a specific source offset. numInputRows is 0 on
+    // every progress event in the continuous-retrigger (TTL) mode, so
+    // row counting is unusable here — but sources.endOffset advances
+    // exactly when the batch that consumed the data commits, and
+    // progress events are emitted post-commit.
+    def committedOffset: Long =
+      Option(q.lastProgress).flatMap(_.sources.headOption)
+        .flatMap(s => Option(s.endOffset)).map(_.replaceAll("[^0-9]", ""))
+        .filter(_.nonEmpty).map(_.toLong).getOrElse(-1L)
+    def awaitOffset(off: org.apache.spark.sql.connector.read.streaming.Offset): Unit = {
+      val want = off.json.replaceAll("[^0-9]", "").toLong
+      val deadline = System.currentTimeMillis + 300000
+      while (committedOffset < want && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      require(committedOffset >= want,
+        s"soak stalled: committed offset $committedOffset < $want")
+    }
+    def lastStateRows: Long = q.recentProgress.toSeq.reverse
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      .headOption.getOrElse(0L)
+    try {
+      val t0 = System.nanoTime()
+      var id = 0L
+      def feed(tag: String): Unit = {
+        var last: org.apache.spark.sql.connector.read.streaming.Offset = null
+        for (_ <- 0 until nBatches)
+          last = mem.addData((0 until batchSize).map { _ =>
+            id += 1
+            (id, poolText(id % nPool, tag))
+          })
+        awaitOffset(last)
+      }
+      feed("a")
+      val plateau1 = lastStateRows
+      Thread.sleep((ttlSec + 2) * 1000L) // let phase-1 members expire
+      feed("b")
+      val fin = lastStateRows
+      // membership probe: one fresh doc per phase-1 pool text — expired
+      // buckets are empty, so NOTHING may match (and single docs per
+      // pool can't pair with each other)
+      val before = spark.sql("SELECT count(*) FROM soak_neardup_ttl")
+        .head().getLong(0)
+      val probeOff = mem.addData((0 until nPool).map { p =>
+        id += 1; (id, poolText(p.toLong, "a"))
+      })
+      awaitOffset(probeOff)
+      val probeHits = spark.sql("SELECT count(*) FROM soak_neardup_ttl")
+        .head().getLong(0) - before
+      val wall = (System.nanoTime() - t0) / 1e9
+      val peak = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)) match {
+        case s if s.nonEmpty => s.max
+        case _ => 0L
+      }
+      TtlSoak(2L * nBatches * batchSize + nPool, wall, peak, plateau1, fin,
+        probeHits, 2 * nBatches + 1)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.length > 0) args(0).toInt else 1000000
     val outPath = if (args.length > 1) args(1) else "STREAM_SOAK.json"
@@ -322,6 +424,13 @@ object StreamSoak {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (args.contains("ttl-trial")) { // local calibration aid: TTL soak only
+      val bs = if (nEvents > 0) nEvents else 2000
+      val t = soakNearDupTtl(spark, 4, bs, nPool = 50, cap = 4, ttlSec = 4)
+      println(s"[ttl-trial] $t")
+      spark.stop()
+      return
+    }
     val sess = soakSessionizer(spark, nBatches, batchSize, nUsers)
     val hh = soakHeavyHitters(spark, nBatches, batchSize)
     // join soak: 30 steady batches is ~3.3 plateau windows (buffer bound
@@ -340,6 +449,9 @@ object StreamSoak {
     val ndCap = 8
     val nd = soakNearDup(spark, nBatches, batchSize, nPool, ndCap)
     val ndHits = spark.sql("SELECT count(*) FROM soak_neardup").head().getLong(0)
+    val ttlSec = 5
+    val ndTtl = soakNearDupTtl(spark, nBatches = 8, batchSize = nEvents / 100,
+      nPool = nPool, cap = ndCap, ttlSec = ttlSec)
     val funnelRows = spark.sql("SELECT count(*) FROM soak_funnel").head().getLong(0)
     val funnelUsers = spark.sql("SELECT count(DISTINCT user_id) FROM soak_funnel")
       .head().getLong(0)
@@ -374,7 +486,14 @@ object StreamSoak {
       s""""neardup_tws":${j(nd,
         s""""pool_texts":$nPool,"cap":$ndCap,"hits":$ndHits,""" +
         s""""state_ceiling":${nPool * 4 * ndCap},""" +
-        s""""hits_ceiling":${nPool.toLong * 4 * ndCap * (ndCap - 1) / 2},""")}}"""
+        s""""hits_ceiling":${nPool.toLong * 4 * ndCap * (ndCap - 1) / 2},""")},""" +
+      f""""neardup_ttl":{"rows":${ndTtl.rows},""" +
+      f""""wall_sec":${ndTtl.wallSec}%.3f,"ttl_sec":$ttlSec,""" +
+      s""""peak_state_rows":${ndTtl.peakStateRows},""" +
+      s""""phase1_plateau_rows":${ndTtl.phase1PlateauRows},""" +
+      s""""final_state_rows":${ndTtl.finalStateRows},""" +
+      s""""no_ttl_accumulation_rows":${2 * nPool * 4},""" +
+      s""""probe_hits_after_expiry":${ndTtl.probeHits}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.getBytes("UTF-8"))
     println(out)
@@ -395,14 +514,26 @@ object StreamSoak {
     // emits C(cap,2) verified pairs, then drops juniors forever.
     val ndOk = nd.peakStateRows <= nPool.toLong * 4 * ndCap &&
       ndHits == nPool.toLong * 4 * ndCap * (ndCap - 1) / 2 && ndHits > 0
-    if (!evicted || !orphanEvicted || orphanRows == 0 || !funnelOk || !ndOk) {
+    // TTL contracts: an expired family must stop MATCHING (zero probe
+    // hits — the behavioral definition of a sliding-recency window) and
+    // final state must sit clearly below the no-TTL two-pool
+    // accumulation (phase-1 members swept by phase-2's batch cleanups;
+    // the 1.5× slack tolerates lazily-reported store rows, while any
+    // archive behavior would hold the full 2× pools)
+    val ndTtlOk = ndTtl.probeHits == 0 &&
+      ndTtl.finalStateRows < (1.5 * nPool * 4).toLong &&
+      ndTtl.phase1PlateauRows > 0
+    if (!evicted || !orphanEvicted || orphanRows == 0 || !funnelOk || !ndOk
+        || !ndTtlOk) {
       System.err.println(s"[soak] state contract violated: " +
         s"inner peak=${join.peakStateRows} final=${join.postWatermarkStateRows} " +
         s"outer peak=${orphan.peakStateRows} final=${orphan.postWatermarkStateRows} " +
         s"orphans=$orphanRows funnel conv=$funnelRows distinct=$funnelUsers " +
         s"peak=${fun.peakStateRows} (users=$nUsers) " +
         s"neardup peak=${nd.peakStateRows} hits=$ndHits " +
-        s"(ceilings ${nPool * 4 * ndCap}/${nPool.toLong * 4 * ndCap * (ndCap - 1) / 2})")
+        s"(ceilings ${nPool * 4 * ndCap}/${nPool.toLong * 4 * ndCap * (ndCap - 1) / 2}) " +
+        s"ttl plateau=${ndTtl.phase1PlateauRows} final=${ndTtl.finalStateRows} " +
+        s"probe_hits=${ndTtl.probeHits}")
       sys.exit(1)
     }
   }

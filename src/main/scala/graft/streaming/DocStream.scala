@@ -43,7 +43,11 @@ case class BandMember(doc_id: Long, sh: Array[Long])
   * first-cap-by-doc_id clamp, so for in-order (doc_id-ascending)
   * arrival the emitted pair set (after the per-band dropDuplicates)
   * EQUALS the batch LSH pair frame; out-of-order arrival degrades only
-  * WHICH family members survive a saturated bucket, never the bound.
+  * WHICH family members survive a saturated bucket (first-arrival
+  * wins), never the bound — and while no bucket saturates, even a
+  * fully doc_id-descending replay reproduces the batch frame exactly.
+  * Both halves are spec-pinned (EventStreamSpec's descending-replay and
+  * descending-storm tests).
   *
   * Scale posture: per-bucket state is ≤ cap members regardless of how
   * many clones flood that bucket (the clone-storm soak's claim — state
@@ -52,7 +56,15 @@ case class BandMember(doc_id: Long, sh: Array[Long])
   * grows with the DISTINCT-bucket count (i.e. with corpus novelty, not
   * with event count); a deployment bounding total retention sets a
   * TTL on the member state — plumbed here via `ttl` — turning the
-  * index into a sliding-recency dedup window.
+  * index into a sliding-recency dedup window: expired members stop
+  * matching and their state rows are swept by subsequent batches
+  * (spec-pinned in EventStreamSpec; decay measured in STREAM_SOAK.json's
+  * `neardup_ttl` entry). NOTE a TTL'd query runs in processing-time
+  * mode, where Spark re-triggers micro-batches for as long as the query
+  * lives (processing time always advances — that is what fires the
+  * cleanup): give it a real trigger interval, and await source OFFSETS
+  * rather than processAllAvailable, which never observes quiescence
+  * under continuous re-trigger.
   */
 object DocStream {
 
@@ -77,7 +89,12 @@ object DocStream {
       .filter(col("bucket").isNotNull) // shingle-less docs band to NULL: no bucket, no state
       .as[BandProbe]
       .groupByKey(_.bucket)
-      .transformWithState(new NearDupProcessor(cap, ttl), TimeMode.None(),
+      // TTL state requires a clock: processing-time mode iff a TTL is
+      // configured (state-TTL is defined against processing time; with
+      // no TTL the processor is clockless and TimeMode.None is cheaper)
+      .transformWithState(new NearDupProcessor(cap, ttl),
+        if (ttl.ttlDuration == null || ttl.ttlDuration.isZero) TimeMode.None()
+        else TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
 
@@ -93,7 +110,10 @@ object DocStream {
     * watermark, no shuffle; it composes in front of [[nearDupStream]]
     * in the same ingest query. `n_shared` counts DISTINCT shared
     * shingle hashes (the containment numerator of
-    * q_contamination_pairs, summed over the whole eval set).
+    * q_contamination_pairs, summed over the whole eval set) — the SAME
+    * arithmetic as the batch [[DedupOps.qDecontaminate]], so the two
+    * paths agree row-for-row on `(doc_id, n_shared, contaminated)`
+    * (EventStreamSpec pins the full-row equality, not just the flag).
     */
   def decontaminateStream(docs: DataFrame, evalHashes: Set[Long]): DataFrame = {
     val evalArr = typedLit(evalHashes.toSeq.sorted)
@@ -139,7 +159,6 @@ object DocStream {
       stored ++= members.get()
       val have = scala.collection.mutable.Set[Long](stored.toSeq.map(_.doc_id): _*)
       val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
-      var appended = false
       for (p <- rows.toArray.sortBy(_.doc_id) if !have.contains(p.doc_id)) {
         if (stored.size < cap) {
           var i = 0
@@ -151,10 +170,13 @@ object DocStream {
           }
           stored += BandMember(p.doc_id, p.sh)
           have += p.doc_id
-          appended = true
+          // appendValue, not put: each member keeps its OWN TTL
+          // insertion timestamp, so an expiring bucket decays member
+          // by member (true sliding recency) instead of having every
+          // member's clock reset whenever any new member joins
+          members.appendValue(BandMember(p.doc_id, p.sh))
         } // full bucket: junior dropped, nothing emitted (batch cap semantics)
       }
-      if (appended) members.put(stored.toArray)
       out.iterator
     }
   }

@@ -551,13 +551,15 @@ class EventStreamSpec extends SparkSpec {
         mem.addData(chunk.toSeq)
         q.processAllAvailable()
       }
+      // full-row equality: n_shared MAGNITUDES agree, not just the flag
+      // (both sides count DISTINCT shared shingle hashes)
       val streamed = spark.table("decon_stream").collect()
-        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val batch = graft.operators.DedupOps.qDecontaminate(spark, sf).collect()
-        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(streamed === batch,
-        "streamed contamination flags must equal the batch scrub")
-      assert(batch.values.sum > 0, "fixture must surface contaminated docs")
+        "streamed (n_shared, contaminated) must equal the batch scrub row-for-row")
+      assert(batch.values.map(_._2).sum > 0, "fixture must surface contaminated docs")
       // stateless: the gate must run no stateful operator (narrow
       // projection only — no state store, no watermark, no shuffle)
       assert(q.lastProgress == null ||
@@ -608,6 +610,155 @@ class EventStreamSpec extends SparkSpec {
         .map(_.numRowsTotal).getOrElse(-1L)
       assert(stateRows >= 0 && stateRows <= 4L * cap,
         s"state rows $stateRows exceed bands*cap=${4 * cap}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("nearDupStream: OUT-OF-ORDER (doc_id-descending) replay still equals the batch frame while no bucket saturates") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Guard: the documented degradation is CONFINED to saturated buckets
+    // (arrival order decides which members survive a full bucket). At
+    // sf0.001 no band bucket reaches the cap, so descending arrival must
+    // reproduce the batch pair set EXACTLY — membership, pairs, jaccards.
+    // If the fixture ever grows a >cap bucket this guard fails loudly and
+    // the assertion below must move to the storm test's weaker form.
+    val maxBucket = graft.operators.DedupOps
+      .bandRows(Tables.documents(spark, sf).select("doc_id", "text"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").count().agg(max("count")).head.getLong(0)
+    assert(maxBucket <= graft.operators.DedupOps.MinhashBandCap,
+      s"fixture has a saturated bucket ($maxBucket): descending-equality premise broken")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStream.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_desc")
+      .outputMode("append").start()
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(-_._1) // worst-case out-of-order: strictly descending
+      for (chunk <- docs.grouped(math.max(1, docs.length / 3 + 1))) {
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("neardup_desc")
+        .select("doc_a", "doc_b", "jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.DedupOps.qDedupMinhashPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch,
+        s"descending replay: ${streamed.size} pairs vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("nearDupStream: at a SATURATED bucket, out-of-order arrival changes WHICH members survive (first-arrival wins) but never the bound") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cap = 4
+    val clone = "the same boilerplate license header text repeated on every single clone"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStream.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), cap = cap)
+      .writeStream.format("memory").queryName("neardup_desc_storm")
+      .outputMode("append").start()
+    try {
+      // the clone family arrives REVERSED, one doc per micro-batch, so
+      // arrival order and doc_id order disagree maximally
+      for (i <- 10L to 1L by -1L) {
+        mem.addData(Seq((i, clone)))
+        q.processAllAvailable()
+      }
+      val hits = spark.table("neardup_desc_storm").collect()
+      // bound unchanged: C(cap,2) pairs per band, 6 distinct pairs
+      assert(hits.length === 4 * 6, s"got ${hits.length} hits")
+      assert(hits.forall(_.getAs[Double]("jaccard") === 1.0))
+      assert(spark.table("neardup_desc_storm")
+        .select("doc_a", "doc_b").distinct().count() === 6L)
+      // degradation pinned: survivors are the FIRST ARRIVALS (10,9,8,7),
+      // not the batch clamp's smallest doc_ids (1,2,3,4) — this is the
+      // membership difference the scaladoc documents for out-of-order
+      assert(hits.forall(r => r.getAs[Long]("doc_a") >= 7L &&
+        r.getAs[Long]("doc_b") >= 7L),
+        "saturated-bucket survivors must be first arrivals")
+      val stateRows = q.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows >= 0 && stateRows <= 4L * cap)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("nearDupStream TTL: expired members stop matching — the index becomes a sliding-recency window") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val clone = "the same boilerplate license header text repeated on every single clone"
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(3))
+    val mem = MemoryStream[(Long, String)](spark)
+    // A TTL'd transformWithState runs in processing-time mode, where the
+    // planner re-triggers micro-batches FOREVER (shouldRunAnotherBatch:
+    // processing time always advances — that's what fires the TTL
+    // cleanup). Under the default 0ms trigger that is a busy loop and
+    // processAllAvailable never observes quiescence, so: real trigger
+    // interval + progress polling instead of processAllAvailable.
+    val q = graft.streaming.DocStream.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), ttl = ttl)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+      .start()
+    // await COMMIT of a specific source offset: progress events are
+    // emitted post-commit, and in the continuous-retrigger mode
+    // numInputRows is unreliable (reported 0), so offsets are the only
+    // trustworthy progress signal
+    def awaitOffset(off: org.apache.spark.sql.connector.read.streaming.Offset): Unit = {
+      val want = off.json.replaceAll("[^0-9]", "").toLong
+      val deadline = System.currentTimeMillis + 60000
+      def committed: Long = Option(q.lastProgress).flatMap(_.sources.headOption)
+        .flatMap(s => Option(s.endOffset)).map(_.replaceAll("[^0-9]", ""))
+        .filter(_.nonEmpty).map(_.toLong).getOrElse(-1L)
+      while (committed < want && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(committed >= want, s"offset $want not committed in time")
+    }
+    try {
+      awaitOffset(mem.addData(Seq((1L, clone))))
+      // doc 1 joined its 4 buckets; no hits yet
+      assert(spark.table("neardup_ttl").count() === 0L)
+      Thread.sleep(4500)      // > TTL: doc 1's membership expires
+      // docs 2 and 3 arrive in ONE batch (intra-batch gap is zero, so
+      // their mutual match cannot itself be expired away): doc 2 must
+      // see an EMPTY bucket — no (1,2) hit — and doc 3 matches doc 2
+      awaitOffset(mem.addData(Seq((2L, clone), (3L, clone))))
+      val hits = spark.table("neardup_ttl")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hits.length === 4 && hits.forall(_ == (2L, 3L)),
+        s"expected only (2,3) x 4 bands after expiry, got ${hits.toSeq}")
     } finally {
       q.stop()
       prevProvider match {
