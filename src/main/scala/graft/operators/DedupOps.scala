@@ -1029,13 +1029,34 @@ object DedupOps {
   /** Builds the historical index for `dir` once per content fingerprint
     * (`_built` marker — reused across sessions AND rounds until the
     * fixture changes) and returns its path. Shared by the incremental
-    * probe and the compaction entry. Marker-not-lock caveat as above.
+    * probe and the compaction entry. Published atomically (staging dir +
+    * rename, losers discarded) like [[compactIndex]]; the marker keeps
+    * only its single-process idempotence role.
     */
   private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
     val path = indexPathFor(dir)
     val marker = new java.io.File(s"$path/_built")
     if (!marker.isFile) {
-      buildMinhashIndex(spark, dir, path)
+      // same atomic-publish discipline as compactIndex: build into a
+      // staging dir and rename(2) into place, so a racing reader (or a
+      // crashed build) can never observe a partial bands/sigs pair; the
+      // marker keeps only its single-process idempotence role
+      val staging = s"$path.inprogress"
+      deleteRecursively(new java.io.File(staging))
+      // a marker-less path is a legacy in-place partial build (crashed
+      // before its marker): clear it so the rename can land — under the
+      // documented single-process assumption nobody is reading it
+      deleteRecursively(new java.io.File(path))
+      buildMinhashIndex(spark, dir, staging)
+      try
+        java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException
+            if new java.io.File(s"$path/bands").isDirectory =>
+          deleteRecursively(new java.io.File(staging)) // racer won, same content
+      }
       marker.createNewFile()
     }
     path

@@ -124,7 +124,7 @@ object SimilarityOps {
     */
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
-  private def ivfModelCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+  private[graft] def ivfModelCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     ivfCentroids.computeIfAbsent(
       graft.Tables.contentFingerprint(s"$dir/embeddings.parquet"), { _ =>
       import org.apache.spark.ml.clustering.KMeans

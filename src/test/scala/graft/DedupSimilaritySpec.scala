@@ -909,4 +909,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inc.exceptAll(exp).count() === 0)
     assert(exp.exceptAll(inc).count() === 0)
   }
+
+  test("IVF centroid cache keys on embeddings CONTENT: unchanged fixture hits, regenerated fixture refits") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfcache").toString
+    def writeEmb(seed: Long): Unit = {
+      val rnd = new scala.util.Random(seed)
+      (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    }
+    writeEmb(seed = 1)
+    val c1 = SimilarityOps.ivfModelCentroids(spark, tmp)
+    // same content -> cache hit (the SAME array instance, no refit)
+    assert(SimilarityOps.ivfModelCentroids(spark, tmp) eq c1)
+    // regenerate the fixture AT THE SAME PATH with different content:
+    // the content fingerprint changes (new part-file names/sizes), so
+    // the cache must REFIT instead of serving seed-1 centroids — the
+    // staleness the (session, dir)-keyed cache used to allow
+    writeEmb(seed = 2)
+    val c2 = SimilarityOps.ivfModelCentroids(spark, tmp)
+    assert(!(c2 eq c1) && c2.flatten.toSeq != c1.flatten.toSeq,
+      "regenerated embeddings must produce freshly fitted centroids")
+  }
 }
