@@ -101,9 +101,10 @@ object DocStream {
   /** Streaming benchmark-decontamination gate — the continuous twin of
     * [[graft.operators.DedupOps.qDecontaminate]]: every arriving
     * document is scored against the held-out eval set's distinct
-    * 5-shingle hashes and emits `(doc_id, n_shared, contaminated)`, so
-    * a training-data ingest can drop leaked benchmark items ON ARRIVAL
-    * instead of in a later batch scrub. STATELESS by design: the eval
+    * 5-shingle hashes and emits the input row plus
+    * `(n_shared, contaminated)`, so a training-data ingest can drop
+    * leaked benchmark items ON ARRIVAL instead of in a later batch
+    * scrub. STATELESS by design: the eval
     * set is a compile-into-the-plan constant (eval benchmarks are small
     * by definition — the batch operator broadcasts the same set), so
     * the gate is a narrow codegen projection with no state store, no
@@ -117,13 +118,15 @@ object DocStream {
     */
   def decontaminateStream(docs: DataFrame, evalHashes: Set[Long]): DataFrame = {
     val evalArr = typedLit(evalHashes.toSeq.sorted)
+    // PRESERVES the input columns (text and anything else riding along):
+    // a gate that dropped the payload couldn't gate an ingest — this is
+    // what lets `.filter(contaminated === 0)` pipe straight into
+    // [[nearDupStream]] in one query (spec-proven composition)
     docs
-      .select(col("doc_id"),
-        array_distinct(ShingleHash32(col("text"), 5)).as("sh"))
-      .select(col("doc_id"),
-        size(array_intersect(col("sh"), evalArr)).cast("long").as("n_shared"))
-      .select(col("doc_id"), col("n_shared"),
-        (col("n_shared") > 0).cast("long").as("contaminated"))
+      .withColumn("n_shared",
+        size(array_intersect(
+          array_distinct(ShingleHash32(col("text"), 5)), evalArr)).cast("long"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
   }
 
   /** The batch verify arithmetic on driver-side sets: |a∩b| / |a∪b|

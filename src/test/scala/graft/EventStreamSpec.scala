@@ -554,7 +554,8 @@ class EventStreamSpec extends SparkSpec {
       // full-row equality: n_shared MAGNITUDES agree, not just the flag
       // (both sides count DISTINCT shared shingle hashes)
       val streamed = spark.table("decon_stream").collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_shared"), r.getAs[Long]("contaminated")))).toMap
       val batch = graft.operators.DedupOps.qDecontaminate(spark, sf).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(streamed === batch,
@@ -759,6 +760,63 @@ class EventStreamSpec extends SparkSpec {
         .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(hits.length === 4 && hits.forall(_ == (2L, 3L)),
         s"expected only (2,3) x 4 bands after expiry, got ${hits.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("composed ingest query: decontamination gate piped into nearDupStream drops contaminated docs before they reach near-dup state") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evalHashes = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0)
+      .select(explode(graft.functions.ShingleHash32(col("text"), 5)).as("h"))
+      .distinct().as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)](spark)
+    // THE composition the scaladoc sells: gate -> filter clean -> near-dup,
+    // one streaming query (stateless projection in front of the TWS)
+    val gated = graft.streaming.DocStream.decontaminateStream(
+        mem.toDS().toDF("doc_id", "text"), evalHashes)
+      .filter(col("contaminated") === 0).select("doc_id", "text")
+    val q = graft.streaming.DocStream.nearDupStream(gated)
+      .writeStream.format("memory").queryName("clean_ingest")
+      .outputMode("append").start()
+    try {
+      val train = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 20 =!= 0).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      for (chunk <- train.grouped(math.max(1, train.length / 3 + 1))) {
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("clean_ingest")
+        .select("doc_a", "doc_b", "jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // expected = the batch LSH frame restricted to pairs whose BOTH
+      // endpoints are clean train docs. Exact because no sf0.001 bucket
+      // saturates (guard-asserted by the descending-replay test), so
+      // removing docs can't change which survivors a cap admits.
+      val clean = graft.operators.DedupOps.qDecontaminate(spark, sf)
+        .filter(col("contaminated") === 0).select("doc_id")
+        .as[Long].collect().toSet
+      val expected = graft.operators.DedupOps.qDedupMinhashPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(p => clean.contains(p._1) && clean.contains(p._2) &&
+          p._1 % 20 != 0 && p._2 % 20 != 0).toSet
+      assert(streamed === expected,
+        s"composed ingest: ${streamed.size} pairs vs expected ${expected.size}")
+      assert(expected.nonEmpty, "fixture must keep some clean near-dup pairs")
+      // the gate must have actually removed something: at least one full
+      // batch pair touches a contaminated or eval doc
+      val full = graft.operators.DedupOps.qDedupMinhashPairs(spark, sf).count()
+      assert(full > expected.size, "gate removed nothing — fixture no longer exercises it")
     } finally {
       q.stop()
       prevProvider match {
