@@ -64,7 +64,11 @@ object Bench {
                   "q_dedup_simhash_pairs", "q_containment", "q_roc_points",
                   "q_pca_project", "q_kmeans_anomaly", "q_iforest_score",
                   "q_silhouette", "q_pq_codes", "q_ann_ivf", "q_ann_ivfpq",
-                  "q_semantic_dedup", "q_token_freq_spectrum"))
+                  "q_semantic_dedup", "q_token_freq_spectrum",
+                  // pins the shared per-doc distinct-5-shingle Memo frame
+                  // (docShingleHashes5) so none of its three consumers
+                  // absorbs the cold shingling build into a timed run
+                  "q_decontaminate"))
       try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => () }
     // min of 3 runs per query: later runs exclude one-time codegen
     // compilation, and the min rides out GC/JIT noise (observed ±15% on

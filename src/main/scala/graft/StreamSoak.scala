@@ -415,17 +415,25 @@ object StreamSoak {
   }
 
   def main(args: Array[String]): Unit = {
-    val nEvents = if (args.length > 0) args(0).toInt else 1000000
-    val outPath = if (args.length > 1) args(1) else "STREAM_SOAK.json"
+    // Flags first, THEN positionals: `runMain graft.StreamSoak ttl-trial`
+    // must not try to parse the flag as the event count.
+    val positional = args.filterNot(_ == "ttl-trial")
+    val nEventsOpt = positional.headOption.map(_.toInt)
+    val nEvents = nEventsOpt.getOrElse(1000000)
+    val outPath = if (positional.length > 1) positional(1) else "STREAM_SOAK.json"
     val nBatches = 50
-    val batchSize = nEvents / nBatches
+    // floor at 1: a sub-nBatches event count must still feed every batch
+    // (batchSize 0 would plateau the TTL soak at 0 and fail it by design)
+    val batchSize = math.max(1, nEvents / nBatches)
     val nUsers = 5000
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     if (args.contains("ttl-trial")) { // local calibration aid: TTL soak only
-      val bs = if (nEvents > 0) nEvents else 2000
+      // explicit positive count wins; bare `ttl-trial` gets the trial
+      // default (2000), NOT the million-event main-soak default
+      val bs = nEventsOpt.filter(_ > 0).getOrElse(2000)
       val t = soakNearDupTtl(spark, 4, bs, nPool = 50, cap = 4, ttlSec = 4)
       println(s"[ttl-trial] $t")
       spark.stop()
@@ -435,12 +443,12 @@ object StreamSoak {
     val hh = soakHeavyHitters(spark, nBatches, batchSize)
     // join soak: 30 steady batches is ~3.3 plateau windows (buffer bound
     // ≈ 9 batches) — enough to see rise → plateau → post-drain fall
-    val join = soakIntervalJoin(spark, nBatches = 30, batchSize = nEvents / 160)
+    val join = soakIntervalJoin(spark, nBatches = 30, batchSize = math.max(1, nEvents / 160))
     // LEFT OUTER twin: same watermark-eviction contract, PLUS the
     // null-side rows must actually emit once the watermark proves
     // no-match — both measured here (r9 verdict item 7).
     val orphan = soakIntervalJoin(spark, nBatches = 30,
-      batchSize = nEvents / 160,
+      batchSize = math.max(1, nEvents / 160),
       pipeline = EventStream.orphanErrors, name = "soak_orphan")
     val ohlc = soakOhlc(spark, nBatches, batchSize)
     val drift = soakDrift(spark, nBatches, batchSize, nUsers)
@@ -450,7 +458,7 @@ object StreamSoak {
     val nd = soakNearDup(spark, nBatches, batchSize, nPool, ndCap)
     val ndHits = spark.sql("SELECT count(*) FROM soak_neardup").head().getLong(0)
     val ttlSec = 5
-    val ndTtl = soakNearDupTtl(spark, nBatches = 8, batchSize = nEvents / 100,
+    val ndTtl = soakNearDupTtl(spark, nBatches = 8, batchSize = math.max(1, nEvents / 100),
       nPool = nPool, cap = ndCap, ttlSec = ttlSec)
     val funnelRows = spark.sql("SELECT count(*) FROM soak_funnel").head().getLong(0)
     val funnelUsers = spark.sql("SELECT count(DISTINCT user_id) FROM soak_funnel")

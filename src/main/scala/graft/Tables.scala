@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,13 +89,25 @@ object Tables {
     * model — must be keyed by this rather than by the path alone, so a
     * driver-regenerated fixture at the same path can never silently serve
     * a stale derivation: new content → new fingerprint → fresh build.
+    * The walk is RECURSIVE (a partitioned table's data files live in
+    * nested part directories whose top-level names/mtimes can survive a
+    * content rewrite), and a missing path is an error: a fingerprint of
+    * nothing is never a useful cache key, and every caller is about to
+    * read the path anyway.
     */
   def contentFingerprint(pathStr: String): String = {
-    val p = new java.io.File(pathStr)
+    val root = java.nio.file.Paths.get(pathStr)
+    require(java.nio.file.Files.exists(root),
+      s"contentFingerprint: $pathStr does not exist — refusing to key a cache on a missing input")
+    val walk = java.nio.file.Files.walk(root)
     val listing =
-      if (p.isFile) s"${p.getName}:${p.length}:${p.lastModified}"
-      else Option(p.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { f =>
+          val rel = root.relativize(f)
+          s"$rel:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+        }.toSeq.sorted.mkString("|")
+      finally walk.close()
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$pathStr|$listing".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -281,14 +281,28 @@ object DedupOps {
     * batch scrub and the continuous gate agree on MAGNITUDES, not just
     * on the contaminated flag.
     */
+  /** Per-document DISTINCT word-5-shingle hash arrays — the one frame
+    * every 5-shingle consumer ([[qDecontaminate]],
+    * [[qContaminationPairs]], TextOps.qNgramNovelty) derives from, so
+    * the shingling + array_distinct CPU (the dominant per-row cost —
+    * the r13 ×10 slope of q_decontaminate was paying it a second time)
+    * is spent once per (session, dir) and served from storage memory
+    * thereafter. Same pattern as the 3-shingle `docShingleHashes` memo.
+    */
+  private[operators] def docShingle5(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached("docShingleHashes5", spark, dir) {
+      spread(spark, documents(spark, dir))
+        .select(col("doc_id"),
+          array_distinct(ShingleHash32(col("text"), 5)).as("sh5"))
+    }
+
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val isEval = col("doc_id") % 20 === 0
-    val docs = spread(spark, documents(spark, dir))
+    val docs = docShingle5(spark, dir)
     val corpusH = docs.filter(!isEval)
-      .select(col("doc_id"),
-        explode(array_distinct(ShingleHash32(col("text"), 5))).as("h"))
+      .select(col("doc_id"), explode(col("sh5")).as("h"))
     val evalH = docs.filter(isEval)
-      .select(explode(ShingleHash32(col("text"), 5)).as("h")).distinct()
+      .select(explode(col("sh5")).as("h")).distinct()
     val shared = corpusH.join(broadcast(evalH), Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     docs.filter(!isEval).select(col("doc_id"))
@@ -322,14 +336,12 @@ object DedupOps {
     */
   def qContaminationPairs(spark: SparkSession, dir: String): DataFrame = {
     val isEval = col("doc_id") % 20 === 0
-    val docs = spread(spark, documents(spark, dir))
-      .select(col("doc_id"),
-        array_distinct(ShingleHash32(col("text"), 5)).as("sh"))
+    val docs = docShingle5(spark, dir)
     val train = docs.filter(!isEval)
-      .select(col("doc_id").as("train_doc"), explode(col("sh")).as("h"))
+      .select(col("doc_id").as("train_doc"), explode(col("sh5")).as("h"))
     val ev = docs.filter(isEval)
       .select(col("doc_id").as("eval_doc"),
-        size(col("sh")).cast("long").as("eval_sh"), explode(col("sh")).as("h"))
+        size(col("sh5")).cast("long").as("eval_sh"), explode(col("sh5")).as("h"))
     val pairs = train.join(broadcast(ev), Seq("h"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"), max(col("eval_sh")).as("eval_sh"))
@@ -1026,14 +1038,30 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
+  /** Per-index-path build monitors: the atomic rename protects CROSS-
+    * process races, but two THREADS in one JVM racing the first build
+    * could otherwise interleave "clear the marker-less legacy path" with
+    * the sibling's just-renamed live index (delete-under-reader). One
+    * monitor per path serializes intra-process builds; entries are a few
+    * dozen bytes per distinct index path, never evicted by design. */
+  private val indexBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Builds the historical index for `dir` once per content fingerprint
     * (`_built` marker — reused across sessions AND rounds until the
     * fixture changes) and returns its path. Shared by the incremental
     * probe and the compaction entry. Published atomically (staging dir +
-    * rename, losers discarded) like [[compactIndex]]; the marker keeps
-    * only its single-process idempotence role.
+    * rename, losers discarded) like [[compactIndex]] against OTHER
+    * processes; same-JVM callers additionally serialize on a per-path
+    * monitor, so the single-process idempotence the `_built` marker
+    * provides holds per-THREAD too (a second thread blocks, then sees
+    * the marker and returns without touching the tree).
     */
-  private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
+  private[graft] def ensureIndex(spark: SparkSession, dir: String): String =
+    indexBuildLocks.computeIfAbsent(indexPathFor(dir), _ => new Object)
+      .synchronized { ensureIndexLocked(spark, dir) }
+
+  private def ensureIndexLocked(spark: SparkSession, dir: String): String = {
     val path = indexPathFor(dir)
     val marker = new java.io.File(s"$path/_built")
     if (!marker.isFile) {

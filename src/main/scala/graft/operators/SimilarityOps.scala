@@ -122,20 +122,30 @@ object SimilarityOps {
     * arrays — never a (possibly stopped) SparkSession reference. The
     * fit itself is seeded, so a concurrent double-fit is benign.
     */
-  private val ivfCentroids =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
-  private[graft] def ivfModelCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    ivfCentroids.computeIfAbsent(
-      graft.Tables.contentFingerprint(s"$dir/embeddings.parquet"), { _ =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val fit = embeddings(spark, dir)
-        .filter(col("vec_id") < 2000)
-        .select(array_to_vector(toDouble(col("embedding"))).as("fv"))
-      new KMeans().setK(16).setSeed(42)
-        .setFeaturesCol("fv").setPredictionCol("list_id")
-        .fit(fit).clusterCenters.map(_.toArray)
-    })
+  private val ivfCentroids = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]])]()
+  private[graft] def ivfModelCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    // Keyed by PATH, holding (fingerprint, centroids): a regenerated
+    // fixture at the same path replaces its entry instead of adding one,
+    // so a long-lived process that rewrites a fixture N times (the
+    // DedupSimilaritySpec regeneration test) holds exactly one centroid
+    // set per distinct path — the cache is bounded by paths, not by
+    // content generations.
+    val fp = graft.Tables.contentFingerprint(s"$dir/embeddings.parquet")
+    ivfCentroids.compute(s"$dir/embeddings.parquet", { (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val fit = embeddings(spark, dir)
+          .filter(col("vec_id") < 2000)
+          .select(array_to_vector(toDouble(col("embedding"))).as("fv"))
+        (fp, new KMeans().setK(16).setSeed(42)
+          .setFeaturesCol("fv").setPredictionCol("list_id")
+          .fit(fit).clusterCenters.map(_.toArray))
+      }
+    })._2
+  }
 
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     graft.Memo("ann_ivf", spark, dir) {

@@ -958,16 +958,18 @@ object TextOps {
     * (10⁴ bp, 0 shingles). Exact integer basis points.
     */
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val h = spread(spark, documents(spark, dir))
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.ShingleHash32(col("text"), 5))).as("h"))
+    // per-doc distinct 5-shingles come from the Memo-cached frame shared
+    // with the decontamination family — shingling is computed once per
+    // (session, dir) across all three consumers
+    val h = DedupOps.docShingle5(spark, dir)
+      .select(col("doc_id"), explode(col("sh5")).as("h"))
     val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val nov = h.join(first, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
           .as("n_novel"))
-    documents(spark, dir).select(col("doc_id"))
+    DedupOps.docShingle5(spark, dir).select(col("doc_id"))
       .join(nov, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),

@@ -115,8 +115,18 @@ object DocStream {
     * arithmetic as the batch [[DedupOps.qDecontaminate]], so the two
     * paths agree row-for-row on `(doc_id, n_shared, contaminated)`
     * (EventStreamSpec pins the full-row equality, not just the flag).
+    * `n_shared` and `contaminated` are reserved output column names:
+    * an input that already carries either is rejected (IAE), never
+    * silently overwritten.
     */
   def decontaminateStream(docs: DataFrame, evalHashes: Set[Long]): DataFrame = {
+    // `n_shared` / `contaminated` are RESERVED output columns: silently
+    // overwriting an input column of the same name would corrupt the
+    // payload this gate promises to preserve — fail loudly instead.
+    for (reserved <- Seq("n_shared", "contaminated"))
+      require(!docs.columns.contains(reserved),
+        s"decontaminateStream: input already has a '$reserved' column — " +
+          "it is a reserved output column of this gate; rename it upstream")
     val evalArr = typedLit(evalHashes.toSeq.sorted)
     // PRESERVES the input columns (text and anything else riding along):
     // a gate that dropped the payload couldn't gate an ingest — this is
