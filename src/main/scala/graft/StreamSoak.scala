@@ -312,6 +312,81 @@ object StreamSoak {
     }
   }
 
+  /** Crash-restart soak result: `exactlyOnce` is full pair-multiset
+    * equality between the interrupted and uninterrupted runs;
+    * `crossRestartHits` counts pairs whose junior side arrived AFTER the
+    * restart and whose senior side arrived BEFORE the crash — each one
+    * is direct evidence the member lists came back from the
+    * checkpointed RocksDB state rather than being rebuilt empty. */
+  final case class RestartSoak(rows: Long, wallSec: Double, batches: Int,
+      hitsInterrupted: Long, hitsReference: Long, crossRestartHits: Long,
+      exactlyOnce: Boolean)
+
+  /** Crash-restart recovery soak for
+    * [[graft.streaming.DocStream.nearDupStream]] — the production seam
+    * the per-operator soaks don't touch: a file-sink ingest query is
+    * KILLED mid-corpus (a batch enqueued but not awaited, so the stop
+    * can land before or inside its commit), restarted from the same
+    * checkpoint, and driven to the end of the corpus. Contracts: the
+    * recovered run's emitted pair multiset EQUALS an uninterrupted
+    * twin's (exactly-once across restart — nothing lost, nothing
+    * re-emitted; the read goes through the FileStreamSink metadata log,
+    * so a crashed batch's orphan files are invisible), and post-restart
+    * arrivals still pair with pre-crash members (RocksDB state
+    * recovery, not an empty rebuild). One doc per pool per batch with
+    * `cap > nBatches` keeps every bucket below its cap across the whole
+    * corpus, so cross-restart pairs exist by construction.
+    */
+  def soakNearDupRestart(spark: SparkSession, nBatches: Int, batchSize: Int,
+      cap: Int): RestartSoak = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val nPool = batchSize // one doc per pool per batch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_soak_restart_").toString
+    def poolText(pool: Long): String =
+      (0 until 12).map(k => s"r${pool}x$k").mkString(" ")
+    def docs(b: Int): Seq[(Long, String)] = (0 until batchSize).map { i =>
+      val id = b.toLong * batchSize + i
+      (id, poolText(id % nPool))
+    }
+    val half = math.max(1, nBatches / 2)
+    def run(name: String, crash: Boolean): org.apache.spark.sql.DataFrame = {
+      val out = s"$tmp/$name/out"
+      val ckpt = s"$tmp/$name/ckpt"
+      val mem = MemoryStream[(Long, String)](spark)
+      def start() = graft.streaming.DocStream.nearDupStream(
+          mem.toDS().toDF("doc_id", "text"), cap = cap)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start()
+      for (b <- 0 until half) { mem.addData(docs(b)); q1.processAllAvailable() }
+      if (crash) {
+        mem.addData(docs(half)) // un-awaited: the kill races this commit
+        q1.stop()
+        val q2 = start()
+        for (b <- half + 1 until nBatches) mem.addData(docs(b))
+        q2.processAllAvailable()
+        q2.stop()
+      } else {
+        for (b <- half until nBatches) mem.addData(docs(b))
+        q1.processAllAvailable()
+        q1.stop()
+      }
+      spark.read.format("parquet").load(out).select("doc_a", "doc_b")
+    }
+    val t0 = System.nanoTime()
+    val interrupted = run("crash", crash = true)
+    val reference = run("clean", crash = false)
+    val preMax = half.toLong * batchSize - 1
+    val exactlyOnce = interrupted.exceptAll(reference).isEmpty &&
+      reference.exceptAll(interrupted).isEmpty
+    RestartSoak(nBatches.toLong * batchSize,
+      (System.nanoTime() - t0) / 1e9, nBatches,
+      interrupted.count(), reference.count(),
+      interrupted.filter(col("doc_a") <= preMax && col("doc_b") > preMax).count(),
+      exactlyOnce)
+  }
+
   /** TTL soak result: state must RISE to phase-1's plateau, then — after
     * the harness sleeps past the TTL — phase 2's per-batch cleanup must
     * sweep the expired members back out, and a re-sent phase-1 clone
@@ -460,6 +535,8 @@ object StreamSoak {
     val ttlSec = 5
     val ndTtl = soakNearDupTtl(spark, nBatches = 8, batchSize = math.max(1, nEvents / 100),
       nPool = nPool, cap = ndCap, ttlSec = ttlSec)
+    val ndRestart = soakNearDupRestart(spark, nBatches = 10,
+      batchSize = math.max(2, nEvents / 10000), cap = 12)
     val funnelRows = spark.sql("SELECT count(*) FROM soak_funnel").head().getLong(0)
     val funnelUsers = spark.sql("SELECT count(DISTINCT user_id) FROM soak_funnel")
       .head().getLong(0)
@@ -501,7 +578,13 @@ object StreamSoak {
       s""""phase1_plateau_rows":${ndTtl.phase1PlateauRows},""" +
       s""""final_state_rows":${ndTtl.finalStateRows},""" +
       s""""no_ttl_accumulation_rows":${2 * nPool * 4},""" +
-      s""""probe_hits_after_expiry":${ndTtl.probeHits}}}"""
+      s""""probe_hits_after_expiry":${ndTtl.probeHits}},""" +
+      f""""neardup_restart":{"rows":${ndRestart.rows},""" +
+      f""""wall_sec":${ndRestart.wallSec}%.3f,"batches":${ndRestart.batches},""" +
+      s""""hits_interrupted":${ndRestart.hitsInterrupted},""" +
+      s""""hits_reference":${ndRestart.hitsReference},""" +
+      s""""cross_restart_hits":${ndRestart.crossRestartHits},""" +
+      s""""exactly_once":${ndRestart.exactlyOnce}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.getBytes("UTF-8"))
     println(out)
@@ -531,8 +614,11 @@ object StreamSoak {
     val ndTtlOk = ndTtl.probeHits == 0 &&
       ndTtl.finalStateRows < (1.5 * nPool * 4).toLong &&
       ndTtl.phase1PlateauRows > 0
+    // restart contracts: exactly-once pair multiset across the kill and
+    // at least one pair bridging the crash (state recovery evidence)
+    val ndRestartOk = ndRestart.exactlyOnce && ndRestart.crossRestartHits > 0
     if (!evicted || !orphanEvicted || orphanRows == 0 || !funnelOk || !ndOk
-        || !ndTtlOk) {
+        || !ndTtlOk || !ndRestartOk) {
       System.err.println(s"[soak] state contract violated: " +
         s"inner peak=${join.peakStateRows} final=${join.postWatermarkStateRows} " +
         s"outer peak=${orphan.peakStateRows} final=${orphan.postWatermarkStateRows} " +
@@ -541,7 +627,9 @@ object StreamSoak {
         s"neardup peak=${nd.peakStateRows} hits=$ndHits " +
         s"(ceilings ${nPool * 4 * ndCap}/${nPool.toLong * 4 * ndCap * (ndCap - 1) / 2}) " +
         s"ttl plateau=${ndTtl.phase1PlateauRows} final=${ndTtl.finalStateRows} " +
-        s"probe_hits=${ndTtl.probeHits}")
+        s"probe_hits=${ndTtl.probeHits} " +
+        s"restart exactly_once=${ndRestart.exactlyOnce} " +
+        s"cross_hits=${ndRestart.crossRestartHits}")
       sys.exit(1)
     }
   }

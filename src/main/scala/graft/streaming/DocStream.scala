@@ -68,7 +68,25 @@ case class BandMember(doc_id: Long, sh: Array[Long])
   */
 object DocStream {
 
-  /** Near-dup hits over a streaming `(doc_id, text)` frame. */
+  /** Near-dup hits over a streaming `(doc_id, text)` frame.
+    *
+    * ==TTL requires a real trigger interval==
+    * Passing `ttl != TTLConfig.NONE` switches the query to
+    * processing-time mode, where Spark re-triggers micro-batches for as
+    * long as the query lives (processing time always advances — that is
+    * what fires the state cleanup). Under the DEFAULT 0 ms trigger this
+    * is a busy loop — one state-store commit per shuffle partition per
+    * EMPTY batch, stages churning continuously — and
+    * `processAllAvailable()` NEVER returns because the query never
+    * observes quiescence (progress events also report `numInputRows=0`
+    * in this mode, so row polling stalls too). Drive a TTL'd query with
+    * `.trigger(Trigger.ProcessingTime(250))` (or any real interval) and
+    * await the SOURCE OFFSET your write committed rather than calling
+    * `processAllAvailable()` — the executable pattern is pinned in
+    * EventStreamSpec's "nearDupStream TTL" test and
+    * [[graft.StreamSoak.soakNearDupTtl]]. With no TTL the processor is
+    * clockless (`TimeMode.None`) and the default trigger is fine.
+    */
   def nearDupStream(docs: DataFrame, cap: Int = DedupOps.MinhashBandCap,
       ttl: TTLConfig = TTLConfig.NONE): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._

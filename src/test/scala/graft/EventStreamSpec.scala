@@ -825,4 +825,86 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("nearDupStream crash-restart: checkpoint recovery is exactly-once and the RocksDB state survives") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restart_").toFile
+    // shingle-disjoint pool texts (the StreamSoak construction): docs of
+    // one pool pair with each other and with nothing else
+    def poolText(pool: Long): String =
+      (0 until 12).map(k => s"p${pool}x$k").mkString(" ")
+    val nPool = 3
+    // three batches, 6 docs each, round-robin over the pools — every
+    // batch extends every clone family, so CROSS-batch pairs exist by
+    // construction and batch-2/3 emissions depend on batch-1 state
+    val batches: Seq[Seq[(Long, String)]] = (0 until 3).map { b =>
+      (0 until 6).map { i =>
+        val id = b.toLong * 6 + i
+        (id, poolText(id % nPool))
+      }
+    }
+    def pairs(outDir: String): Seq[(Long, Long, Double)] =
+      // reading the SINK DIRECTORY goes through the FileStreamSink
+      // metadata log, so files from an uncommitted (crashed) batch are
+      // invisible — this is the exactly-once read path a downstream
+      // batch consumer uses
+      spark.read.format("parquet").load(outDir)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(p => (p._1, p._2, p._3))
+    def run(name: String, crash: Boolean): Seq[(Long, Long, Double)] = {
+      val out = s"$tmp/$name/out"
+      val ckpt = s"$tmp/$name/ckpt"
+      val mem = MemoryStream[(Long, String)](spark)
+      def start() = graft.streaming.DocStream.nearDupStream(
+          mem.toDS().toDF("doc_id", "text"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start()
+      mem.addData(batches(0))
+      q1.processAllAvailable()
+      if (crash) {
+        // kill mid-corpus: batch 2 is enqueued but NOT awaited, so the
+        // stop lands before/inside its commit — whatever it half-did
+        // must be invisible after recovery
+        mem.addData(batches(1))
+        q1.stop()
+        val q2 = start() // recover from the checkpoint, same source
+        mem.addData(batches(2))
+        q2.processAllAvailable()
+        q2.stop()
+      } else {
+        mem.addData(batches(1))
+        mem.addData(batches(2))
+        q1.processAllAvailable()
+        q1.stop()
+      }
+      pairs(out)
+    }
+    try {
+      val interrupted = run("crash", crash = true)
+      val reference = run("clean", crash = false)
+      // exactly-once across the restart: the pair MULTISET (4 band rows
+      // per matching pair) equals the uninterrupted run's — nothing
+      // re-emitted, nothing lost
+      assert(interrupted === reference,
+        s"restart diverged: ${interrupted.size} rows vs ${reference.size}")
+      // and the state actually RECOVERED (not rebuilt empty): batch-3
+      // docs (ids 12-17) must pair with PRE-CRASH batch-1 docs (ids 0-5),
+      // which only happens if their member entries came back from the
+      // checkpointed RocksDB state
+      assert(interrupted.exists(p => p._1 <= 5 && p._2 >= 12),
+        "no cross-restart pair: recovered state was empty")
+      assert(interrupted.nonEmpty && reference.nonEmpty)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -43,6 +43,20 @@ class StreamSoakSpec extends SparkSpec {
       s"peak state ${r.peakStateRows} exceeds the active-window bound")
   }
 
+  test("near-dup restart soak: exactly-once across a mid-corpus kill, state recovered") {
+    val r = withRocksDb {
+      StreamSoak.soakNearDupRestart(spark, nBatches = 6, batchSize = 8, cap = 8)
+    }
+    assert(r.rows === 48L)
+    assert(r.exactlyOnce,
+      s"pair multiset diverged across restart: ${r.hitsInterrupted} vs ${r.hitsReference}")
+    assert(r.crossRestartHits > 0,
+      "no pair bridges the crash — recovered state was empty")
+    // one doc per pool per batch below cap: every later member pairs
+    // with every earlier one in all 4 bands — C(6,2)·4·8 pools exactly
+    assert(r.hitsReference === 15L * 4 * 8)
+  }
+
   test("heavy-hitters soak: state rows = shard count at any cardinality") {
     val shards = 4
     val r = withRocksDb {
