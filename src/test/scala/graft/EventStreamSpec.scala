@@ -826,6 +826,21 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateStream rejects inputs that already carry its reserved output columns") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    for (reserved <- Seq("n_shared", "contaminated")) {
+      val withClash = mem.toDS().toDF("doc_id", "text")
+        .withColumn(reserved, lit(7L))
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.DocStream.decontaminateStream(withClash, Set(1L, 2L))
+      }
+      assert(e.getMessage.contains(reserved) && e.getMessage.contains("reserved"),
+        s"error must name the clashing column: ${e.getMessage}")
+    }
+  }
+
   test("nearDupStream crash-restart: checkpoint recovery is exactly-once and the RocksDB state survives") {
     val s = spark
     import s.implicits._

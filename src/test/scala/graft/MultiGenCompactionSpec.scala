@@ -65,4 +65,31 @@ class MultiGenCompactionSpec extends SparkSpec {
       s"staging dirs must be renamed away: ${leftovers.mkString(",")}")
     docs.unpersist()
   }
+
+  test("ensureIndex: two threads racing the first build serialize on the per-path monitor") {
+    // fresh fixture dir => fresh content fingerprint => no pre-existing
+    // index or marker, so BOTH threads genuinely race the first build
+    // (r14 advisory: the loser used to be able to delete the winner's
+    // just-renamed live index while clearing the "legacy" path)
+    val root = java.nio.file.Files.createTempDirectory("graft-racebuild").toString
+    Tables.documents(spark, sf).limit(40)
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try results.add(DedupOps.ensureIndex(spark, root))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"racing builds threw: ${errors.peek()}")
+    val paths = results.toArray(Array.empty[String]).distinct
+    assert(paths.length === 1, s"both threads must return the same path, got ${paths.toSeq}")
+    val p = paths.head
+    // the published index is COMPLETE: both sides + marker, no staging residue
+    assert(new java.io.File(s"$p/bands").isDirectory && new java.io.File(s"$p/sigs").isDirectory)
+    assert(new java.io.File(s"$p/_built").isFile)
+    assert(!new java.io.File(s"$p.inprogress").exists())
+    assert(spark.read.parquet(s"$p/bands").count() > 0)
+  }
 }

@@ -281,4 +281,32 @@ class SourcesFunctionsSpec extends SparkSpec {
       "optimizer rule did not fire on the registered session")
     assert(out.orderBy("id").collect().map(_.getInt(1)).toSeq === Seq(2, 0, 0, 1, 0))
   }
+
+  test("contentFingerprint: recursive over nested files, change-sensitive, fail-fast on missing paths") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    def write(rel: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+    // partitioned-table shape: data files live in nested part dirs
+    write("day=1/part-0.parquet", "aaaa")
+    write("day=2/part-0.parquet", "bbbb")
+    val fp1 = Tables.contentFingerprint(root)
+    assert(fp1 === Tables.contentFingerprint(root), "fingerprint must be deterministic")
+    // a nested file's CONTENT change (size delta) must change the
+    // fingerprint even though the top-level dir listing is unchanged —
+    // the r14 advisory case the shallow listing missed
+    write("day=2/part-0.parquet", "bbbbbb")
+    val fp2 = Tables.contentFingerprint(root)
+    assert(fp2 !== fp1, "nested content change must produce a new fingerprint")
+    // a new nested file also changes it
+    write("day=3/part-0.parquet", "cccc")
+    assert(Tables.contentFingerprint(root) !== fp2)
+    // missing path: loud error, never a constant key
+    val e = intercept[IllegalArgumentException] {
+      Tables.contentFingerprint(s"$root/nonexistent.parquet")
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
 }
