@@ -1,5 +1,19 @@
 package graft
 object Bench {
+  /** Full JSON string-literal escaping (r15 advisory): backslash, quote,
+    * AND control chars — an unescaped newline/tab in an env-supplied
+    * adjudication string must not corrupt the bench artifact.
+    */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < 0x20 => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,11 +132,22 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ").take(3).map(_.toDouble).toSeq
       catch { case _: Throwable => Seq.empty }
-    def javaProcs(): Long =
-      try ProcessHandle.allProcesses().filter(p =>
-        p.info().command().map[Boolean](_.contains("java")).orElse(false)).count()
-      catch { case _: Throwable => -1L }
-    val (loadStart, procsStart) = (loadavg(), javaProcs())
+    // Best-effort telemetry (r15 advisory): ProcessHandle.info().command()
+    // is typically EMPTY for processes owned by other users, so java_procs
+    // can silently undercount while a foreign JVM loads the box. Count the
+    // unreadable commands alongside, so a clean-looking java_procs with a
+    // large procs_unknown is not over-trusted during drift adjudication.
+    def javaProcs(): (Long, Long) =
+      try {
+        var java = 0L; var unknown = 0L
+        ProcessHandle.allProcesses().forEach { p =>
+          val cmd = p.info().command()
+          if (!cmd.isPresent) unknown += 1
+          else if (cmd.get.contains("java")) java += 1
+        }
+        (java, unknown)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val (loadStart, (procsStart, procsUnknownStart)) = (loadavg(), javaProcs())
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val timesByQuery: Seq[(String, Seq[Double])] = mode match {
       case "interleaved" =>
@@ -138,7 +163,7 @@ object Bench {
         }
       case _ => sweep()
     }
-    val results: Map[String, Option[Double]] = timesByQuery.map { case (name, times) =>
+    val sweepResults: Map[String, Option[Double]] = timesByQuery.map { case (name, times) =>
       val good = times.filterNot(_.isNaN)
       if (good.isEmpty) failed += name
       else if (good.size > 1 && good.min > 0 && mode != "paired")
@@ -152,7 +177,7 @@ object Bench {
     // min-of-2·nRuns naturally reads ~1.0-1.3, so only a median ratio
     // ≥1.5 is flagged as in-sweep drift.
     val canaryQs = Seq("q1_agg", "q3_join", "q_hits")
-    val canary: Seq[(String, Double)] = canaryQs.flatMap { n =>
+    def runCanary(): Seq[(String, Double)] = canaryQs.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         val t = timeOne(n, fn)
         val base = timesByQuery.toMap.get(n).map(_.filterNot(_.isNaN))
@@ -161,17 +186,67 @@ object Bench {
           n -> math.rint(t / b * 100) / 100 }
       }
     }
-    val canaryMedian: Option[Double] =
-      if (canary.isEmpty) None
-      else Some(canary.map(_._2).sorted.apply(canary.size / 2))
-    val (loadEnd, procsEnd) = (loadavg(), javaProcs())
+    def medianOf(rs: Seq[Double]): Option[Double] =
+      if (rs.isEmpty) None else Some(rs.sorted.apply(rs.size / 2))
+    val canary: Seq[(String, Double)] = runCanary()
+    val canaryMedian: Option[Double] = medianOf(canary.map(_._2))
+    // threshold override exists so the rerun path below is smoke-testable
+    // (threshold 0 forces it) without waiting for real contention
+    val canaryThreshold = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_CANARY_THRESHOLD", "1.5").toDouble
+    // ACT on the canary, don't just record it (r14 verdict #1): when the
+    // end-of-sweep canary reads ≥1.5, the sweep started clean but got
+    // contended near the end, so TAIL-position queries carry inflated
+    // walls even though the paired compare passed. Response policy:
+    // re-run the final quartile (execution order = alphabetical), keep
+    // the min (min can only improve — a re-run on a still-contended box
+    // changes nothing), then re-fire the canary. If the box is STILL
+    // contended afterwards, annotate the tail entries in the artifact so
+    // a reader can never mistake a contaminated per-query wall for a
+    // clean one.
+    val tailQs: Seq[String] =
+      if (canaryMedian.exists(_ >= canaryThreshold))
+        ordered.map(_._1).drop(ordered.size * 3 / 4)
+      else Seq.empty
+    val rerunMins: Map[String, Double] =
+      tailQs.flatMap { n =>
+        SparkEntry.queries.get(n).flatMap { fn =>
+          (1 to nRuns).map(_ => timeOne(n, fn)).filterNot(_.isNaN).minOption
+        }.map(n -> _)
+      }.toMap
+    val results: Map[String, Option[Double]] = sweepResults.map {
+      case (n, Some(v)) if rerunMins.get(n).exists(_ < v) =>
+        n -> Some(rerunMins(n))
+      case kv => kv
+    }
+    val canaryPost: Option[Double] =
+      if (tailQs.nonEmpty) medianOf(runCanary().map(_._2)) else None
+    // tail entries remain suspect only if the post-rerun canary ALSO
+    // reads contended — then the re-run could not deflate them and the
+    // artifact must say so per query
+    val tailAnnotated: Seq[String] =
+      if (canaryPost.exists(_ >= canaryThreshold)) tailQs else Seq.empty
+    val (loadEnd, (procsEnd, procsUnknownEnd)) = (loadavg(), javaProcs())
     val envJson = {
       def la(s: Seq[Double]) = s.map(v => math.rint(v * 100) / 100).mkString("[", ",", "]")
       val cj = canary.map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
+      val rerunJson =
+        if (tailQs.isEmpty) ""
+        else {
+          val improved = rerunMins.count { case (n, v) =>
+            sweepResults.get(n).flatten.exists(v < _) }
+          s""","canary_rerun":{"n_tail":${tailQs.size},"improved":$improved""" +
+            canaryPost.map(m => s""","post_rerun_canary_median":$m""").getOrElse("") +
+            s""","tail_still_contended":${canaryPost.exists(_ >= canaryThreshold)}""" +
+            (if (tailAnnotated.nonEmpty)
+              s""","tail_annotated":${tailAnnotated.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+            else "") + "}"
+        }
       s""","env":{"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},""" +
         s""""java_procs_start":$procsStart,"java_procs_end":$procsEnd,""" +
+        s""""procs_unknown_start":$procsUnknownStart,"procs_unknown_end":$procsUnknownEnd,""" +
         s""""canary":$cj${canaryMedian.map(m => s""","canary_median_ratio":$m""").getOrElse("")},""" +
-        s""""in_sweep_drift":${canaryMedian.exists(_ >= 1.5)}}"""
+        s""""in_sweep_drift":${canaryMedian.exists(_ >= canaryThreshold)}$rerunJson}"""
     }
     // Failed queries are OMITTED from the timings map (they're in
     // "failed"): a numeric sentinel like -1.0 would poison any consumer
@@ -272,8 +347,8 @@ object Bench {
       // carries the human-written verdict ("host contention, isolated
       // re-run measured Ns", "real: <query> plan change") INTO the
       // artifact, so a reader never meets a bare total_drift:true again.
-      val adjudication = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATION", "")
-        .replace("\\", "\\\\").replace("\"", "\\\"")
+      val adjudication =
+        jsonEscape(sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATION", ""))
       val adjJson =
         if (adjudication.nonEmpty) s""","adjudication":"$adjudication""""
         else ""

@@ -131,6 +131,18 @@ object ScaleProbe {
       }
       (runs.head, if (cold) runs.tail.min else runs.min)
     }
+    // Generator-volume instrumentation (r14 verdict #4): the co-access
+    // family's slope defense is "volume grows ×F² on hotkey, wall grows
+    // ×F ⇒ sublinear" — emit the measured candidate-pair volume at both
+    // scales IN the artifact so that claim is machine-checkable per run.
+    val generatorVolume: Map[String, (org.apache.spark.sql.SparkSession, String) => Long] = Map(
+      "q_coaccess_pairs" -> ((s, d) =>
+        graft.operators.ThreatOps.coaccessGeneratorVolume(s, d, Int.MaxValue)),
+      "q_coaccess_jaccard" -> ((s, d) =>
+        graft.operators.ThreatOps.coaccessGeneratorVolume(s, d, Int.MaxValue)),
+      "q_coaccess_capped" -> ((s, d) =>
+        graft.operators.ThreatOps.coaccessGeneratorVolume(s, d,
+          graft.operators.ThreatOps.CoaccessMaxDegree)))
     val rows = names.map { n =>
       val useReplicas = nReplicas > 0 && JitterSensitive(n)
       // Replica base: cold datapoint from replica 0's run 1 (one honest
@@ -145,18 +157,29 @@ object ScaleProbe {
           (c, w, Seq.empty[Double])
         }
       val (cx, x) = time(n, outDir)
+      // measured AFTER the timed runs — the volume aggregation warms
+      // nothing the queries read beyond what the table warmup already did
+      val vols: Option[(Long, Long)] = generatorVolume.get(n).map { f =>
+        (f(spark, baseDir), f(spark, outDir))
+      }
       System.err.println(f"[scale] $n%-22s base=$b%7.2fs x$factor=$x%7.2fs slope=${x / b}%5.2f" +
         (if (useReplicas) s" (base=mean of ${reps.size} replicas)" else "") +
-        (if (cold) f" cold_base=$cb%7.2fs cold_x=$cx%7.2fs cold_slope=${cx / cb}%5.2f" else ""))
-      (n, b, x, cb, cx, reps)
+        (if (cold) f" cold_base=$cb%7.2fs cold_x=$cx%7.2fs cold_slope=${cx / cb}%5.2f" else "") +
+        vols.map { case (vb, vx) =>
+          f" gen_volume=$vb%d->$vx%d (x${vx.toDouble / math.max(vb, 1)}%.1f)" }.getOrElse(""))
+      (n, b, x, cb, cx, reps, vols)
     }
-    val qs = rows.map { case (n, b, x, cb, cx, reps) =>
+    val qs = rows.map { case (n, b, x, cb, cx, reps, vols) =>
       s""""$n":{"base":$b,"amplified":$x,"slope":${x / b}""" +
         (if (reps.nonEmpty)
           s""","base_estimator":"mean_of_${reps.size}_replicas","base_replicas":[${reps.mkString(",")}]"""
          else "") +
         (if (cold) s""","cold_base":$cb,"cold_amplified":$cx,"cold_slope":${cx / cb}"""
-         else "") + "}"
+         else "") +
+        vols.map { case (vb, vx) =>
+          s""","generator_volume_base":$vb,"generator_volume_amplified":$vx""" +
+            s""","generator_volume_ratio":${math.rint(vx.toDouble / math.max(vb, 1) * 10) / 10}"""
+        }.getOrElse("") + "}"
     }.mkString(",")
     val totB = rows.map(_._2).sum
     val totX = rows.map(_._3).sum

@@ -342,6 +342,9 @@ object StreamSoak {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val nPool = batchSize // one doc per pool per batch
+    // Deleted in the finally below (r15 advisory): the two parquet sinks
+    // plus RocksDB checkpoints under this tree would otherwise leak into
+    // java.io.tmpdir on every soak invocation.
     val tmp = java.nio.file.Files.createTempDirectory("graft_soak_restart_").toString
     def poolText(pool: Long): String =
       (0 until 12).map(k => s"r${pool}x$k").mkString(" ")
@@ -375,16 +378,19 @@ object StreamSoak {
       spark.read.format("parquet").load(out).select("doc_a", "doc_b")
     }
     val t0 = System.nanoTime()
-    val interrupted = run("crash", crash = true)
-    val reference = run("clean", crash = false)
-    val preMax = half.toLong * batchSize - 1
-    val exactlyOnce = interrupted.exceptAll(reference).isEmpty &&
-      reference.exceptAll(interrupted).isEmpty
-    RestartSoak(nBatches.toLong * batchSize,
-      (System.nanoTime() - t0) / 1e9, nBatches,
-      interrupted.count(), reference.count(),
-      interrupted.filter(col("doc_a") <= preMax && col("doc_b") > preMax).count(),
-      exactlyOnce)
+    try {
+      val interrupted = run("crash", crash = true)
+      val reference = run("clean", crash = false)
+      val preMax = half.toLong * batchSize - 1
+      val exactlyOnce = interrupted.exceptAll(reference).isEmpty &&
+        reference.exceptAll(interrupted).isEmpty
+      // every Dataset action lands here, before the sinks are deleted
+      RestartSoak(nBatches.toLong * batchSize,
+        (System.nanoTime() - t0) / 1e9, nBatches,
+        interrupted.count(), reference.count(),
+        interrupted.filter(col("doc_a") <= preMax && col("doc_b") > preMax).count(),
+        exactlyOnce)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   /** TTL soak result: state must RISE to phase-1's plateau, then — after

@@ -29,6 +29,7 @@ class MultiGenCompactionSpec extends SparkSpec {
   test("three chained compaction generations digest-equal the from-scratch build and the one-shot fold") {
     val mod = DedupOps.IncrementalShardMod
     val root = java.nio.file.Files.createTempDirectory("graft-multigen").toString
+    try {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).cache()
     val hist = docs.filter(col("doc_id") % mod =!= 0)
     val shardAll = docs.filter(col("doc_id") % mod === 0)
@@ -64,6 +65,9 @@ class MultiGenCompactionSpec extends SparkSpec {
     assert(leftovers.isEmpty,
       s"staging dirs must be renamed away: ${leftovers.mkString(",")}")
     docs.unpersist()
+    // the 4 index generations + scratch/oneshot builds would otherwise
+    // leak under java.io.tmpdir every run (r15 advisory)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   test("ensureIndex: two threads racing the first build serialize on the per-path monitor") {
@@ -72,6 +76,7 @@ class MultiGenCompactionSpec extends SparkSpec {
     // (r14 advisory: the loser used to be able to delete the winner's
     // just-renamed live index while clearing the "legacy" path)
     val root = java.nio.file.Files.createTempDirectory("graft-racebuild").toString
+    try {
     Tables.documents(spark, sf).limit(40)
       .write.mode("overwrite").parquet(s"$root/documents.parquet")
     val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -91,5 +96,7 @@ class MultiGenCompactionSpec extends SparkSpec {
     assert(new java.io.File(s"$p/_built").isFile)
     assert(!new java.io.File(s"$p.inprogress").exists())
     assert(spark.read.parquet(s"$p/bands").count() > 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
   }
 }

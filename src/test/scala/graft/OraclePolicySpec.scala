@@ -57,4 +57,25 @@ class OraclePolicySpec extends AnyFunSuite {
       assert(!sql.contains(policy), s"$name should read raw events")
     }
   }
+
+  test("Bench.jsonEscape keeps any env-supplied adjudication string JSON-safe (r15 advisory)") {
+    // Every character class the advisory named: backslash, quote,
+    // newline/CR/tab, and the remaining sub-0x20 control range.
+    val hostile = "line1\nline2\r\ttabbed \"quoted\" back\\slash \u0001\u001f end"
+    val escaped = Bench.jsonEscape(hostile)
+    assert(!escaped.exists(_ < 0x20), "no raw control char may survive")
+    assert(escaped.contains("\\n") && escaped.contains("\\r") &&
+      escaped.contains("\\t") && escaped.contains("\\\"") &&
+      escaped.contains("\\\\") && escaped.contains("\\u0001") &&
+      escaped.contains("\\u001f"))
+    // the escaped form must round-trip through a strict JSON parser
+    // (jackson throws on any invalid literal)
+    val json = s"""{"adjudication":"$escaped"}"""
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.get("adjudication").asText() === hostile,
+      "escape must be lossless under a strict JSON round-trip")
+    // plain text passes through untouched
+    assert(Bench.jsonEscape("host contention, isolated re-run measured 63.7s") ===
+      "host contention, isolated re-run measured 63.7s")
+  }
 }

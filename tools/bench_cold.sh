@@ -26,6 +26,13 @@ QUERIES=(
   q_tfidf              # corpus term-frequency Memo
   q_kmeans_anomaly     # fitted KMeans model registry
   q_ann_ivf            # IVF centroid fit + assignment Memo
+  # r14 memo-sharing moved the decontamination trio's one-time cost into
+  # the shared docShingleHashes5 frame — record where the cold build now
+  # lands for each consumer (r14 verdict #5)
+  q_decontaminate      # docShingleHashes5 build lands here when first
+  q_contamination_pairs # ...or here (whichever runs first in a session)
+  q_ngram_novelty      # third consumer of the shared frame
+  q_dedup_index_compact # LSM generation fold + atomic staged publish
 )
 rows=""
 for q in "${QUERIES[@]}"; do
