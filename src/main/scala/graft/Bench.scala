@@ -89,7 +89,6 @@ object Bench {
     // whole-suite totals); min is the standard steady-state estimator.
     // Failures are NOT silently timed as if they succeeded — a broken
     // query must not make the benchmark look faster.
-    val failed = scala.collection.mutable.ListBuffer[String]()
     // SPARK_GRAFT_BENCH_RUNS=1 for sweep-style runs on amplified fixtures
     // where 3x per query is wall-clock-prohibitive and min-noise matters
     // less than coverage.
@@ -148,28 +147,6 @@ object Bench {
         (java, unknown)
       } catch { case _: Throwable => (-1L, -1L) }
     val (loadStart, (procsStart, procsUnknownStart)) = (loadavg(), javaProcs())
-    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val timesByQuery: Seq[(String, Seq[Double])] = mode match {
-      case "interleaved" =>
-        val passes = (1 to nRuns).map { _ => ordered.map { case (n, fn) => timeOne(n, fn) } }
-        ordered.map { case (n, _) => n }.zip(passes.transpose)
-      case "paired" =>
-        val (a, b) = (sweep().toMap, sweep().toMap)
-        ordered.map { case (n, _) =>
-          val (ra, rb) = (a(n).filterNot(_.isNaN), b(n).filterNot(_.isNaN))
-          for (ma <- ra.minOption; mb <- rb.minOption; if math.min(ma, mb) > 0)
-            spreads(n) = (math.max(ma, mb) - math.min(ma, mb)) / math.min(ma, mb)
-          n -> (ra ++ rb)
-        }
-      case _ => sweep()
-    }
-    val sweepResults: Map[String, Option[Double]] = timesByQuery.map { case (name, times) =>
-      val good = times.filterNot(_.isNaN)
-      if (good.isEmpty) failed += name
-      else if (good.size > 1 && good.min > 0 && mode != "paired")
-        spreads(name) = (good.max - good.min) / good.min
-      name -> good.minOption
-    }.toMap
     // End-of-sweep CANARY (r13 verdict #2): re-time three fast headliners
     // once each and ratio them against their own sweep minima. A sweep
     // that STARTED clean but got contended mid-run shows canary ratios
@@ -177,84 +154,153 @@ object Bench {
     // min-of-2·nRuns naturally reads ~1.0-1.3, so only a median ratio
     // ≥1.5 is flagged as in-sweep drift.
     val canaryQs = Seq("q1_agg", "q3_join", "q_hits")
-    def runCanary(): Seq[(String, Double)] = canaryQs.flatMap { n =>
-      SparkEntry.queries.get(n).flatMap { fn =>
-        val t = timeOne(n, fn)
-        val base = timesByQuery.toMap.get(n).map(_.filterNot(_.isNaN))
-          .flatMap(_.minOption)
-        base.collect { case b if b > 0 && !t.isNaN =>
-          n -> math.rint(t / b * 100) / 100 }
-      }
-    }
-    def medianOf(rs: Seq[Double]): Option[Double] =
-      if (rs.isEmpty) None else Some(rs.sorted.apply(rs.size / 2))
-    val canary: Seq[(String, Double)] = runCanary()
-    val canaryMedian: Option[Double] = medianOf(canary.map(_._2))
     // threshold override exists so the rerun path below is smoke-testable
     // (threshold 0 forces it) without waiting for real contention
     val canaryThreshold = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_CANARY_THRESHOLD", "1.5").toDouble
-    // ACT on the canary, don't just record it (r14 verdict #1): when the
-    // end-of-sweep canary reads ≥1.5, the sweep started clean but got
-    // contended near the end, so TAIL-position queries carry inflated
-    // walls even though the paired compare passed. Response policy:
-    // re-run the final quartile (execution order = alphabetical), keep
-    // the min (min can only improve — a re-run on a still-contended box
-    // changes nothing), then re-fire the canary. If the box is STILL
-    // contended afterwards, annotate the tail entries in the artifact so
-    // a reader can never mistake a contaminated per-query wall for a
-    // clean one.
-    val tailQs: Seq[String] =
-      if (canaryMedian.exists(_ >= canaryThreshold))
-        ordered.map(_._1).drop(ordered.size * 3 / 4)
-      else Seq.empty
-    val rerunMins: Map[String, Double] =
-      tailQs.flatMap { n =>
-        SparkEntry.queries.get(n).flatMap { fn =>
-          (1 to nRuns).map(_ => timeOne(n, fn)).filterNot(_.isNaN).minOption
-        }.map(n -> _)
-      }.toMap
-    val results: Map[String, Option[Double]] = sweepResults.map {
-      case (n, Some(v)) if rerunMins.get(n).exists(_ < v) =>
-        n -> Some(rerunMins(n))
-      case kv => kv
+    def medianOf(rs: Seq[Double]): Option[Double] =
+      if (rs.isEmpty) None else Some(rs.sorted.apply(rs.size / 2))
+    // One full measurement attempt: paired sweep → canary → (if fired)
+    // final-quartile re-run → post-canary → per-query annotation verdict.
+    case class Measurement(
+      results: Map[String, Option[Double]],
+      failed: Seq[String],
+      spreads: collection.Map[String, Double],
+      canary: Seq[(String, Double)],
+      canaryMedian: Option[Double],
+      canaryPost: Option[Double],
+      canaryPostUnavailable: Boolean,
+      tailQs: Seq[String],
+      rerunImproved: Int,
+      tailAnnotated: Seq[String]) {
+      def total: Double = results.values.flatten.sum
     }
-    val canaryPost: Option[Double] =
-      if (tailQs.nonEmpty) medianOf(runCanary().map(_._2)) else None
-    // tail entries remain suspect only if the post-rerun canary ALSO
-    // reads contended — then the re-run could not deflate them and the
-    // artifact must say so per query
-    val tailAnnotated: Seq[String] =
-      if (canaryPost.exists(_ >= canaryThreshold)) tailQs else Seq.empty
+    def measureOnce(): Measurement = {
+      val failed = scala.collection.mutable.ListBuffer[String]()
+      val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val timesByQuery: Seq[(String, Seq[Double])] = mode match {
+        case "interleaved" =>
+          val passes = (1 to nRuns).map { _ => ordered.map { case (n, fn) => timeOne(n, fn) } }
+          ordered.map { case (n, _) => n }.zip(passes.transpose)
+        case "paired" =>
+          val (a, b) = (sweep().toMap, sweep().toMap)
+          ordered.map { case (n, _) =>
+            val (ra, rb) = (a(n).filterNot(_.isNaN), b(n).filterNot(_.isNaN))
+            for (ma <- ra.minOption; mb <- rb.minOption; if math.min(ma, mb) > 0)
+              spreads(n) = (math.max(ma, mb) - math.min(ma, mb)) / math.min(ma, mb)
+            n -> (ra ++ rb)
+          }
+        case _ => sweep()
+      }
+      val sweepResults: Map[String, Option[Double]] = timesByQuery.map { case (name, times) =>
+        val good = times.filterNot(_.isNaN)
+        if (good.isEmpty) failed += name
+        else if (good.size > 1 && good.min > 0 && mode != "paired")
+          spreads(name) = (good.max - good.min) / good.min
+        name -> good.minOption
+      }.toMap
+      def runCanary(): Seq[(String, Double)] = canaryQs.flatMap { n =>
+        SparkEntry.queries.get(n).flatMap { fn =>
+          val t = timeOne(n, fn)
+          val base = timesByQuery.toMap.get(n).map(_.filterNot(_.isNaN))
+            .flatMap(_.minOption)
+          base.collect { case b if b > 0 && !t.isNaN =>
+            n -> math.rint(t / b * 100) / 100 }
+        }
+      }
+      val canary: Seq[(String, Double)] = runCanary()
+      val canaryMedian: Option[Double] = medianOf(canary.map(_._2))
+      // ACT on the canary, don't just record it (r14 verdict #1): when the
+      // end-of-sweep canary reads ≥1.5, the sweep started clean but got
+      // contended near the end, so TAIL-position queries carry inflated
+      // walls even though the paired compare passed. Response policy:
+      // re-run the final quartile (execution order = alphabetical), keep
+      // the min (min can only improve — a re-run on a still-contended box
+      // changes nothing), then re-fire the canary. If the box is STILL
+      // contended afterwards, annotate the tail entries in the artifact so
+      // a reader can never mistake a contaminated per-query wall for a
+      // clean one. Queries that FAILED in the sweep are excluded from the
+      // re-run (r15 advisory): their re-timed result would be discarded —
+      // the merge below only replaces Some(v) entries.
+      val tailQs: Seq[String] =
+        if (canaryMedian.exists(_ >= canaryThreshold))
+          ordered.map(_._1).drop(ordered.size * 3 / 4)
+            .filter(n => sweepResults.get(n).exists(_.isDefined))
+        else Seq.empty
+      val rerunMins: Map[String, Double] =
+        tailQs.flatMap { n =>
+          SparkEntry.queries.get(n).flatMap { fn =>
+            (1 to nRuns).map(_ => timeOne(n, fn)).filterNot(_.isNaN).minOption
+          }.map(n -> _)
+        }.toMap
+      val results: Map[String, Option[Double]] = sweepResults.map {
+        case (n, Some(v)) if rerunMins.get(n).exists(_ < v) =>
+          n -> Some(rerunMins(n))
+        case kv => kv
+      }
+      val canaryPost: Option[Double] =
+        if (tailQs.nonEmpty) medianOf(runCanary().map(_._2)) else None
+      // A missing post-rerun canary (every probe failed or returned NaN)
+      // is an UNKNOWN contention state, not a clean one (r15 advisory):
+      // treat it as still-suspect so the tail gets annotated instead of
+      // silently trusted. Otherwise tail entries remain suspect only if
+      // the post-rerun canary ALSO reads contended — then the re-run
+      // could not deflate them and the artifact must say so per query.
+      val canaryPostUnavailable = tailQs.nonEmpty && canaryPost.isEmpty
+      val tailAnnotated: Seq[String] =
+        if (canaryPost.exists(_ >= canaryThreshold) || canaryPostUnavailable) tailQs
+        else Seq.empty
+      val improved = rerunMins.count { case (n, v) =>
+        sweepResults.get(n).flatten.exists(v < _) }
+      Measurement(results, failed.toList, spreads, canary, canaryMedian,
+        canaryPost, canaryPostUnavailable, tailQs, improved, tailAnnotated)
+    }
+    // CLEAN-ARTIFACT POLICY step 1 (r15 verdict #1): a sweep whose tail is
+    // still contended after the quartile re-run does not get to be the
+    // round's only measurement — back off (bounded) and re-sweep, keeping
+    // the first canary-clean attempt (or, if every attempt stays
+    // contended, the attempt with the lower total: same min estimator
+    // class, measured on the later, hopefully quieter window).
+    // SPARK_GRAFT_BENCH_SWEEP_RETRIES=0 disables (smoke tests).
+    val maxAttempts = 1 + math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_RETRIES", "1").toInt)
+    val backoffSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_SEC", "45").toInt
+    var m = measureOnce()
+    var attempts = 1
+    while (m.tailAnnotated.nonEmpty && attempts < maxAttempts) {
+      System.err.println(s"[bench] attempt $attempts still contended after tail re-run " +
+        s"(post-rerun canary ${m.canaryPost.map(_.toString).getOrElse("unavailable")}) — " +
+        s"backing off ${backoffSec}s and re-sweeping")
+      Thread.sleep(backoffSec * 1000L)
+      val retry = measureOnce()
+      attempts += 1
+      m = if (retry.tailAnnotated.isEmpty || retry.total <= m.total) retry else m
+    }
+    val results = m.results
+    val failed = m.failed
+    val spreads = m.spreads
     val (loadEnd, (procsEnd, procsUnknownEnd)) = (loadavg(), javaProcs())
     val envJson = {
       def la(s: Seq[Double]) = s.map(v => math.rint(v * 100) / 100).mkString("[", ",", "]")
-      val cj = canary.map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
+      val cj = m.canary.map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")
       val rerunJson =
-        if (tailQs.isEmpty) ""
+        if (m.tailQs.isEmpty) ""
         else {
-          val improved = rerunMins.count { case (n, v) =>
-            sweepResults.get(n).flatten.exists(v < _) }
-          s""","canary_rerun":{"n_tail":${tailQs.size},"improved":$improved""" +
-            canaryPost.map(m => s""","post_rerun_canary_median":$m""").getOrElse("") +
-            s""","tail_still_contended":${canaryPost.exists(_ >= canaryThreshold)}""" +
-            (if (tailAnnotated.nonEmpty)
-              s""","tail_annotated":${tailAnnotated.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+          s""","canary_rerun":{"n_tail":${m.tailQs.size},"improved":${m.rerunImproved}""" +
+            s""","post_rerun_canary_median":${m.canaryPost.map(_.toString).getOrElse("null")}""" +
+            (if (m.canaryPostUnavailable) s""","canary_post_unavailable":true""" else "") +
+            s""","tail_still_contended":${m.tailAnnotated.nonEmpty}""" +
+            (if (m.tailAnnotated.nonEmpty)
+              s""","tail_annotated":${m.tailAnnotated.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
             else "") + "}"
         }
       s""","env":{"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},""" +
         s""""java_procs_start":$procsStart,"java_procs_end":$procsEnd,""" +
         s""""procs_unknown_start":$procsUnknownStart,"procs_unknown_end":$procsUnknownEnd,""" +
-        s""""canary":$cj${canaryMedian.map(m => s""","canary_median_ratio":$m""").getOrElse("")},""" +
-        s""""in_sweep_drift":${canaryMedian.exists(_ >= canaryThreshold)}$rerunJson}"""
+        s""""sweep_attempts":$attempts,""" +
+        s""""canary":$cj${m.canaryMedian.map(v => s""","canary_median_ratio":$v""").getOrElse("")},""" +
+        s""""in_sweep_drift":${m.canaryMedian.exists(_ >= canaryThreshold)}$rerunJson}"""
     }
-    // Failed queries are OMITTED from the timings map (they're in
-    // "failed"): a numeric sentinel like -1.0 would poison any consumer
-    // summing or plotting the per-query values.
-    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.flatten.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // SPARK_GRAFT_BENCH_COMPARE=<prior bench_full.json>: A/B adjudication
     // against a prior same-box measure. A query is flagged "regressed"
     // only when its min grew >1.5x AND its own measured spread (the
@@ -284,7 +330,7 @@ object Bench {
           Option(outF.getParentFile).getOrElse(new java.io.File(".")),
           "bench_full.json").getPath)
       }
-    val compareOpt = comparePath.filter { path =>
+    val priorParsed: Option[(String, String, Map[String, Double])] = comparePath.filter { path =>
       val ok = new java.io.File(path).isFile
       if (!ok) System.err.println(s"[bench] compare file $path missing — skipping A/B section")
       ok
@@ -299,12 +345,66 @@ object Bench {
       if (keyAt == -1) {
         System.err.println(s"[bench] compare file $path has no \"queries\" map — skipping A/B section")
         None
-      } else Some((path, prior, keyAt))
-    }.map { case (path, prior, keyAt) =>
-      val qStart = keyAt + "\"queries\":{".length
-      val qBody = prior.substring(qStart, prior.indexOf('}', qStart))
-      val qmap = "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
-        .findAllMatchIn(qBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else {
+        val qStart = keyAt + "\"queries\":{".length
+        val qBody = prior.substring(qStart, prior.indexOf('}', qStart))
+        val qmap = "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+          .findAllMatchIn(qBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        Some((path, prior, qmap))
+      }
+    }
+    // Failed queries are OMITTED from the timings map (they're in
+    // "failed"): a numeric sentinel like -1.0 would poison any consumer
+    // summing or plotting the per-query values.
+    val measuredQs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val measuredTotal = results.values.flatten.sum
+    // CLEAN-ARTIFACT POLICY step 2 (r15 verdict #1, option b): if every
+    // sweep attempt stayed contended AND the committed prior is
+    // canary-clean, the round's OFFICIAL headline value and per-query map
+    // are the PRIOR's (the last clean measurement of this exact suite on
+    // this box), merged with measured times for queries the prior lacks
+    // (new registry entries), and the contended sweep rides along as a
+    // secondary `contended_snapshot` block. Two invariants this buys:
+    // the artifact's headline is never a contaminated number, and the
+    // on-disk queries map — which the NEXT run A/Bs against — stays
+    // clean, so contention can't compound across rounds. A prior is
+    // "clean" only if its own env block SAYS so: either its canary never
+    // fired (in_sweep_drift:false), or it fired and the tail re-run
+    // RECOVERED (tail_still_contended:false — the b5a548e shape). A
+    // promoted artifact inherits a clean map by construction, so chained
+    // promotion stays sound.
+    val priorClean = priorParsed.exists { case (_, prior, _) =>
+      // never promote across scale factors — a clean sf0.01 prior is not
+      // a substitute for an sf0.1 measurement
+      prior.contains(s""""sf":"$sfDir"""") &&
+        // a PROMOTED prior's env says still-contended, but its queries
+        // map is the inherited clean one — chained promotion stays sound
+        (prior.contains("\"value_source\":\"promoted_clean_prior\"") ||
+          (!prior.contains("\"tail_still_contended\":true") &&
+            (prior.contains("\"in_sweep_drift\":false") ||
+              prior.contains("\"tail_still_contended\":false"))))
+    }
+    val promoted: Option[Map[String, Double]] =
+      if (m.tailAnnotated.nonEmpty && priorClean)
+        priorParsed.map { case (_, _, qmap) =>
+          qmap.filter { case (n, _) => SparkEntry.queries.contains(n) } ++
+            results.collect { case (n, Some(v)) if !qmap.contains(n) => n -> v }
+        }
+      else None
+    if (m.tailAnnotated.nonEmpty && promoted.isEmpty)
+      System.err.println("[bench] sweep still contended and no canary-clean prior " +
+        "to promote — artifact carries the annotated contended sweep as headline")
+    val qs = promoted
+      .map(_.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}"))
+      .getOrElse(measuredQs)
+    val total = promoted.map(_.values.sum).getOrElse(measuredTotal)
+    val promoJson = promoted.map(_ =>
+      s""","value_source":"promoted_clean_prior","contended_snapshot":{"total":$measuredTotal,"queries":$measuredQs}""")
+      .getOrElse("")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val compareOpt = priorParsed.map { case (path, prior, qmap) =>
       // Omit the spread field entirely when a query has <2 successful
       // runs — "spread":NaN is invalid JSON and poisons any parser.
       def row(n: String, p: Double, v: Double) = {
@@ -364,7 +464,7 @@ object Bench {
         s""","mode":"$mode","spread":${spreads.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }.mkString("{", ",", "}")}"""
       else s""","mode":"$mode""""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$spreadJson$compareJson$envJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$promoJson$spreadJson$compareJson$envJson,"sf":"$sfDir"}"""
     // The full per-query map is ~6KB — it goes to a FILE only. Printing it
     // to stdout (pre-r8 behavior) ate 1,255 chars of the driver's 2,000-char
     // stdout tail and pushed the machine-readable summary line's START to
@@ -376,7 +476,10 @@ object Bench {
     // committed prior stays intact for the isolated re-run and a
     // contaminated sweep can never silently become the next run's A/B
     // prior (the exact failure mode that produced BENCH_r13.json).
-    val driftUnadjudicated = totalDriftOut && !adjudicated
+    // A PROMOTED artifact is exempt: its headline and queries map are the
+    // clean prior's (the contended sweep is quarantined in
+    // contended_snapshot), so finalizing it keeps the on-disk prior clean.
+    val driftUnadjudicated = totalDriftOut && !adjudicated && promoted.isEmpty
     val outFileWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val outFile = if (driftUnadjudicated) outFileWanted + ".drift" else outFileWanted
     if (driftUnadjudicated)
@@ -393,9 +496,11 @@ object Bench {
     // SIX family headliners at 3dp (~350 bytes; the full map is in the
     // file). Failures must be LOUD — a half-broken suite must not read as
     // a passing run, hence the marker line and nonzero exit.
+    val headlineVals: Map[String, Double] =
+      promoted.getOrElse(results.collect { case (k, Some(v)) => (k, v) }.toMap)
     val hq = Seq("q1_agg", "q3_join", "q_user_features", "q_containment",
                  "q_ensemble_vote", "q_hits")
-      .flatMap(h => results.getOrElse(h, None).map(h -> _))
+      .flatMap(h => headlineVals.get(h).map(h -> _))
       .map { case (k, v) => s"\"$k\":${math.rint(v * 1000) / 1000}" }.mkString("{", ",", "}")
     if (failed.nonEmpty)
       println(s"[bench] FAILED n=${failed.size}: ${failed.take(30).mkString(",")}")
@@ -411,8 +516,9 @@ object Bench {
       (if (nRegressed >= 0)
         s""","regressed":$nRegressed,"noise_suspect":$nNoiseSuspect,"total_ratio":$totalRatioOut,"median_ratio":$medianRatioOut,"total_drift":$totalDriftOut,"drift_unadjudicated":$driftUnadjudicated"""
       else "") +
-      medianSpread.map(m => s""","median_spread":$m""").getOrElse("") +
-      canaryMedian.map(m => s""","canary_median_ratio":$m""").getOrElse("")
+      medianSpread.map(v => s""","median_spread":$v""").getOrElse("") +
+      m.canaryMedian.map(v => s""","canary_median_ratio":$v""").getOrElse("") +
+      promoted.map(_ => s""","value_source":"promoted_clean_prior"""").getOrElse("")
     println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$abJson,"headliners":$hq,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

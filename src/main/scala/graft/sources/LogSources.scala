@@ -191,8 +191,41 @@ object LogSources {
   def compactDatePartitioned(spark: SparkSession, root: String,
       targetBytes: Long, maxFiles: Int = 8): (Int, Int, Int) = {
     import java.io.File
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    // CRASH RECOVERY (r15 verdict #5). The swap below is staged-write →
+    // commit-marker → rm(old) → rename(staged, old): each step leaves a
+    // state this pass can roll forward or back deterministically, so a
+    // compaction killed at ANY point re-runs to the same result:
+    //  - staged dir WITHOUT the marker → the staged write itself died
+    //    mid-flight; the partition dir is untouched and authoritative —
+    //    discard the staging (the partition simply recompacts).
+    //  - staged dir WITH the marker → the staged copy is complete and the
+    //    old dir may be half-deleted (a kill mid-rm is the one state
+    //    where the partition dir has LOST rows) — finish the swap: remove
+    //    whatever remains of the old dir, rename the staged copy in.
+    // Without the marker a kill mid-rm would be unrecoverable — neither
+    // dir would hold the full partition. The marker is what makes the
+    // non-transactional local-fs swap idempotent; on HDFS/S3 the same
+    // two-phase shape goes through a manifest commit.
+    val rootFiles = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    for (staged <- rootFiles
+         if staged.isDirectory && staged.getName.startsWith(StagePrefix)) {
+      val target = new File(root, staged.getName.stripPrefix(StagePrefix))
+      if (new File(staged, CommitMarker).exists()) {
+        if (target.exists()) rm(target)
+        require(staged.renameTo(target),
+          s"compaction recovery rename failed for ${target.getName}")
+        new File(target, CommitMarker).delete()
+      } else rm(staged)
+    }
+    // hidden/staging/marker names never count as partitions — a leftover
+    // `.compact_date=...` dir contains "=" and would otherwise be listed
     val dirs = Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.contains("="))
+      .filter(d => d.isDirectory && d.getName.contains("=") &&
+        !d.getName.startsWith(".") && !d.getName.startsWith("_"))
     var compacted = 0; var before = 0; var after = 0
     for (d <- dirs) {
       def parts(dir: File): Array[File] =
@@ -202,21 +235,23 @@ object LogSources {
       if (files.length > maxFiles) {
         val bytes = files.map(_.length()).sum
         val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val staged = new File(d.getParentFile, s".compact_${d.getName}")
+        val staged = new File(d.getParentFile, s"$StagePrefix${d.getName}")
         spark.read.parquet(d.getAbsolutePath)
           .repartition(n)
           .write.mode("overwrite").parquet(staged.getAbsolutePath)
-        // swap: drop the old partition dir, move the staged one in
-        def rm(f: File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
+        // commit point: from here the staged copy is authoritative
+        require(new File(staged, CommitMarker).createNewFile(),
+          s"compaction could not write commit marker for ${d.getName}")
         rm(d)
         require(staged.renameTo(d), s"compaction swap failed for ${d.getName}")
+        new File(d, CommitMarker).delete()
         compacted += 1
         after += parts(d).length
       } else after += files.length
     }
     (compacted, before, after)
   }
+
+  private[graft] val StagePrefix = ".compact_"
+  private[graft] val CommitMarker = "_COMPACT_COMMIT"
 }

@@ -433,7 +433,25 @@ class EventStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     }
     try {
-      val interrupted = run("crash", crash = true)
+      // The kill races a non-transactional bucket overwrite, but that
+      // overwrite is STAGED (files land under a hidden .spark-staging
+      // dir and move into place via renames, atomic per file/dir on a
+      // local fs), so a reader never sees a half-written parquet file —
+      // the recovery read's residual failure mode is a transient listing
+      // race inside the delete→rename commit window. Per the r15
+      // advisory that residual race must RETRY, not flake: a read/IO
+      // error in the crash run gets a bounded re-roll on fresh dirs.
+      // Assertion failures are NOT retried — a wrong snapshot stays red.
+      def crashRunWithRetry(attempt: Int = 0): Set[(Long, String, Long, Double)] =
+        try run(s"crash$attempt", crash = true)
+        catch {
+          case e: Exception if attempt < 2 &&
+              !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+            info(s"crash-run attempt $attempt hit a transient failure " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); retrying")
+            crashRunWithRetry(attempt + 1)
+        }
+      val interrupted = crashRunWithRetry()
       val reference = run("clean", crash = false)
       assert(interrupted === reference,
         s"restart diverged from the uninterrupted twin: $interrupted vs $reference")

@@ -81,6 +81,93 @@ class SourcesFunctionsSpec extends SparkSpec {
     assert(n2 === 0 && b2 === a2 && b2 === after)
   }
 
+  test("compactDatePartitioned recovers every mid-compaction kill state to the uninterrupted result") {
+    // The staged-swap sequence is: write staged → create commit marker →
+    // rm(old dir) → rename(staged, old). A kill can land in any gap; this
+    // spec CONSTRUCTS each resulting on-disk state deterministically
+    // (same ops the production path runs, stopped at the kill point — no
+    // racing threads) and asserts the next compactDatePartitioned run
+    // lands on rows/content/file-layout identical to a compaction that
+    // was never interrupted. Mirrors the CDC sink's crash-restart proof
+    // (EventStreamSpec) for the last sink-mutation path without one.
+    import java.io.File
+    def freshDataset(): String = {
+      val out = tmpDir("compact-kill") + "/events"
+      LogSources.writeDatePartitioned(
+        Tables.events(spark, sf).limit(2000).repartition(12), "ts", out)
+      out
+    }
+    def fingerprint(root: String): (Long, Long) = {
+      val df = spark.read.parquet(root)
+      (df.count(), df.agg(sum(col("event_id"))).head.getLong(0))
+    }
+    def partDirs(root: String): Array[File] =
+      new File(root).listFiles().filter(d =>
+        d.isDirectory && d.getName.contains("=") &&
+          !d.getName.startsWith(".") && !d.getName.startsWith("_"))
+    def rmRec(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete(); ()
+    }
+    // the truth: an uninterrupted compaction of the same dataset
+    val clean = freshDataset()
+    val (cleanRows, cleanSum) = fingerprint(clean)
+    val (_, _, cleanAfter) =
+      LogSources.compactDatePartitioned(spark, clean, targetBytes = 512L * 1024 * 1024)
+    // stage a victim partition exactly as the production path does,
+    // stopped before the marker (withMarker=false) or after (true)
+    def stage(root: String, withMarker: Boolean): (File, File) = {
+      val d = partDirs(root).head
+      val staged = new File(root, s"${LogSources.StagePrefix}${d.getName}")
+      spark.read.parquet(d.getAbsolutePath).repartition(1)
+        .write.mode("overwrite").parquet(staged.getAbsolutePath)
+      if (withMarker)
+        assert(new File(staged, LogSources.CommitMarker).createNewFile())
+      (d, staged)
+    }
+    val killStates: Seq[(String, String => Unit)] = Seq(
+      "mid staged write (partial staging, no marker)" -> { root =>
+        val (_, staged) = stage(root, withMarker = false)
+        // half-written staging: drop one of its files mid-flight
+        staged.listFiles().filter(_.getName.endsWith(".parquet")).headOption
+          .foreach(_.delete())
+      },
+      "between staged write and marker" -> { root =>
+        stage(root, withMarker = false); ()
+      },
+      "between marker and rm(old)" -> { root =>
+        stage(root, withMarker = true); ()
+      },
+      "mid rm(old) — target half-deleted" -> { root =>
+        val (d, _) = stage(root, withMarker = true)
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .take(6).foreach(_.delete())
+      },
+      "between rm(old) and rename — target gone" -> { root =>
+        val (d, _) = stage(root, withMarker = true)
+        rmRec(d)
+      })
+    for ((label, inject) <- killStates) {
+      val root = freshDataset()
+      inject(root)
+      val (_, _, after) =
+        LogSources.compactDatePartitioned(spark, root, targetBytes = 512L * 1024 * 1024)
+      assert(fingerprint(root) === ((cleanRows, cleanSum)),
+        s"rows/content diverged after recovery from kill $label")
+      assert(after === cleanAfter,
+        s"file layout diverged after recovery from kill $label ($after vs $cleanAfter)")
+      assert(!new File(root).listFiles().exists(_.getName.startsWith(LogSources.StagePrefix)),
+        s"staging residue left behind after kill $label")
+      assert(partDirs(root).forall(d => !new File(d, LogSources.CommitMarker).exists()),
+        s"commit-marker residue left behind after kill $label")
+      // partition pruning still intact on the recovered dataset
+      val oneDay = spark.read.parquet(root).select("event_date").distinct().head.getDate(0)
+      val scan = spark.read.parquet(root).filter(col("event_date") === lit(oneDay))
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(event_date"))
+    }
+  }
+
   test("ORC round-trip preserves events and pushes filters to the scan") {
     val out = tmpDir("orc") + "/events"
     val ev = Tables.events(spark, sf)

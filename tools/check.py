@@ -17,6 +17,42 @@ import numpy as np
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+# The six graph-family oracles whose registered single-statement SQL
+# (recursive closure + uncapped pair self-join) exceeds single-node
+# DuckDB on amplified fixtures (GATE_X10_IID r10-r14 walls). Above the
+# auto threshold the gate dispatches them to the chunked/materialized
+# variant in graph_oracle_chunked.py (selfchecked frame-equal to the
+# registered SQL at sf0.01 + sf0.1) — ONE entrypoint, no hand-merged
+# bifurcation (r15 verdict #3).
+GRAPH_CHUNKED = ["q_coaccess_components", "q_component_density",
+                 "q_blast_radius", "q_knn_triangles",
+                 "q_clustering_coeff", "q_peer_anomaly"]
+
+def graph_auto_mode(sf_dir):
+    """The size-based auto decision: the registered recursive oracles
+    complete at sf0.1 (events ~2 MB; components took 726 s there) but
+    blow past container resources on the x3+/amplified fixtures, so the
+    default cutover sits just above sf0.1
+    (GRAFT_GRAPH_ORACLE_AUTO_BYTES, default 4 MiB)."""
+    p = f"{sf_dir}/events.parquet"
+    if os.path.isdir(p):
+        size = sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
+    else:
+        size = os.path.getsize(p) if os.path.exists(p) else 0
+    cut = int(os.environ.get("GRAFT_GRAPH_ORACLE_AUTO_BYTES",
+                             str(4 * 1024 * 1024)))
+    return "chunked" if size > cut else "original"
+
+def graph_oracle_mode(sf_dir):
+    """GRAFT_GRAPH_ORACLE: original | chunked | auto (default, by size)."""
+    mode = os.environ.get("GRAFT_GRAPH_ORACLE", "auto")
+    if mode in ("original", "chunked"):
+        return mode
+    if mode != "auto":
+        raise SystemExit(f"check.py: unknown GRAFT_GRAPH_ORACLE={mode!r} "
+                         "(expected original|chunked|auto)")
+    return graph_auto_mode(sf_dir)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: ints -> int64, floats -> float64
@@ -64,9 +100,15 @@ def main(sf_dir, out_dir, json_out=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     report = {}
+    graph_mode = graph_oracle_mode(sf_dir)
+    chunked = [n for n in GRAPH_CHUNKED
+               if graph_mode == "chunked" and n in oracle
+               and (only is None or n in only)]
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
+        if name in chunked:
+            continue  # dispatched to the chunked variant below
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -116,6 +158,30 @@ def main(sf_dir, out_dir, json_out=None):
             rec["hash_match"] = True
             n_ok += 1
             print(f"ok   {name} ({len(spark_df)} rows, {len(spark_df.columns)} cols)")
+    if chunked:
+        # lazy import: graph_oracle_chunked imports canon/TABLES from this
+        # module, so a top-level import would be circular
+        import graph_oracle_chunked as goc
+        # frame-equal selfcheck vs the registered SQL runs wherever the
+        # original can still run (i.e. chunked was FORCED at small scale,
+        # or GRAFT_GRAPH_SELFCHECK=1); on auto-dispatched big fixtures the
+        # original is exactly what can't run — there the structural
+        # cap/tail assertion (derive_cap) still pins the rewrite.
+        forced_small = (os.environ.get("GRAFT_GRAPH_ORACLE") == "chunked"
+                        and graph_auto_mode(sf_dir) == "original")
+        selfcheck = (os.environ.get("GRAFT_GRAPH_SELFCHECK") == "1"
+                     or forced_small)
+        print(f"dispatching {len(chunked)} graph oracles to the chunked "
+              f"variant (mode={graph_mode}, selfcheck={selfcheck})")
+        rep, g_ok, g_bad = goc.run(
+            sf_dir, out_dir,
+            chunks=int(os.environ.get("GRAFT_GRAPH_CHUNKS", "8")),
+            threads=int(os.environ.get("GRAFT_DUCKDB_THREADS", "8")),
+            memlimit=os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "40GB"),
+            only=set(chunked), selfcheck=selfcheck)
+        report.update(rep)
+        n_ok += g_ok
+        n_bad += g_bad
     # queries without oracle: rows-only check. The GRAFT_CHECK_ONLY
     # filter applies here too — otherwise a subset run scores (and
     # merge_gate may merge) rows-only entries whose parquet output is

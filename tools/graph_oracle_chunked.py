@@ -38,9 +38,12 @@ Usage:
       [--only q1,q2] [--dbdir DIR]
 
 Output json entries are check.py-shaped (rows/schema/hash match) so
-merge_gate.py can fold them into a gate artifact.
+merge_gate.py can fold them into a gate artifact. check.py dispatches
+here automatically for the six when the fixture exceeds its auto
+threshold (r15 verdict #3 — one gate entrypoint, no hand-merged
+bifurcation), via run() below.
 """
-import sys, os, json, glob, shutil, tempfile, time
+import sys, os, re, json, glob, shutil, tempfile, time
 import duckdb
 import pandas as pd
 import numpy as np
@@ -210,7 +213,44 @@ def log(msg):
     print(f"[graph-oracle {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def build_shared(con, chunks):
+def derive_cap(oracle):
+    """Pin this tool's shared prefix to the REGISTERED oracle text (r15
+    advisory): the degree cap is READ from oracle_sql.json instead of
+    hardcoded, and the structural fragments the TAILS transcribe (the
+    pair HAVING threshold, the knn fanout) are asserted present — so if
+    SparkEntry's $DegCap or oracle shape ever changes, this tool fails
+    loudly at startup instead of silently diverging until someone
+    remembers to re-run --selfcheck.
+    """
+    caps = set()
+    for name in GRAPH_QUERIES:
+        sql = oracle.get(name)
+        if sql is None:
+            raise SystemExit(f"graph_oracle_chunked: {name} missing from "
+                             "oracle_sql.json — registry/tool drift")
+        found = re.findall(r"HAVING\s+count\(\*\)\s*<=\s*(\d+)", sql)
+        if not found:
+            raise SystemExit(
+                f"graph_oracle_chunked: registered oracle for {name} no "
+                "longer contains 'HAVING count(*) <= <cap>' — the chunked "
+                "prefix is out of date; re-derive it and re-run --selfcheck")
+        caps.update(int(c) for c in found)
+        if "count(*) >= 2" not in sql:
+            raise SystemExit(
+                f"graph_oracle_chunked: registered oracle for {name} lost "
+                "the pair threshold 'count(*) >= 2' the chunked fold sums to")
+        if name in ("q_knn_triangles", "q_clustering_coeff") \
+                and "rk <= 3" not in sql:
+            raise SystemExit(
+                f"graph_oracle_chunked: registered oracle for {name} lost "
+                "the knn fanout 'rk <= 3' the TAILS transcribe")
+    if len(caps) != 1:
+        raise SystemExit("graph_oracle_chunked: inconsistent degree caps "
+                         f"across the six registered oracles: {sorted(caps)}")
+    return caps.pop()
+
+
+def build_shared(con, chunks, cap):
     """Materialize ur / pc / e / comp with bounded per-step footprints."""
     t0 = time.time()
     con.execute(f"""CREATE TABLE ur AS
@@ -218,9 +258,9 @@ def build_shared(con, chunks):
         FROM {POLICIED}
         WHERE json_extract_string(props,'$.k') IS NOT NULL
           AND user_id IS NOT NULL""")
-    con.execute("""CREATE TABLE urk AS
+    con.execute(f"""CREATE TABLE urk AS
         SELECT user_id, res FROM ur WHERE res IN
-          (SELECT res FROM ur GROUP BY res HAVING count(*) <= 1000)""")
+          (SELECT res FROM ur GROUP BY res HAVING count(*) <= {cap})""")
     n_ur = con.execute("SELECT count(*) FROM urk").fetchone()[0]
     log(f"ur/keep materialized: {n_ur} kept (user,res) rows "
         f"({time.time() - t0:.0f}s)")
@@ -304,18 +344,15 @@ def compare(name, spark_df, duck_df, report):
     return True
 
 
-def main(argv):
-    sf_dir, out_dir = argv[0], argv[1]
-    json_out = argv[2] if len(argv) > 2 and not argv[2].startswith("--") else None
-    def opt(flag, default=None):
-        return argv[argv.index(flag) + 1] if flag in argv else default
-    chunks = int(opt("--chunks", "8"))
-    threads = int(opt("--threads", "8"))
-    memlimit = opt("--memlimit", "40GB")
-    only = set(opt("--only").split(",")) if "--only" in argv else None
-    selfcheck = "--selfcheck" in argv
-    dbdir = opt("--dbdir", tempfile.mkdtemp(prefix="graft_graph_oracle_"))
+def run(sf_dir, out_dir, chunks=8, threads=8, memlimit="40GB", only=None,
+        selfcheck=False, dbdir=None):
+    """Compute + compare the six graph oracles; returns (report, ok, bad).
 
+    Callable from check.py (the unified gate path) as well as the CLI.
+    """
+    keep_dbdir = dbdir is not None
+    if dbdir is None:
+        dbdir = tempfile.mkdtemp(prefix="graft_graph_oracle_")
     os.makedirs(dbdir, exist_ok=True)
     dbfile = os.path.join(dbdir, "graph_oracle.duckdb")
     if os.path.exists(dbfile):
@@ -341,9 +378,13 @@ def main(argv):
                     "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
                     f"FROM read_parquet('{src(sf_dir + '/events.parquet')}')")
 
-    build_shared(con, chunks)
-
+    # cap + structural fragments come from the REGISTERED SQL (fails
+    # loudly on drift) — the oracle must load before the shared prefix
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    cap = derive_cap(oracle)
+    log(f"degree cap derived from registered oracle SQL: {cap}")
+    build_shared(con, chunks, cap)
+
     report, n_ok, n_bad = {}, 0, 0
     for name in GRAPH_QUERIES:
         if only is not None and name not in only:
@@ -384,14 +425,41 @@ def main(argv):
             n_ok += 1
         else:
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
-    if json_out:
-        json.dump({"sf_dir": sf_dir, "ok": n_ok, "failed": n_bad,
-                   "queries": report}, open(json_out, "w"),
-                  indent=1, sort_keys=True)
     con.close()
-    if "--dbdir" not in argv:
+    if not keep_dbdir:
         shutil.rmtree(dbdir, ignore_errors=True)
+    return report, n_ok, n_bad
+
+
+def main(argv):
+    import argparse
+    p = argparse.ArgumentParser(
+        description="Chunked/materialized DuckDB oracle for the six "
+                    "graph-family queries (see module docstring)")
+    p.add_argument("sf_dir")
+    p.add_argument("out_dir")
+    p.add_argument("json_out", nargs="?", default=None)
+    p.add_argument("--chunks", type=int, default=8)
+    p.add_argument("--threads", type=int, default=8)
+    p.add_argument("--memlimit", default="40GB")
+    p.add_argument("--only", default=None,
+                   help="comma-separated subset of the six query names")
+    p.add_argument("--selfcheck", action="store_true",
+                   help="also run the ORIGINAL registered oracle and assert "
+                        "frame equality (small scales only)")
+    p.add_argument("--dbdir", default=None,
+                   help="db/spill directory to use AND keep (default: temp, "
+                        "removed on exit)")
+    a = p.parse_args(argv)
+    only = set(a.only.split(",")) if a.only else None
+    report, n_ok, n_bad = run(a.sf_dir, a.out_dir, chunks=a.chunks,
+                              threads=a.threads, memlimit=a.memlimit,
+                              only=only, selfcheck=a.selfcheck, dbdir=a.dbdir)
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    if a.json_out:
+        json.dump({"sf_dir": a.sf_dir, "ok": n_ok, "failed": n_bad,
+                   "queries": report}, open(a.json_out, "w"),
+                  indent=1, sort_keys=True)
     return 1 if n_bad else 0
 
 
