@@ -27,7 +27,11 @@ object Profile {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
-        println(s"STAGE ${si.stageId} tasks=${si.numTasks} ms=${dur.getOrElse(-1L)}")
+        val m = si.taskMetrics
+        println(s"STAGE ${si.stageId} tasks=${si.numTasks} ms=${dur.getOrElse(-1L)} " +
+          s"cpuMs=${m.executorCpuTime / 1000000} runMs=${m.executorRunTime} " +
+          s"in=${m.inputMetrics.recordsRead} sr=${m.shuffleReadMetrics.recordsRead} " +
+          s"sw=${m.shuffleWriteMetrics.recordsWritten} ${si.name.take(90)}")
       }
     })
     val t0 = System.nanoTime()

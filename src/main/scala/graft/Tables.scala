@@ -63,6 +63,15 @@ object Tables {
     * before ANY analysis). Every event-driven operator reads through
     * this; the filters push into the scan and are no-ops on clean data.
     * `q_profile` reads [[events]] raw BECAUSE its job is counting nulls.
+    *
+    * Deliberately NOT [[spread]] (re-measured r16, confirming the r-era
+    * activityLog note): the events fixture is one parquet row group, so
+    * the decode is single-task either way; a round-robin exchange here
+    * ADDED 0.4-0.5 s per query across a 6-query A/B (spread min 1.11-1.50
+    * vs unspread 0.60-1.09 at sf0.1) — the sort-before-repartition plus
+    * 32-task stage overhead exceeds the parallelism gain on a 100k-row
+    * frame. At 100 TB the scan has thousands of splits and the question
+    * disappears.
     */
   def cleanEvents(s: SparkSession, d: String): DataFrame =
     events(s, d).filter(
@@ -140,6 +149,18 @@ object Tables {
       // the recommended ~64MB partitions on a 100 TB cluster alike.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // Let AQE re-optimize CACHED plans too (default false): without it
+      // every Memo/rank-pin InMemoryRelation materializes at the full
+      // shuffle width — 32 partitions holding a 1,500-row feature matrix —
+      // and every consumer stage downstream of a cache scan pays that
+      // width in task overhead. Measured r16 at sf0.1: q_anomaly_report
+      // 1.68→0.91 s, q_rfm 2.6→1.2 s, q_knn_triangles 1.07→0.58 s,
+      // q_model_report 1.28→0.84 s. Scale-neutral: the flag only permits
+      // the same size-based coalescing the session already applies to
+      // uncached shuffles, so big cached frames keep their width on a
+      // cluster; explicit repartition(n, expr) calls are user-specified
+      // and stay un-coalesced either way.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -347,15 +347,23 @@ object RelationalOps {
     * snapshot table.
     */
   def qLatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("resource"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+    // keep-last-write as ONE max_by aggregate instead of shuffle + sort +
+    // row_number + filter (r16): the argmax under (ts DESC, event_id
+    // DESC) is max_by over the lexicographic (ts, event_id) struct —
+    // identical survivor row (the tiebreak is total: ties on both
+    // columns carry identical payloads only when the row itself is
+    // duplicated). Map-side partial max replaces the full-row sort —
+    // at compaction scale the shuffle then carries one candidate row
+    // per key per map task instead of every version of every key.
     events(spark, dir)
       .withColumn("resource", get_json_object(col("props"), "$.k"))
       .filter(col("resource").isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("resource"), col("event_id"), col("ts"),
-        col("event_type"), r4(col("value")).as("value"))
+      .groupBy(col("user_id"), col("resource"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("resource"), col("last.event_id"),
+        col("last.ts"), col("last.event_type"), r4(col("last.value")).as("value"))
       .orderBy(col("user_id"), col("resource"))
   }
 
@@ -1242,15 +1250,26 @@ object RelationalOps {
     */
   def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
     val isLate = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS")
+    // Two-level aggregate instead of the double countDistinct (r16): the
+    // old shape planned an Expand that tripled every joined row through
+    // the first exchange to serve two distinct-aggregates. Pre-reducing
+    // to one row per (order, supplier) with an any-late flag makes both
+    // "distinct" counts plain map-side-combinable counts — same values
+    // by construction (a supplier with late AND on-time lines carries
+    // any_late = 1 and is counted once, exactly as countDistinct over
+    // the when-filtered key did), no Expand, strictly fewer shuffled
+    // bytes.
     val perOrder = lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(orders(spark, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(isLate, 1L).otherwise(0L)).as("any_late"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(isLate, col("l_suppkey"))).as("n_late"),
-        max(when(isLate, col("l_suppkey"))).as("late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("any_late")).as("n_late"),
+        max(when(col("any_late") === 1L, col("l_suppkey"))).as("late_supp"))
     perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))

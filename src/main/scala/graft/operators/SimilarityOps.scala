@@ -304,7 +304,11 @@ object SimilarityOps {
     // blocking shape as the SimHash pair join
     val keys = explode(array((0 until LshTables).map(t =>
       concat(lit(s"$t:"), tableSig(t).cast("string"))): _*)).as("bucket")
-    val all = embeddings(spark, dir)
+    // spread: the embeddings fixture arrives as one parquet split, which
+    // ran the 8-table signature projection + bucket join + dedup on a
+    // single core (r16 profile: 1-task ~0.5 s stage); the exchange moves
+    // |corpus| narrow rows once and is a no-op at scale (splits ≥ cores).
+    val all = spread(spark, embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), keys)
     val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
@@ -313,10 +317,16 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id").asc)
     all.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("probe_emb"), col("embedding"))
-      .distinct() // a pair sharing several tables is verified once
+      // score BEFORE deduplicating: cos is deterministic per pair, so a
+      // pair sharing several tables still yields one distinct row — but
+      // the dedup exchange now carries (probe, vec, cos) scalars instead
+      // of two 64-float embedding payloads (r16; guide: shuffle keys and
+      // metadata, not payloads — the duplicate-side cosines it recomputes
+      // are a few thousand 64-mult folds, far cheaper than hashing and
+      // shuffling 512-byte rows).
       .select(col("probe_id"), col("vec_id"),
         r4(cosineSim(col("probe_emb"), col("embedding"))).as("cos"))
+      .distinct() // a pair sharing several tables is verified once
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .orderBy(col("probe_id"), col("rank"))

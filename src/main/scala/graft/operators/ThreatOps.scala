@@ -1652,18 +1652,38 @@ object ThreatOps {
     * engines rather than a NaN/NULL divergence.
     */
   def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    // The edge frame is SYMMETRIC (coaccessEdges unions both directions),
+    // so every edge-level Pearson sum collapses to a degree-power sum over
+    // the |users|-row degree frame — the r16 rewrite that removed both
+    // edge-sized join exchanges and the 2.25M-row decimal aggregation the
+    // old xy-frame shape paid (profile: 2×~1.2 s shuffle stages → none):
+    //   n   = Σ_e 1            = Σ_u deg(u)
+    //   sx  = Σ_e deg(src)     = Σ_u deg(u)²   (= sy, by symmetry)
+    //   sxx = Σ_e deg(src)²    = Σ_u deg(u)³   (= syy)
+    //   sxy = Σ_e deg(src)·deg(dst) = Σ_u deg(u)·m(u),
+    //         m(u) = Σ_{v∈N(u)} deg(v)
+    // m attaches by ONE broadcast join (deg is |users|-sized, bounded by
+    // the packable-id domain) followed by a map-side-combined sum; every
+    // remaining aggregate runs over |users| rows, where the exact
+    // decimal(38,0) arithmetic is free. Integer identities — the emitted
+    // values are bit-identical to the old shape's (oracle unchanged).
+    // m(u) < 2³¹·2³¹ = 2⁶² by the packable-id guard, so the edge-sized
+    // sum stays in long; the tiny final sums go through decimal(38,0)
+    // exactly as before.
     val edges = coaccessEdges(spark, dir)
-    val deg = edges.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
-    val xy = edges
-      .join(deg.select(col("u").as("src"), col("deg").as("dx")), Seq("src"))
-      .join(deg.select(col("u").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val m = edges
+      .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("dd"))),
+        Seq("dst"))
+      .groupBy(col("src")).agg(sum(col("dd")).as("mu"))
     val dec = "decimal(38,0)"
-    val s = xy.agg(
-      count(lit(1)).cast(dec).as("n"),
-      sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
-      sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
-      sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
-      sum((col("dy") * col("dy")).cast(dec)).as("syy"))
+    val s = deg.join(m, Seq("src")).agg(
+      coalesce(sum(col("deg")), lit(0L)).cast(dec).as("n"),
+      sum((col("deg") * col("deg")).cast(dec)).as("sx"),
+      sum((col("deg") * col("deg")).cast(dec)).as("sy"),
+      sum((col("deg").cast(dec) * col("mu").cast(dec))).as("sxy"),
+      sum((col("deg") * col("deg")).cast(dec) * col("deg").cast(dec)).as("sxx"),
+      sum((col("deg") * col("deg")).cast(dec) * col("deg").cast(dec)).as("syy"))
     s.select(col("n").cast("long").as("n_edges"),
       when((col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(0.0))

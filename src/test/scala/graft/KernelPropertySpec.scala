@@ -141,4 +141,47 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("LevenshteinTrim.dist equals UTF8String.levenshteinDistance on random unicode pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // alphabet mixes 1-, 2-, 3- and 4-byte code points so the byte-level
+    // affix trim is exercised across every UTF-8 width (the boundary
+    // backoff is the only logic the built-in doesn't own)
+    val alphabet = "abcdé漢字🙂αß↔".toCharArray // includes surrogate pair
+    def randText(n: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        // keep surrogate pairs intact
+        if (Character.isHighSurrogate(c)) sb.append("🙂") else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+    for (_ <- 1 to 500) {
+      val base = randText(rnd.nextInt(40))
+      // bias toward the near-dup shape the verify path feeds: shared
+      // prefix/suffix with a small edited window — plus fully random pairs
+      val (a, b) =
+        if (rnd.nextBoolean()) {
+          val edit = randText(rnd.nextInt(5))
+          val cut = if (base.isEmpty) 0 else rnd.nextInt(base.length)
+          (base, base.substring(0, cut) + edit + base.substring(cut))
+        } else (randText(rnd.nextInt(25)), randText(rnd.nextInt(25)))
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val d = ua.levenshteinDistance(ub)
+      assert(graft.functions.LevenshteinTrim.dist(ua, ub) === d, s"a='$a' b='$b'")
+      assert(graft.functions.LevenshteinTrim.dist(ub, ua) ===
+        ub.levenshteinDistance(ua), s"swapped a='$a' b='$b'")
+      // bound is a true upper bound, and tight (0) on equality
+      val bound = graft.functions.LevenshteinTrim.bound(ua, ub)
+      assert(bound >= d, s"bound: a='$a' b='$b'")
+      // thresholded variant: exact at or above d, -1 strictly below
+      val t = rnd.nextInt(bound + 2)
+      val dt = graft.functions.LevenshteinTrim.distThreshold(ua, ub, t)
+      assert(dt === (if (d <= t) d else -1), s"threshold $t: a='$a' b='$b'")
+    }
+  }
 }

@@ -59,7 +59,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_anomaly_overlap",
       // one-row broadcast cross: the corpus token total (the spectrum's
       // share-of-corpus denominator) — same O(1) build-side shape
-      "q_token_freq_spectrum")
+      "q_token_freq_spectrum",
+      // one-row broadcast cross: the 50th-smallest distance-bound scalar
+      // (t0) the banded edit-distance verify reads (r16)
+      "q_edit_distance")
 
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
