@@ -199,13 +199,22 @@ object Bench {
           spreads(name) = (good.max - good.min) / good.min
         name -> good.minOption
       }.toMap
+      // Canary probes use the SAME estimator class as the sweep (min of
+      // nRuns), not a single re-run: the sweep value is a min over
+      // 2·nRuns executions of sub-second queries, so one warm re-run
+      // carrying a GC pause or a cold code-cache line reads 2-4× against
+      // it on a provably idle box (r17: canary 2.41 with java_procs=2 and
+      // loadavg ≈ the bench itself), triggering pointless re-sweeps and
+      // false tail annotation. min-of-nRuns rides out the same
+      // single-execution noise the sweep's own estimator rides out, while
+      // real sustained contention still inflates every run of the probe.
       def runCanary(): Seq[(String, Double)] = canaryQs.flatMap { n =>
         SparkEntry.queries.get(n).flatMap { fn =>
-          val t = timeOne(n, fn)
+          val t = (1 to nRuns).map(_ => timeOne(n, fn)).filterNot(_.isNaN).minOption
           val base = timesByQuery.toMap.get(n).map(_.filterNot(_.isNaN))
             .flatMap(_.minOption)
-          base.collect { case b if b > 0 && !t.isNaN =>
-            n -> math.rint(t / b * 100) / 100 }
+          for (b <- base; tv <- t; if b > 0)
+            yield n -> math.rint(tv / b * 100) / 100
         }
       }
       val canary: Seq[(String, Double)] = runCanary()
@@ -294,7 +303,7 @@ object Bench {
               s""","tail_annotated":${m.tailAnnotated.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
             else "") + "}"
         }
-      s""","env":{"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},""" +
+      s""","env":{"cpus":${cpus.toInt},"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},""" +
         s""""java_procs_start":$procsStart,"java_procs_end":$procsEnd,""" +
         s""""procs_unknown_start":$procsUnknownStart,"procs_unknown_end":$procsUnknownEnd,""" +
         s""""sweep_attempts":$attempts,""" +
@@ -330,6 +339,7 @@ object Bench {
           Option(outF.getParentFile).getOrElse(new java.io.File(".")),
           "bench_full.json").getPath)
       }
+    var crossCpuNoPrior = false
     val priorParsed: Option[(String, String, Map[String, Double])] = comparePath.filter { path =>
       val ok = new java.io.File(path).isFile
       if (!ok) System.err.println(s"[bench] compare file $path missing — skipping A/B section")
@@ -346,11 +356,28 @@ object Bench {
         System.err.println(s"[bench] compare file $path has no \"queries\" map — skipping A/B section")
         None
       } else {
-        val qStart = keyAt + "\"queries\":{".length
-        val qBody = prior.substring(qStart, prior.indexOf('}', qStart))
-        val qmap = "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
-          .findAllMatchIn(qBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        Some((path, prior, qmap))
+        // CORE-COUNT GUARD (r16 verdict #2): an 8-core sweep A/B'd against
+        // a 32-core prior inevitably reads "contended" and (worse) can
+        // promote the 32-core number as the 8-core headline, destroying
+        // the driver's scaling measurement. A prior stamped with a
+        // different cpus is NOT a comparison candidate at all; a prior
+        // with no stamp (pre-r17 artifact) is comparable only by the
+        // historical convention that committed priors ran at 32.
+        val priorCpus = "\"cpus\":([0-9]+)".r.findFirstMatchIn(prior)
+          .map(_.group(1).toInt)
+        if (priorCpus.exists(_ != cpus.toInt)) {
+          System.err.println(s"[bench] compare file $path was recorded at " +
+            s"cpus=${priorCpus.get}, this run is cpus=$cpus — cross-cpu " +
+            "comparison and promotion are meaningless, skipping A/B section")
+          crossCpuNoPrior = true
+          None
+        } else {
+          val qStart = keyAt + "\"queries\":{".length
+          val qBody = prior.substring(qStart, prior.indexOf('}', qStart))
+          val qmap = "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+            .findAllMatchIn(qBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          Some((path, prior, qmap))
+        }
       }
     }
     // Failed queries are OMITTED from the timings map (they're in
@@ -378,6 +405,12 @@ object Bench {
       // never promote across scale factors — a clean sf0.01 prior is not
       // a substitute for an sf0.1 measurement
       prior.contains(s""""sf":"$sfDir"""") &&
+        // …and never across core counts (r16 verdict #2): promotion
+        // requires the prior to EXPLICITLY stamp the same cpus — an
+        // unstamped pre-r17 prior is comparable but not promotable,
+        // because a promoted headline silently becomes "the measurement
+        // at $SPARK_GRAFT_CPUS cores" in the driver's scaling probe.
+        prior.contains(s""""cpus":${cpus.toInt}""") &&
         // a PROMOTED prior's env says still-contended, but its queries
         // map is the inherited clean one — chained promotion stays sound
         (prior.contains("\"value_source\":\"promoted_clean_prior\"") ||
@@ -463,8 +496,13 @@ object Bench {
       if (spreads.nonEmpty)
         s""","mode":"$mode","spread":${spreads.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }.mkString("{", ",", "}")}"""
       else s""","mode":"$mode""""
+    // cross_cpu_no_prior (r16 verdict #2): tells a reader the run HAD a
+    // committed prior but it was recorded at a different core count, so
+    // the missing A/B section is deliberate and the headline is this
+    // run's own measurement at $cpus cores.
+    val crossCpuJson = if (crossCpuNoPrior) s""","cross_cpu_no_prior":true""" else ""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$promoJson$spreadJson$compareJson$envJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$promoJson$crossCpuJson$spreadJson$compareJson$envJson,"sf":"$sfDir"}"""
     // The full per-query map is ~6KB — it goes to a FILE only. Printing it
     // to stdout (pre-r8 behavior) ate 1,255 chars of the driver's 2,000-char
     // stdout tail and pushed the machine-readable summary line's START to
@@ -518,7 +556,8 @@ object Bench {
       else "") +
       medianSpread.map(v => s""","median_spread":$v""").getOrElse("") +
       m.canaryMedian.map(v => s""","canary_median_ratio":$v""").getOrElse("") +
-      promoted.map(_ => s""","value_source":"promoted_clean_prior"""").getOrElse("")
+      promoted.map(_ => s""","value_source":"promoted_clean_prior"""").getOrElse("") +
+      crossCpuJson
     println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$abJson,"headliners":$hq,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -135,10 +135,17 @@ class PlanAuditSpec extends SparkSpec {
     // row_number() <= k filters — the map-side top-k that makes
     // rank-per-key queries scale. A reformulated filter that stops the
     // pushdown silently reverts to full per-key sorts.
-    for (name <- Seq("q_top_per_group", "q_latest_snapshot")) {
-      assert(finalPlan(name).contains("WindowGroupLimit"),
-        s"$name lost the WindowGroupLimit pushdown")
-    }
+    assert(finalPlan("q_top_per_group").contains("WindowGroupLimit"),
+      "q_top_per_group lost the WindowGroupLimit pushdown")
+  }
+
+  test("q_latest_snapshot keeps map-side max_by partial aggregation") {
+    // r16 rewrote the window row_number()=1 argmax as a max_by aggregate:
+    // the shuffle must carry one partial candidate per key per map task
+    // (partial_max_by), not every version row through a sort+window.
+    val p = finalPlan("q_latest_snapshot")
+    assert(p.contains("partial_max_by"),
+      s"q_latest_snapshot lost the map-side max_by partial aggregation:\n$p")
   }
 
   test("scans read only the columns the query needs") {
