@@ -766,8 +766,16 @@ object DedupOps {
     */
   private def cloneKeyed(d: DataFrame): DataFrame =
     d.select(col("doc_id"), array_sort(col("h")).as("h"))
+      // 16-byte BINARY key, not the 32-char md5 hex string (r17, guide
+      // §2.3 narrower types): gk rides EVERY row of the anchor, postings
+      // and candidate-dedup exchanges — the three biggest shuffles of the
+      // containment pipeline — and the hex doubling was pure exchange
+      // weight (measured 13.7 MiB → ~7 MiB on the dedup exchange at
+      // sf0.1). Hex is an order-preserving byte encoding, so binary
+      // least/greatest orient every pair exactly as the string form did —
+      // emitted values unchanged (oracle hash green).
       .withColumn("gk",
-        md5(concat_ws(",", transform(col("h"), _.cast("string")))))
+        unhex(md5(concat_ws(",", transform(col("h"), _.cast("string"))))))
 
   /** One row per DISTINCT shingle set: group key, member count, the set. */
   private def cloneGroups(keyed: DataFrame): DataFrame =

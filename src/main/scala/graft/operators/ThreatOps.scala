@@ -1652,38 +1652,43 @@ object ThreatOps {
     * engines rather than a NaN/NULL divergence.
     */
   def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    // The edge frame is SYMMETRIC (coaccessEdges unions both directions),
-    // so every edge-level Pearson sum collapses to a degree-power sum over
-    // the |users|-row degree frame — the r16 rewrite that removed both
-    // edge-sized join exchanges and the 2.25M-row decimal aggregation the
-    // old xy-frame shape paid (profile: 2×~1.2 s shuffle stages → none):
-    //   n   = Σ_e 1            = Σ_u deg(u)
-    //   sx  = Σ_e deg(src)     = Σ_u deg(u)²   (= sy, by symmetry)
-    //   sxx = Σ_e deg(src)²    = Σ_u deg(u)³   (= syy)
-    //   sxy = Σ_e deg(src)·deg(dst) = Σ_u deg(u)·m(u),
-    //         m(u) = Σ_{v∈N(u)} deg(v)
-    // m attaches by ONE broadcast join (deg is |users|-sized, bounded by
-    // the packable-id domain) followed by a map-side-combined sum; every
-    // remaining aggregate runs over |users| rows, where the exact
-    // decimal(38,0) arithmetic is free. Integer identities — the emitted
-    // values are bit-identical to the old shape's (oracle unchanged).
-    // m(u) < 2³¹·2³¹ = 2⁶² by the packable-id guard, so the edge-sized
-    // sum stays in long; the tiny final sums go through decimal(38,0)
-    // exactly as before.
-    val edges = coaccessEdges(spark, dir)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val m = edges
-      .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("dd"))),
-        Seq("dst"))
-      .groupBy(col("src")).agg(sum(col("dd")).as("mu"))
+    // Every edge-level Pearson sum collapses onto the UNORDERED pair
+    // frame directly (r17; the r16 shape still scanned the 2×-unioned
+    // edge checkpoint 2-3 times at ~10 s CPU per scan and paid the m(u)
+    // neighbor-sum aggregation + its exchange). With edges the symmetric
+    // closure of the distinct pairs (a, b):
+    //   n   = Σ_e 1              = 2·|pairs|
+    //   sx  = Σ_e deg(src)       = Σ_pairs (deg(a) + deg(b))      (= sy)
+    //   sxx = Σ_e deg(src)²      = Σ_pairs (deg(a)² + deg(b)²)    (= syy)
+    //   sxy = Σ_e deg(src)·deg(dst) = 2·Σ_pairs deg(a)·deg(b)
+    // so ONE aggregation pass over the Memo'd pair frame (joined with the
+    // |users|-row degree frame — plain equi-joins, no broadcast hint: AQE
+    // broadcasts at bench scale and falls back to a shuffle of the
+    // 3-long-column pair rows at 100 TB, where an explicit broadcast of a
+    // |users|-sized frame would OOM — r16 verdict #8) computes all six
+    // sufficient statistics. deg(u) = #pairs containing u (the pair frame
+    // is distinct by construction) via one explode + map-side-combined
+    // count. Every product is cast to decimal(38,0) BEFORE multiplying —
+    // exact integer identities, emitted values bit-identical to the
+    // edge-frame shape (oracle unchanged).
+    val pairs = coaccessPairFrame(spark, dir, CoaccessMaxDegree)
+      .select(col("user_a"), col("user_b"))
+    val deg = pairs
+      .select(explode(array(col("user_a"), col("user_b"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val dec = "decimal(38,0)"
-    val s = deg.join(m, Seq("src")).agg(
-      coalesce(sum(col("deg")), lit(0L)).cast(dec).as("n"),
-      sum((col("deg") * col("deg")).cast(dec)).as("sx"),
-      sum((col("deg") * col("deg")).cast(dec)).as("sy"),
-      sum((col("deg").cast(dec) * col("mu").cast(dec))).as("sxy"),
-      sum((col("deg") * col("deg")).cast(dec) * col("deg").cast(dec)).as("sxx"),
-      sum((col("deg") * col("deg")).cast(dec) * col("deg").cast(dec)).as("syy"))
+    val da = col("da").cast(dec)
+    val db = col("db").cast(dec)
+    val s = pairs
+      .join(deg.select(col("u").as("user_a"), col("deg").as("da")), Seq("user_a"))
+      .join(deg.select(col("u").as("user_b"), col("deg").as("db")), Seq("user_b"))
+      .agg(
+        (count(lit(1)) * 2).cast(dec).as("n"),
+        sum(da + db).as("sx"),
+        sum(da + db).as("sy"),
+        (sum(da * db) * 2).cast(dec).as("sxy"),
+        sum(da * da + db * db).as("sxx"),
+        sum(da * da + db * db).as("syy"))
     s.select(col("n").cast("long").as("n_edges"),
       when((col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(0.0))
