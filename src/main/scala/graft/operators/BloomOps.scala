@@ -57,15 +57,29 @@ object BloomOps {
   def bloomSemiJoin(big: DataFrame, bigKey: Column,
       smallKeys: DataFrame, smallKey: Column,
       numBits: Long = 1L << 23): DataFrame = {
-    val row = smallKeys
-      .agg(count(smallKey).as("n"), bloomAgg(smallKey, numBits / 8, numBits).as("bf"))
-      .head
-    val nItems = row.getLong(0)
-    val pruned =
-      if (nItems <= numBits / 8 && !row.isNullAt(1))
-        big.filter(mightContain(row.getAs[Array[Byte]](1), bigKey))
-      else big
-    pruned.join(smallKeys, bigKey === smallKey, "left_semi")
+    // The sketch rides a SCALAR SUBQUERY instead of a driver .head()
+    // (r17): the old shape was two sequential Spark ACTIONS per
+    // execution (build-and-collect the sketch, then plan and run the
+    // main query), costing an extra job submission + planning pass
+    // every run — and making the operator unusable anywhere a single
+    // declarative plan is required. The saturation guard moves INTO the
+    // subquery: it yields NULL instead of a useless saturated filter
+    // (count > numBits/8 ⇒ FP rate → 1), might_contain(NULL, k) is NULL,
+    // and coalesce(…, true) turns that into "keep every row" — exactly
+    // the old plain-semi-join fallback, with the per-row probe reduced
+    // to a null check. This is the same plan shape Spark's own
+    // InjectRuntimeFilter emits (bloom_filter_agg in a scalar subquery
+    // feeding might_contain at the scan).
+    val guarded = smallKeys.agg(
+      when(count(smallKey) <= lit(numBits / 8),
+        bloomAgg(smallKey, numBits / 8, numBits))
+        .otherwise(lit(null).cast(BinaryType)).as("bf"))
+    val probe = ColumnShim.column(
+      BloomFilterMightContain(
+        ColumnShim.expr(guarded.scalar()),
+        new XxHash64(Seq(ColumnShim.expr(bigKey)))))
+    big.filter(coalesce(probe, lit(true)))
+      .join(smallKeys, bigKey === smallKey, "left_semi")
   }
 
   /** Revenue of lineitems whose order is URGENT, with the urgent-order

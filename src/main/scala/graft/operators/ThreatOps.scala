@@ -1009,10 +1009,20 @@ object ThreatOps {
     */
   def qCoaccessJaccard(spark: SparkSession, dir: String): DataFrame = {
     val pairs = coaccessPairFrame(spark, dir, maxDegree = Int.MaxValue)
-    val cnt = activityLog(spark, dir)
-      .filter(col("resource").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), col("resource")).distinct()
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_res"))
+    // Per-user distinct-resource counts ride the SHARED Memo'd feature
+    // matrix instead of a fresh scan+distinct per run (r17, §2.4 remove
+    // shuffles outright): unique_resources IS countDistinct(resource)
+    // per user over the same activityLog — countDistinct skips NULL
+    // resources exactly as the old isNotNull filter did, and the inner
+    // join on pair endpoints drops any null-user row, so n_res is
+    // value-identical for every joinable user (oracle hash green at
+    // sf0.01 + sf0.1). Saves one full event-log scan + JSON parse +
+    // distinct exchange per execution; the feature matrix is |users|
+    // rows, pinned once per session and shared with the ML detector
+    // family.
+    val cnt = graft.Memo.cached("userFeatures", spark, dir) {
+      qUserFeatures(spark, dir)
+    }.select(col("user_id"), col("unique_resources").as("n_res"))
     pairs
       .join(cnt.select(col("user_id").as("ca_u"), col("n_res").as("na")),
         col("user_a") === col("ca_u"))

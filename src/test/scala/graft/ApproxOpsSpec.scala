@@ -84,19 +84,27 @@ class ApproxOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), "bloom probe must be in-plan")
   }
 
-  test("bloomSemiJoin saturation fallback: undersized sketch skips the probe") {
+  test("bloomSemiJoin saturation fallback: undersized sketch degenerates to keep-all") {
     val urgent = Tables.orders(spark, sf)
       .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
     val li = Tables.lineitem(spark, sf)
-    // 64 bits supports 8 keys; urgent has far more -> must fall back
+    // 64 bits supports 8 keys; urgent has far more -> must fall back.
+    // The guard lives INSIDE the scalar subquery now (r17 single-action
+    // shape): a saturated sketch comes back NULL, might_contain(NULL, k)
+    // is NULL, and coalesce(..., true) keeps every row — the plain
+    // semi-join fallback without a second driver action.
     assert(urgent.count() > 8)
     val fallback = BloomOps.bloomSemiJoin(li, col("l_orderkey"), urgent,
       col("o_orderkey"), numBits = 64)
     val exact = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
       "left_semi")
     assert(fallback.count() === exact.count())
-    assert(!fallback.queryExecution.executedPlan.toString.contains("might_contain"),
-      "a saturated bloom must not be probed")
+    // the guard itself: over-capacity count ⇒ the subquery's sketch is NULL
+    val guarded = urgent.agg(
+      when(count(col("o_orderkey")) <= lit(8L),
+        BloomOps.bloomAgg(col("o_orderkey"), 8L, 64L))
+        .otherwise(lit(null).cast(org.apache.spark.sql.types.BinaryType))).head
+    assert(guarded.isNullAt(0), "a saturated sketch must be nulled by the guard")
   }
 
   test("bloom pre-filter passes all true matches (no false negatives)") {
