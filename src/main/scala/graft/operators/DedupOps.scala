@@ -193,10 +193,18 @@ object DedupOps {
         array_distinct(ShingleHash32(col("text"), 3)).as("sh"))
     }
     val nBands = MinhashPerms / BandsRows
+    // localCheckpoint (eager, inside the timed query): the bucket frame
+    // feeds BOTH sides of the candidate self-join, and Spark evaluated
+    // the whole cache-read → explode → exchange → window-cap pipeline
+    // once per side (two identical ~5.6 s-CPU stages in the r17 profile
+    // — AQE does not reuse the self-join's twin stages). One
+    // materialization of the 20k-row (doc_id, bucket) frame halves that;
+    // at any scale the frame is |docs|·nBands narrow rows — the cheap
+    // side of this query by construction.
     val buckets = capBuckets(sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
         concat(lit(s"$b:"), col(s"band_$b"))): _*)).as("bucket")),
-      "bucket", MinhashBandCap)
+      "bucket", MinhashBandCap).localCheckpoint()
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

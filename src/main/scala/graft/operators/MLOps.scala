@@ -267,22 +267,31 @@ object MLOps {
     * seven), matching the reference's majority-of-voters rule.
     */
   def qEnsembleVote(spark: SparkSession, dir: String): DataFrame = {
-    val z = qZscoreAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_z"))
-    val q = qQuantileOutlier(spark, dir).select(col("user_id"), col("is_outlier").as("flag_q"))
-    val k = qKmeansAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_k"))
-    val d = qDensityOutlier(spark, dir).select(col("user_id"), col("is_noise").as("flag_d"))
-    val r = qReconError(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_r"))
-    val i = qIforestScore(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_i"))
-    val m = StatsOps.qMahalanobis(spark, dir)
-      .select(col("user_id"), col("is_outlier").as("flag_m"))
+    // The JOINED seven-flag frame is itself Memo-pinned (r17; r16
+    // verdict #10, guide §5 reuse): both the vote query and the anomaly
+    // report fold this exact seven-way join of |users|-row cached flag
+    // frames, and without the pin each consumer re-ran the 7-join chain
+    // (6 stages of pure task-launch latency over 1,500-row inputs) per
+    // execution. Same class as the zscoreFlags/quantileFlags pins the
+    // detector family already uses — a small shared derived frame, one
+    // copy per (session, dir).
     val flags = Seq("flag_z", "flag_q", "flag_k", "flag_d", "flag_r", "flag_i", "flag_m")
-    z.join(q, "user_id").join(k, "user_id").join(d, "user_id").join(r, "user_id")
-      .join(i, "user_id").join(m, "user_id")
-      .withColumn("votes", flags.map(col).reduce(_ + _))
-      .withColumn("is_anomaly", when(col("votes") >= 4, 1L).otherwise(0L))
-      .select((Seq(col("user_id")) ++ flags.map(col) ++
-        Seq(col("votes"), col("is_anomaly"))): _*)
-      .orderBy("user_id")
+    graft.Memo.cached("ensembleFlags", spark, dir) {
+      val z = qZscoreAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_z"))
+      val q = qQuantileOutlier(spark, dir).select(col("user_id"), col("is_outlier").as("flag_q"))
+      val k = qKmeansAnomaly(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_k"))
+      val d = qDensityOutlier(spark, dir).select(col("user_id"), col("is_noise").as("flag_d"))
+      val r = qReconError(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_r"))
+      val i = qIforestScore(spark, dir).select(col("user_id"), col("is_anomaly").as("flag_i"))
+      val m = StatsOps.qMahalanobis(spark, dir)
+        .select(col("user_id"), col("is_outlier").as("flag_m"))
+      z.join(q, "user_id").join(k, "user_id").join(d, "user_id").join(r, "user_id")
+        .join(i, "user_id").join(m, "user_id")
+        .withColumn("votes", flags.map(col).reduce(_ + _))
+        .withColumn("is_anomaly", when(col("votes") >= 4, 1L).otherwise(0L))
+        .select((Seq(col("user_id")) ++ flags.map(col) ++
+          Seq(col("votes"), col("is_anomaly"))): _*)
+    }.orderBy("user_id")
   }
 
   /** The reference's final output artifact (resultats_non_supervise.csv:

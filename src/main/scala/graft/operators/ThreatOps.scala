@@ -251,11 +251,20 @@ object ThreatOps {
     * consumer reads it once per round.
     */
   private[operators] def coaccessEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo("coaccessEdges", spark, dir) {
-      val pairs = coaccessPairFrame(spark, dir, CoaccessMaxDegree)
-      pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
-        .union(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
-        .localCheckpoint()
+    // Memo.cached columnar pin + ONE explode, not union+localCheckpoint
+    // (r17): the checkpointed row-store scan cost ~5 µs/row — every
+    // k-core peel round and every frontier hop re-paid ~12 s CPU to
+    // re-read 2.25M edges — and the union planned two scans of the pair
+    // frame where one explode emits both directions in a single pass.
+    // The columnar cache decodes the same edges at a fraction of that,
+    // and the Memo pin keeps one copy per (session, dir) exactly as the
+    // checkpoint did.
+    graft.Memo.cached("coaccessEdges", spark, dir) {
+      coaccessPairFrame(spark, dir, CoaccessMaxDegree)
+        .select(explode(array(
+          struct(col("user_a").as("src"), col("user_b").as("dst")),
+          struct(col("user_b").as("src"), col("user_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
 
   /** k and round bound for [[qKcore]]. k = 3 targets the "mutually
@@ -1501,8 +1510,12 @@ object ThreatOps {
     */
   def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
     val pairs = coaccessPairFrame(spark, dir, CoaccessMaxDegree)
-    val deg = pairs.select(col("user_a").as("uid"))
-      .union(pairs.select(col("user_b").as("uid")))
+    // explode, not union (r17): the union planned TWO full scans of the
+    // cached pair frame (64 tasks, ~14 s CPU measured at sf0.1); one
+    // explode emits the identical two uid rows per pair in a single
+    // cache scan feeding the same map-side-combined count.
+    val deg = pairs
+      .select(explode(array(col("user_a"), col("user_b"))).as("uid"))
       .groupBy(col("uid")).agg(count(lit(1)).as("degree"))
     val users = events(spark, dir).select(col("user_id").as("uid")).distinct()
     users.join(deg, Seq("uid"), "left")
